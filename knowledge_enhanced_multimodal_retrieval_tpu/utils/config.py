@@ -1,0 +1,318 @@
+"""Typed configuration system.
+
+Replaces the reference's three-way duplication of hyperparameters across
+argparse mains, bash scripts, and ``.env`` files (reference
+``src/clip/train/trainer.py:528-582``, ``scripts/fine-tuning/train.sh:7-46``,
+dotenv usage in ``src/retrieval.py:17-21`` — see SURVEY §2.16) with a single
+source of truth: nested frozen dataclasses that can be
+
+- constructed programmatically,
+- loaded from / saved to JSON,
+- overridden from ``--dotted.key=value`` CLI arguments,
+- and have secret fields resolved from environment variables.
+
+All configs are plain pytree-free Python (never traced by JAX), so they can be
+hashed and used as static arguments to ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field, fields, is_dataclass
+from typing import Any, Mapping, Optional, Sequence, Tuple, Type, TypeVar, get_args, get_origin
+
+T = TypeVar("T")
+
+# ---------------------------------------------------------------------------
+# Generic dataclass <-> dict machinery
+# ---------------------------------------------------------------------------
+
+
+def to_dict(cfg: Any) -> dict:
+    """Recursively convert a (possibly nested) dataclass config to a dict."""
+    if is_dataclass(cfg) and not isinstance(cfg, type):
+        return {f.name: to_dict(getattr(cfg, f.name)) for f in fields(cfg)}
+    if isinstance(cfg, (list, tuple)):
+        return [to_dict(v) for v in cfg]
+    return cfg
+
+
+def _convert(value: Any, typ: Any) -> Any:
+    """Coerce ``value`` to annotated type ``typ`` (handles Optional, tuples,
+    nested dataclasses, and string->scalar parsing for CLI overrides)."""
+    origin = get_origin(typ)
+    if origin is not None:
+        args = get_args(typ)
+        # Optional[X] / Union[X, None]
+        if type(None) in args:
+            if value is None or (isinstance(value, str) and value.lower() in ("none", "null", "")):
+                return None
+            inner = [a for a in args if a is not type(None)]
+            return _convert(value, inner[0]) if len(inner) == 1 else value
+        if origin in (tuple, Tuple):
+            if isinstance(value, str):
+                value = [v for v in value.replace("(", "").replace(")", "").split(",") if v != ""]
+            if len(args) == 2 and args[1] is Ellipsis:
+                return tuple(_convert(v, args[0]) for v in value)
+            return tuple(_convert(v, a) for v, a in zip(value, args))
+        if origin in (list, Sequence):
+            if isinstance(value, str):
+                value = [v for v in value.split(",") if v != ""]
+            elem = args[0] if args else str
+            return [_convert(v, elem) for v in value]
+        if origin is dict:
+            return dict(value)
+        return value
+    if is_dataclass(typ):
+        if isinstance(value, typ):
+            return value
+        return from_dict(typ, value)
+    if typ is bool:
+        if isinstance(value, str):
+            return value.lower() in ("1", "true", "yes", "on")
+        return bool(value)
+    if typ in (int, float, str):
+        return typ(value)
+    return value
+
+
+def from_dict(cls: Type[T], data: Mapping[str, Any]) -> T:
+    """Build dataclass ``cls`` from a mapping, recursing into nested configs."""
+    kwargs = {}
+    known = {f.name: f for f in fields(cls)}
+    for key, value in data.items():
+        if key not in known:
+            raise KeyError(f"unknown config key {key!r} for {cls.__name__}; valid: {sorted(known)}")
+        kwargs[key] = _convert(value, _resolve_type(cls, known[key]))
+    return cls(**kwargs)
+
+
+def _resolve_type(cls: type, f: dataclasses.Field) -> Any:
+    """Resolve a field's type annotation, tolerating string annotations."""
+    typ = f.type
+    if isinstance(typ, str):
+        import typing
+
+        namespace = {**vars(typing), **globals()}
+        try:
+            typ = eval(typ, namespace)  # noqa: S307 - controlled input (our own annotations)
+        except Exception:
+            return Any
+    return typ
+
+
+def apply_overrides(cfg: T, overrides: Mapping[str, Any]) -> T:
+    """Return a copy of ``cfg`` with dotted-key overrides applied.
+
+    ``apply_overrides(cfg, {"train.lr": "1e-4", "model.name": "ViT-L/14"})``
+    """
+    data = to_dict(cfg)
+    for dotted, value in overrides.items():
+        node = data
+        parts = dotted.split(".")
+        for p in parts[:-1]:
+            if p not in node:
+                raise KeyError(f"unknown config path {dotted!r} (at {p!r})")
+            node = node[p]
+        if parts[-1] not in node:
+            raise KeyError(f"unknown config path {dotted!r} (at {parts[-1]!r})")
+        node[parts[-1]] = value
+    return from_dict(type(cfg), data)
+
+
+def parse_cli_overrides(argv: Sequence[str]) -> dict:
+    """Parse ``--a.b=c`` / ``--a.b c`` style args into an override mapping."""
+    out: dict = {}
+    i = 0
+    args = list(argv)
+    while i < len(args):
+        a = args[i]
+        if not a.startswith("--"):
+            raise ValueError(f"unexpected positional argument {a!r}")
+        a = a[2:]
+        if "=" in a:
+            k, v = a.split("=", 1)
+        else:
+            k = a
+            if i + 1 < len(args) and not args[i + 1].startswith("--"):
+                i += 1
+                v = args[i]
+            else:
+                v = "true"  # bare flag
+        out[k] = v
+        i += 1
+    return out
+
+
+def load_json(cls: Type[T], path: str) -> T:
+    with open(path) as f:
+        return from_dict(cls, json.load(f))
+
+
+def save_json(cfg: Any, path: str) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(to_dict(cfg), f, indent=2, sort_keys=True)
+
+
+# ---------------------------------------------------------------------------
+# Secrets / endpoints (reference .env usage: SURVEY §2.16)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Endpoints:
+    """Remote service endpoints + secrets, resolved from the environment.
+
+    Mirrors the reference's dotenv keys (``SPARQL_ENDPOINT[_KEY]``,
+    ``MISTRAL_API_KEY``/``MISTRAL_AGENT_ID``, ``CIR_ENDPOINT[_KEY]``,
+    ``HF_TOKEN`` — reference ``src/text2sparql/entity_linking.py:15-19``,
+    ``src/text2sparql/text2sparql_retrieval.py:11-15``,
+    ``src/retrieval.py:17-21``, ``src/clip/clip_retrieval.py:8``).
+    """
+
+    sparql_endpoint: Optional[str] = None
+    sparql_endpoint_key: Optional[str] = None
+    mistral_api_key: Optional[str] = None
+    mistral_agent_id: Optional[str] = None
+    cir_endpoint: Optional[str] = None
+    cir_endpoint_key: Optional[str] = None
+    hf_token: Optional[str] = None
+
+    @staticmethod
+    def from_env(env: Optional[Mapping[str, str]] = None) -> "Endpoints":
+        e = os.environ if env is None else env
+        return Endpoints(
+            sparql_endpoint=e.get("SPARQL_ENDPOINT"),
+            sparql_endpoint_key=e.get("SPARQL_ENDPOINT_KEY"),
+            mistral_api_key=e.get("MISTRAL_API_KEY"),
+            mistral_agent_id=e.get("MISTRAL_AGENT_ID"),
+            cir_endpoint=e.get("CIR_ENDPOINT"),
+            cir_endpoint_key=e.get("CIR_ENDPOINT_KEY"),
+            hf_token=e.get("HF_TOKEN"),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Framework configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout. The reference's only parallelism is single-node
+    data parallelism over NCCL (``trainer.py:44-49``); here DP is one axis of
+    a general mesh so TP can be added without restructuring."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    data_parallel: int = -1  # -1 = all devices
+    model_parallel: int = 1
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """CLIP variant selection (reference ``clip_model.py:15-44``)."""
+
+    name: str = "ViT-B/32"  # ViT-B/32 | ViT-B/16 | ViT-L/14
+    dtype: str = "bfloat16"  # compute dtype on TPU (params stay float32)
+    checkpoint: Optional[str] = None  # path to converted params (orbax/npz)
+    remat: bool = False  # jax.checkpoint the tower blocks
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset selection + text handling (reference ``clip_dataset.py:21-185``)."""
+
+    dataset: str = "xuemduan/reevaluate-image-text-pairs"
+    split_train: str = "train"
+    split_val: str = "validation"
+    split_test: str = "test"
+    max_text_words: int = 150  # word-level pre-truncation (clip_dataset.py:49-54)
+    context_length: int = 77  # CLIP BPE context (hard ceiling)
+    image_size: int = 224
+    shuffle_buffer: int = 0
+    num_workers: int = 8
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Canonical fine-tuning config (reference ``scripts/fine-tuning/train.sh:7-46``,
+    ``trainer.py:479-492``)."""
+
+    batch_size: int = 64  # per-device
+    epochs: int = 20
+    lr: float = 5e-6
+    weight_decay: float = 0.02
+    beta1: float = 0.9
+    beta2: float = 0.98
+    eps: float = 1e-6
+    eta_min_factor: float = 0.1  # cosine anneal floor = factor * lr
+    temperature: float = 0.07
+    t2i_weight: float = 0.7
+    t2t_weight: float = 0.3
+    grad_accum_steps: int = 1
+    grad_clip_norm: float = 1.0
+    early_stop_patience: int = 5
+    early_stop_metric: str = "avg_mrr"  # avg_mrr | t2i_mrr | t2t_mrr
+    seed: int = 42
+    freeze_image_encoder: bool = False
+    freeze_text_encoder: bool = False
+    global_negatives: bool = False  # all_gather negatives across the mesh (opt-in improvement)
+    checkpoint_dir: str = "checkpoints"
+    resume: bool = False
+    log_every: int = 50
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    """Evaluation config (reference ``evaluator.py:260-296``)."""
+
+    batch_size: int = 256
+    ks: Tuple[int, ...] = (1, 5, 10, 20)
+    t2i_weight: float = 0.5
+    t2t_weight: float = 0.5
+    seed: int = 42
+    output_dir: str = "experiments"
+
+
+@dataclass(frozen=True)
+class FusionConfig:
+    """Serving-time CLIP x SPARQL fusion defaults (reference ``src/retrieval.py:79``)."""
+
+    alpha: float = 0.8  # CLIP score weight
+    beta: float = 0.2  # SPARQL membership bonus
+    alpha_clip: float = 0.5  # T2I/T2T blend inside CLIP retriever
+    threshold: float = 0.0
+
+
+@dataclass(frozen=True)
+class Config:
+    """Top-level framework config."""
+
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    fusion: FusionConfig = field(default_factory=FusionConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+
+def config_from_argv(argv: Sequence[str], base: Optional[Config] = None) -> Config:
+    """Build a :class:`Config` from CLI args.
+
+    Supports ``--config path.json`` to load a base file plus any number of
+    dotted overrides (``--train.lr=1e-5``).
+    """
+    args = list(argv)
+    cfg = base or Config()
+    if "--config" in args:
+        i = args.index("--config")
+        cfg = load_json(Config, args[i + 1])
+        del args[i : i + 2]
+    overrides = parse_cli_overrides(args)
+    if overrides:
+        cfg = apply_overrides(cfg, overrides)
+    return cfg
