@@ -1,0 +1,76 @@
+"""Multi-head attention ops.
+
+Two implementations behind one dispatch:
+
+- ``mha_xla``     — plain jnp/einsum attention; XLA fuses it well at CLIP's
+                    short sequence lengths (50-257 vision tokens, 77 text).
+- ``flash_attention`` (in ``ops.flash_attention``) — Pallas TPU kernel,
+  tiled over the sequence axes with an online softmax; used for the vision
+  tower's longer sequences and as the building block for future long-context
+  models.
+
+``mha`` picks the implementation: the Pallas kernel on TPU when shapes meet
+its tile constraints, the XLA path otherwise (CPU tests, tiny shapes).
+
+The reference delegates attention to ``torch.nn.MultiheadAttention`` inside
+OpenAI CLIP's ``ResidualAttentionBlock`` (loaded at reference
+``src/clip/model/clip_model.py:15-44``); semantics here match that op:
+scaled dot-product, optional additive causal mask, no dropout at inference.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def mha_xla(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    causal: bool = False,
+    softmax_dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """Scaled dot-product attention, [B, H, S, D] layout.
+
+    Softmax runs in ``softmax_dtype`` (fp32 by default) regardless of the
+    input compute dtype — the standard bf16-safe recipe on TPU.
+    """
+    *_, s_q, d = q.shape
+    s_k = k.shape[-2]
+    scale = 1.0 / (d**0.5)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(softmax_dtype) * scale
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (s_q, s_k), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (s_q, s_k), 1)
+        logits = jnp.where(col <= row, logits, jnp.finfo(softmax_dtype).min)
+    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+
+def mha(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    causal: bool = False,
+    use_pallas: Optional[bool] = None,
+) -> jax.Array:
+    """Dispatching multi-head attention, [B, H, S, D].
+
+    ``use_pallas=None`` auto-selects: Pallas flash kernel on TPU backends for
+    sequences long enough to tile, XLA everywhere else.
+    """
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() not in ("cpu",)
+            and q.shape[-2] >= 128
+            and q.shape[-1] <= 256
+        )
+    if use_pallas:
+        from .flash_attention import flash_attention
+
+        return flash_attention(q, k, v, causal=causal)
+    return mha_xla(q, k, v, causal=causal)
