@@ -1,0 +1,258 @@
+"""Fused similarity + top-k — the retrieval serving hot path.
+
+The reference splits this across devices and libraries: GPU encode, then a
+CPU NumPy matmul + full ``argsort`` per query (``src/clip/eval/metrics.py:30-34``,
+``evaluator.py:115-143``), and at serving time a downloaded retriever does the
+cosine scoring (``src/clip/clip_retrieval.py:26-37``). Here the whole path is
+one device program:
+
+    scores = alpha * (Q @ IMG^T) + (1 - alpha) * (Q @ TXT^T); top-k(scores)
+
+Three implementations:
+
+- ``similarity_topk_xla``   — jnp matmuls + ``lax.top_k`` (reference path,
+  still fully on device; used on CPU and as the numerical oracle).
+- ``fused_similarity_topk`` — Pallas TPU kernel: streams corpus tiles
+  (both towers) through VMEM once, blends on the fly, and maintains a
+  running top-k in VMEM scratch — the [Q, N] score matrix never touches HBM.
+- ``sharded_similarity_topk`` — ``shard_map`` over a corpus-sharded mesh:
+  local fused top-k per device, then an all-gather of the tiny [Q, k]
+  candidates and a final merge. This is how a 43k (or 43M) corpus scales
+  across chips: the heavy traffic stays local, only k winners ride ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+_NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+# ---------------------------------------------------------------------------
+# XLA reference path
+# ---------------------------------------------------------------------------
+
+
+def blended_scores(queries: jax.Array, img_emb: jax.Array, txt_emb: jax.Array, alpha: float) -> jax.Array:
+    """[Q, N] blended similarity: alpha * T2I + (1 - alpha) * T2T."""
+    t2i = jnp.dot(queries, img_emb.T, preferred_element_type=jnp.float32)
+    t2t = jnp.dot(queries, txt_emb.T, preferred_element_type=jnp.float32)
+    return alpha * t2i + (1.0 - alpha) * t2t
+
+
+@functools.partial(jax.jit, static_argnames=("k", "alpha"))
+def similarity_topk_xla(
+    queries: jax.Array,
+    img_emb: jax.Array,
+    txt_emb: jax.Array,
+    k: int,
+    alpha: float = 0.5,
+) -> Tuple[jax.Array, jax.Array]:
+    scores = blended_scores(queries, img_emb, txt_emb, alpha)
+    return jax.lax.top_k(scores, k)
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused kernel
+# ---------------------------------------------------------------------------
+
+
+def _merge_topk(run_vals, run_idx, cand_vals, cand_idx, k: int):
+    """Merge running top-k with a candidate tile via k unrolled argmax rounds.
+
+    All shapes static: run_* [Q, K], cand_* [Q, T]. Returns new ([Q, K], [Q, K]).
+    """
+    vals = jnp.concatenate([run_vals, cand_vals], axis=1)  # [Q, K+T]
+    idxs = jnp.concatenate([run_idx, cand_idx], axis=1)
+    q, m = vals.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (q, m), 1)
+    new_vals = []
+    new_idxs = []
+    for _ in range(k):
+        best = jnp.max(vals, axis=1, keepdims=True)  # [Q, 1]
+        pos = jnp.argmax(vals, axis=1)[:, None]  # [Q, 1] first max position
+        onehot = col == pos
+        best_idx = jnp.sum(jnp.where(onehot, idxs, 0), axis=1, keepdims=True)
+        new_vals.append(best)
+        new_idxs.append(best_idx)
+        vals = jnp.where(onehot, _NEG_INF, vals)
+    return jnp.concatenate(new_vals, axis=1), jnp.concatenate(new_idxs, axis=1)
+
+
+def _fused_kernel(
+    q_img_ref,  # [Q, D]
+    q_txt_ref,  # [Q, D]
+    img_ref,  # [T, D] corpus image tile
+    txt_ref,  # [T, D] corpus text tile
+    vals_ref,  # [Q, K] out
+    idx_ref,  # [Q, K] out
+    vals_scr,  # [Q, K] scratch
+    idx_scr,  # [Q, K] scratch
+    *,
+    alpha: float,
+    k: int,
+    tile_n: int,
+    corpus_n: int,
+):
+    j = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+
+    @pl.when(j == 0)
+    def _init():
+        vals_scr[:] = jnp.full_like(vals_scr, _NEG_INF)
+        idx_scr[:] = jnp.zeros_like(idx_scr)
+
+    qi = q_img_ref[:].astype(jnp.float32)
+    qt = q_txt_ref[:].astype(jnp.float32)
+    img = img_ref[:].astype(jnp.float32)
+    txt = txt_ref[:].astype(jnp.float32)
+    t2i = jax.lax.dot_general(qi, img, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    t2t = jax.lax.dot_general(qt, txt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    scores = alpha * t2i + (1.0 - alpha) * t2t  # [Q, T]
+
+    qn = scores.shape[0]
+    local_col = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 1)
+    global_idx = local_col + j * tile_n
+    scores = jnp.where(global_idx < corpus_n, scores, _NEG_INF)  # mask pad rows
+
+    new_vals, new_idx = _merge_topk(vals_scr[:], idx_scr[:], scores, global_idx, k)
+    vals_scr[:] = new_vals
+    idx_scr[:] = new_idx
+
+    @pl.when(j == n_tiles - 1)
+    def _write():
+        vals_ref[:] = vals_scr[:]
+        idx_ref[:] = idx_scr[:]
+
+
+def fused_similarity_topk(
+    queries_img: jax.Array,
+    img_emb: jax.Array,
+    txt_emb: jax.Array,
+    k: int,
+    alpha: float = 0.5,
+    queries_txt: Optional[jax.Array] = None,
+    tile_n: int = 1024,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Single-pass fused blend + top-k over the corpus axis.
+
+    ``queries_img``: [Q, D] query embeddings scored against the image tower;
+    ``queries_txt`` defaults to the same array (the reference blends one
+    query embedding against both towers, ``clip_retrieval.py:39``).
+    Returns ``(values [Q, k] f32, indices [Q, k] i32)``.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if queries_txt is None:
+        queries_txt = queries_img
+    qn, d = queries_img.shape
+    n = img_emb.shape[0]
+    if k > 128:
+        # argmax-round merge degrades past ~128; XLA top_k handles big k.
+        return similarity_topk_xla(queries_img, img_emb, txt_emb, k, alpha)
+
+    tile_n = min(tile_n, max(128, 1 << (n - 1).bit_length()))
+    pad_n = (-n) % tile_n
+    img_p = jnp.pad(img_emb, ((0, pad_n), (0, 0)))
+    txt_p = jnp.pad(txt_emb, ((0, pad_n), (0, 0)))
+    n_tiles = img_p.shape[0] // tile_n
+
+    # sublane-align the query block (fp32 min tile is 8 x 128)
+    pad_q = (-qn) % 8
+    if pad_q:
+        queries_img = jnp.pad(queries_img, ((0, pad_q), (0, 0)))
+        queries_txt = jnp.pad(queries_txt, ((0, pad_q), (0, 0)))
+    qn_p = qn + pad_q
+
+    kernel = functools.partial(_fused_kernel, alpha=float(alpha), k=k, tile_n=tile_n, corpus_n=n)
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((qn_p, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qn_p, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((qn_p, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qn_p, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((qn_p, k), jnp.float32),
+            jax.ShapeDtypeStruct((qn_p, k), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((qn_p, k), jnp.float32),
+            pltpu.VMEM((qn_p, k), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * qn * d * n,
+            bytes_accessed=2 * n * d * img_emb.dtype.itemsize + 2 * qn * d * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries_img, queries_txt, img_p, txt_p)
+    return vals[:qn], idx[:qn]
+
+
+# ---------------------------------------------------------------------------
+# Mesh-sharded corpus
+# ---------------------------------------------------------------------------
+
+
+def sharded_similarity_topk(
+    queries: jax.Array,
+    img_emb: jax.Array,
+    txt_emb: jax.Array,
+    k: int,
+    alpha: float,
+    mesh: Mesh,
+    axis: str = "data",
+    use_pallas: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Top-k over a corpus sharded on ``axis``: local top-k, gather winners,
+    final merge. Queries replicated; only [Q, k] per device crosses ICI.
+    """
+    n_shards = mesh.shape[axis]
+    shard_n = img_emb.shape[0] // n_shards
+
+    def local(q, img, txt):
+        if use_pallas or (use_pallas is None and jax.default_backend() == "tpu" and k <= 128):
+            vals, idx = fused_similarity_topk(q, img, txt, k=k, alpha=alpha)
+        else:
+            vals, idx = similarity_topk_xla(q, img, txt, k=k, alpha=alpha)
+        offset = jax.lax.axis_index(axis).astype(jnp.int32) * shard_n
+        idx = idx + offset
+        # gather all shards' winners: [n_shards, Q, k] -> merge
+        all_vals = jax.lax.all_gather(vals, axis)
+        all_idx = jax.lax.all_gather(idx, axis)
+        qn = q.shape[0]
+        flat_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(qn, -1)
+        flat_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(qn, -1)
+        best_vals, pos = jax.lax.top_k(flat_vals, k)
+        best_idx = jnp.take_along_axis(flat_idx, pos, axis=1)
+        return best_vals, best_idx
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis, None)),
+        out_specs=(P(), P()),
+        # after all_gather + top_k the result is replicated, but the varying-
+        # axis analysis cannot prove it; disable the check.
+        check_vma=False,
+    )
+    return jax.jit(fn)(queries, img_emb, txt_emb)

@@ -1,0 +1,84 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from knowledge_enhanced_multimodal_retrieval_tpu.ops import similarity as S
+from knowledge_enhanced_multimodal_retrieval_tpu.parallel import MeshRuntime
+
+
+def _corpus(rng, n=500, d=64, q=7):
+    def norm(x):
+        return (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
+
+    return (
+        norm(rng.standard_normal((q, d))),
+        norm(rng.standard_normal((n, d))),
+        norm(rng.standard_normal((n, d))),
+    )
+
+
+def test_blended_scores_formula(rng):
+    q, img, txt = _corpus(rng, n=20, q=3)
+    out = np.asarray(S.blended_scores(jnp.asarray(q), jnp.asarray(img), jnp.asarray(txt), 0.8))
+    expected = 0.8 * (q @ img.T) + 0.2 * (q @ txt.T)
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("alpha", [0.0, 0.5, 0.8, 1.0])
+def test_fused_matches_xla(rng, alpha):
+    q, img, txt = _corpus(rng, n=500, q=7)
+    k = 10
+    xv, xi = S.similarity_topk_xla(jnp.asarray(q), jnp.asarray(img), jnp.asarray(txt), k, alpha)
+    fv, fi = S.fused_similarity_topk(
+        jnp.asarray(q), jnp.asarray(img), jnp.asarray(txt), k=k, alpha=alpha, tile_n=128, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(fi), np.asarray(xi))
+    np.testing.assert_allclose(np.asarray(fv), np.asarray(xv), rtol=1e-5, atol=1e-6)
+
+
+def test_fused_nondivisible_corpus(rng):
+    q, img, txt = _corpus(rng, n=333, q=5)
+    fv, fi = S.fused_similarity_topk(
+        jnp.asarray(q), jnp.asarray(img), jnp.asarray(txt), k=7, alpha=0.5, tile_n=128, interpret=True
+    )
+    xv, xi = S.similarity_topk_xla(jnp.asarray(q), jnp.asarray(img), jnp.asarray(txt), 7, 0.5)
+    np.testing.assert_array_equal(np.asarray(fi), np.asarray(xi))
+    assert (np.asarray(fi) < 333).all()
+
+
+def test_fused_separate_query_towers(rng):
+    """queries_txt different from queries_img (learned-fusion use case)."""
+    q1, img, txt = _corpus(rng, n=256, q=4)
+    q2 = q1[::-1].copy()
+    fv, fi = S.fused_similarity_topk(
+        jnp.asarray(q1), jnp.asarray(img), jnp.asarray(txt), k=5, alpha=0.6,
+        queries_txt=jnp.asarray(q2), tile_n=128, interpret=True,
+    )
+    scores = 0.6 * (q1 @ img.T) + 0.4 * (q2 @ txt.T)
+    ref_idx = np.argsort(-scores, axis=1)[:, :5]
+    np.testing.assert_array_equal(np.asarray(fi), ref_idx)
+
+
+def test_fused_large_k_falls_back(rng):
+    q, img, txt = _corpus(rng, n=300, q=3)
+    fv, fi = S.fused_similarity_topk(jnp.asarray(q), jnp.asarray(img), jnp.asarray(txt), k=200, alpha=0.5)
+    assert fv.shape == (3, 200)
+
+
+def test_sharded_matches_dense(rng, devices8):
+    rt = MeshRuntime.create()
+    q, img, txt = _corpus(rng, n=512, q=6)
+    sv, si = S.sharded_similarity_topk(
+        jnp.asarray(q), jnp.asarray(img), jnp.asarray(txt), k=9, alpha=0.7, mesh=rt.mesh
+    )
+    xv, xi = S.similarity_topk_xla(jnp.asarray(q), jnp.asarray(img), jnp.asarray(txt), 9, 0.7)
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(xv), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(xi))
+
+
+def test_topk_values_sorted_desc(rng):
+    q, img, txt = _corpus(rng, n=200, q=2)
+    fv, _ = S.fused_similarity_topk(jnp.asarray(q), jnp.asarray(img), jnp.asarray(txt), k=8, interpret=True)
+    v = np.asarray(fv)
+    assert (np.diff(v, axis=1) <= 1e-7).all()
