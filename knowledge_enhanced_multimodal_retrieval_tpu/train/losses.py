@@ -1,0 +1,90 @@
+"""Contrastive losses for joint T2I + T2T fine-tuning.
+
+Functional (pytree-in, scalars-out) re-design of the reference's loss modules
+(``src/clip/train/losses.py``): symmetric InfoNCE (``losses.py:11-63``) and
+the normalized-weight joint T2I+T2T combination (``losses.py:66-135`` —
+T2I pairs *target_text <-> image*, T2T pairs *query <-> target_text*).
+
+TPU notes: logits accumulate in float32 on the MXU regardless of the
+embedding compute dtype, and an optional ``axis_name`` turns on global-batch
+negatives: embeddings are all-gathered across the data axis so the
+contrastive task sees the full global batch (the reference's DDP only ever
+contrasts per-GPU local batches, ``trainer.py:160-185`` — local negatives is
+the parity default, global is the TPU-native opt-in improvement).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _cross_entropy_with_diagonal_labels(logits: jax.Array) -> jax.Array:
+    """Mean CE where example i's label is class i (possibly offset for sharded
+    batches: pass pre-offset labels via ``labels``)."""
+    n = logits.shape[0]
+    labels = jnp.arange(n)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(logp[jnp.arange(n), labels])
+
+
+def info_nce(
+    features_a: jax.Array,
+    features_b: jax.Array,
+    temperature: float = 0.07,
+    axis_name: Optional[str] = None,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Symmetric InfoNCE over L2-normalized features [B, D].
+
+    With ``axis_name`` (inside ``shard_map``/``pmap``), negatives come from
+    the whole global batch: both sides are all-gathered and each shard
+    computes the loss rows belonging to its local examples.
+    """
+    a = features_a.astype(jnp.float32)
+    b = features_b.astype(jnp.float32)
+    if axis_name is None:
+        logits = (a @ b.T) / temperature
+        loss_a2b = _cross_entropy_with_diagonal_labels(logits)
+        loss_b2a = _cross_entropy_with_diagonal_labels(logits.T)
+    else:
+        b_all = jax.lax.all_gather(b, axis_name, tiled=True)  # [B_global, D]
+        a_all = jax.lax.all_gather(a, axis_name, tiled=True)
+        n_local = a.shape[0]
+        offset = jax.lax.axis_index(axis_name) * n_local
+        labels = offset + jnp.arange(n_local)
+        logits_ab = (a @ b_all.T) / temperature  # [B_local, B_global]
+        logits_ba = (b @ a_all.T) / temperature
+        logp_ab = jax.nn.log_softmax(logits_ab, axis=-1)
+        logp_ba = jax.nn.log_softmax(logits_ba, axis=-1)
+        rows = jnp.arange(n_local)
+        loss_a2b = -jnp.mean(logp_ab[rows, labels])
+        loss_b2a = -jnp.mean(logp_ba[rows, labels])
+    loss = (loss_a2b + loss_b2a) / 2.0
+    return loss, {"loss": loss, "loss_a2b": loss_a2b, "loss_b2a": loss_b2a}
+
+
+def joint_contrastive_loss(
+    image_features: jax.Array,
+    query_features: jax.Array,
+    target_features: jax.Array,
+    temperature: float = 0.07,
+    t2i_weight: float = 0.5,
+    t2t_weight: float = 0.5,
+    axis_name: Optional[str] = None,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Joint loss: ``w_t2i * InfoNCE(target, image) + w_t2t * InfoNCE(query, target)``
+    with weights normalized to sum 1 (``losses.py:95-98``)."""
+    wsum = t2i_weight + t2t_weight
+    w_t2i, w_t2t = t2i_weight / wsum, t2t_weight / wsum
+    loss_t2i, _ = info_nce(target_features, image_features, temperature, axis_name)
+    loss_t2t, _ = info_nce(query_features, target_features, temperature, axis_name)
+    total = w_t2i * loss_t2i + w_t2t * loss_t2t
+    return total, {
+        "loss": total,
+        "loss_t2i": loss_t2i,
+        "loss_t2t": loss_t2t,
+        "t2i_weight": jnp.float32(w_t2i),
+        "t2t_weight": jnp.float32(w_t2t),
+    }

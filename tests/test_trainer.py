@@ -1,0 +1,156 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from knowledge_enhanced_multimodal_retrieval_tpu.data.datasets import DataPipeline, make_synthetic_source
+from knowledge_enhanced_multimodal_retrieval_tpu.data.tokenizer import CLIPTokenizer
+from knowledge_enhanced_multimodal_retrieval_tpu.models import clip as M
+from knowledge_enhanced_multimodal_retrieval_tpu.parallel import MeshRuntime
+from knowledge_enhanced_multimodal_retrieval_tpu.train import trainer as T
+from knowledge_enhanced_multimodal_retrieval_tpu.train.schedule import cosine_annealing_lr
+from knowledge_enhanced_multimodal_retrieval_tpu.utils.config import TrainConfig
+
+MERGES = [("c", "a"), ("ca", "t</w>"), ("h", "e"), ("he", "l")]
+
+TINY = M.CLIPArch(
+    embed_dim=16,
+    image_resolution=32,
+    vision_layers=1,
+    vision_width=32,
+    vision_patch_size=16,
+    context_length=16,
+    vocab_size=None,  # set below from tokenizer
+    text_width=32,
+    text_heads=2,
+    text_layers=1,
+    vision_heads=2,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    tok = CLIPTokenizer(MERGES)
+    arch = M.CLIPArch(**{**TINY.__dict__, "vocab_size": tok.vocab_size})
+    model = M.CLIP(arch, dtype=jnp.float32)
+    params = M.init_params(model, jax.random.PRNGKey(0))
+    src = make_synthetic_source(64, image_size=32)
+    pipe = DataPipeline(src, tok, image_size=32, context_length=16, num_workers=2)
+    return model, params, pipe
+
+
+def _cfg(tmp, **kw):
+    base = dict(
+        batch_size=16,
+        epochs=2,
+        lr=1e-3,
+        grad_accum_steps=1,
+        early_stop_patience=3,
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+        log_every=1,
+    )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def test_cosine_schedule_epoch_granularity():
+    sched = cosine_annealing_lr(1.0, epochs=4, steps_per_epoch=10, eta_min_factor=0.1)
+    assert float(sched(0)) == pytest.approx(1.0)
+    assert float(sched(9)) == pytest.approx(1.0)  # same epoch, same lr
+    assert float(sched(10)) < 1.0  # epoch boundary steps down
+    assert float(sched(40)) == pytest.approx(0.1)
+
+
+def test_train_step_reduces_loss(setup, devices8, tmp_path):
+    model, params, pipe = setup
+    cfg = _cfg(str(tmp_path))
+    trainer = T.CLIPTrainer(model, params, pipe, None, cfg, out_dir=str(tmp_path))
+    batch = pipe.make_batch(list(range(16)))
+    db = trainer._device_batch(batch)
+    state = trainer.state
+    losses = []
+    for _ in range(8):
+        state, metrics = trainer.train_step(state, db)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state["step"]) == 8
+
+
+def test_full_train_loop_with_val_and_checkpoints(setup, devices8, tmp_path):
+    model, params, pipe = setup
+    cfg = _cfg(str(tmp_path), epochs=2)
+    trainer = T.CLIPTrainer(model, params, pipe, pipe, cfg, out_dir=str(tmp_path))
+    result = trainer.train()
+    assert result["epochs_run"] == 2
+    assert result["best_epoch"] >= 0
+    assert os.path.isdir(os.path.join(str(tmp_path), "ckpt", "checkpoint_latest"))
+    assert os.path.isdir(os.path.join(str(tmp_path), "ckpt", "checkpoint_best"))
+    assert os.path.exists(os.path.join(str(tmp_path), "train_metrics.jsonl"))
+
+
+def test_resume_restores_epoch_and_params(setup, devices8, tmp_path):
+    model, params, pipe = setup
+    cfg = _cfg(str(tmp_path), epochs=1)
+    t1 = T.CLIPTrainer(model, params, pipe, pipe, cfg, out_dir=str(tmp_path))
+    t1.train()
+    w1 = np.asarray(t1.state["params"]["logit_scale"])
+
+    cfg2 = _cfg(str(tmp_path), epochs=1, resume=True)
+    t2 = T.CLIPTrainer(model, params, pipe, pipe, cfg2, out_dir=str(tmp_path))
+    assert t2.start_epoch == 1
+    np.testing.assert_allclose(np.asarray(t2.state["params"]["logit_scale"]), w1)
+
+
+def test_grad_accum_matches_larger_batch_semantics(setup, devices8, tmp_path):
+    """MultiSteps: params must only change every k steps."""
+    model, params, pipe = setup
+    cfg = _cfg(str(tmp_path), grad_accum_steps=2)
+    trainer = T.CLIPTrainer(model, params, pipe, None, cfg, out_dir=str(tmp_path))
+    batch = trainer._device_batch(pipe.make_batch(list(range(16))))
+    p0 = np.asarray(trainer.state["params"]["logit_scale"])
+    state, _ = trainer.train_step(trainer.state, batch)
+    p1 = np.asarray(state["params"]["logit_scale"])
+    np.testing.assert_array_equal(p0, p1)  # first micro-step: accumulate only
+    state, _ = trainer.train_step(state, batch)
+    p2 = np.asarray(state["params"]["logit_scale"])
+    assert not np.array_equal(p1, p2)  # second micro-step applies the update
+
+
+def test_freeze_encoders_only_projections_move(setup, devices8, tmp_path):
+    model, params, pipe = setup
+    cfg = _cfg(str(tmp_path), freeze_image_encoder=True, freeze_text_encoder=True)
+    trainer = T.CLIPTrainer(model, params, pipe, None, cfg, out_dir=str(tmp_path))
+    batch = trainer._device_batch(pipe.make_batch(list(range(16))))
+    state, _ = trainer.train_step(trainer.state, batch)
+    state, _ = trainer.train_step(state, batch)
+    before = jax.tree_util.tree_map(np.asarray, params)
+    after = jax.tree_util.tree_map(np.asarray, state["params"])
+    # frozen: first vision block kernel; trainable: projections + logit_scale
+    frozen_leaf = before["visual"]["transformer"]["resblocks_0"]["attn"]["in_proj"]["kernel"]
+    np.testing.assert_array_equal(
+        frozen_leaf, after["visual"]["transformer"]["resblocks_0"]["attn"]["in_proj"]["kernel"]
+    )
+    np.testing.assert_array_equal(before["text"]["token_embedding"]["embedding"], after["text"]["token_embedding"]["embedding"])
+    assert not np.array_equal(before["visual"]["proj"], after["visual"]["proj"])
+    assert not np.array_equal(before["text"]["text_projection"], after["text"]["text_projection"])
+
+
+def test_global_negatives_step_runs(setup, devices8, tmp_path):
+    model, params, pipe = setup
+    cfg = _cfg(str(tmp_path), global_negatives=True)
+    trainer = T.CLIPTrainer(model, params, pipe, None, cfg, out_dir=str(tmp_path))
+    batch = trainer._device_batch(pipe.make_batch(list(range(16))))
+    state, metrics = trainer.train_step(trainer.state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_early_stopper():
+    s = T.EarlyStopper(patience=2)
+    assert s.update(1.0, 0) is True
+    assert s.update(0.5, 1) is False
+    assert not s.should_stop
+    assert s.update(0.4, 2) is False
+    assert s.should_stop
+    assert s.best_epoch == 0
