@@ -228,12 +228,14 @@ def sharded_similarity_topk(
     """
     n_shards = mesh.shape[axis]
     shard_n = img_emb.shape[0] // n_shards
+    k = min(k, img_emb.shape[0])
+    k_local = min(k, shard_n)  # a shard can only contribute shard_n winners
 
     def local(q, img, txt):
-        if use_pallas or (use_pallas is None and jax.default_backend() == "tpu" and k <= 128):
-            vals, idx = fused_similarity_topk(q, img, txt, k=k, alpha=alpha)
+        if use_pallas or (use_pallas is None and jax.default_backend() == "tpu" and k_local <= 128):
+            vals, idx = fused_similarity_topk(q, img, txt, k=k_local, alpha=alpha)
         else:
-            vals, idx = similarity_topk_xla(q, img, txt, k=k, alpha=alpha)
+            vals, idx = similarity_topk_xla(q, img, txt, k=k_local, alpha=alpha)
         offset = jax.lax.axis_index(axis).astype(jnp.int32) * shard_n
         idx = idx + offset
         # gather all shards' winners: [n_shards, Q, k] -> merge

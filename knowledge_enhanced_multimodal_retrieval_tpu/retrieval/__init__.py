@@ -1,0 +1,3 @@
+from .clip_retrieval import CLIPRetrieval  # noqa: F401
+from .embedding_store import EmbeddingStore, build_embedding_store  # noqa: F401
+from .engine import RetrievalEngine  # noqa: F401

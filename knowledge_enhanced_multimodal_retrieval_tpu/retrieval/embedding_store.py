@@ -1,0 +1,112 @@
+"""Precomputed corpus embedding store.
+
+In-repo replacement for the reference's download-code-from-HF retriever
+artifact (``src/clip/clip_retrieval.py:12-37`` downloads and ``exec``s a
+Python file from the hub, then reads ``data/embeddings``). Here the store is
+a plain, versioned artifact: L2-normalized image/text tower embeddings +
+row-aligned UUIDs, persisted as one ``.npz``, loadable straight onto the
+device (optionally bf16 for HBM bandwidth) and shardable over a mesh for
+corpora beyond one chip.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.datasets import DataPipeline
+from ..models.clip import CLIP
+from ..parallel.mesh import MeshRuntime
+from ..parallel.sharding import batch_sharding
+
+
+@dataclass
+class EmbeddingStore:
+    """Corpus embeddings: ``image`` and ``text`` towers + aligned UUIDs."""
+
+    image: np.ndarray  # [N, D] float32, L2-normalized
+    text: np.ndarray  # [N, D] float32, L2-normalized
+    uuids: List[str]
+
+    def __post_init__(self):
+        n = len(self.uuids)
+        if self.image.shape[0] != n or self.text.shape[0] != n:
+            raise ValueError(
+                f"row mismatch: image {self.image.shape[0]}, text {self.text.shape[0]}, uuids {n}"
+            )
+
+    def __len__(self) -> int:
+        return len(self.uuids)
+
+    @property
+    def dim(self) -> int:
+        return self.image.shape[1]
+
+    # -- persistence ---------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        np.savez(
+            path,
+            image=self.image.astype(np.float32),
+            text=self.text.astype(np.float32),
+            uuids=np.array(self.uuids, dtype=object),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "EmbeddingStore":
+        with np.load(path, allow_pickle=True) as data:
+            return cls(image=data["image"], text=data["text"], uuids=[str(u) for u in data["uuids"]])
+
+    # -- device placement ----------------------------------------------------
+
+    def device_arrays(
+        self,
+        dtype=jnp.float32,
+        mesh: Optional["jax.sharding.Mesh"] = None,
+        axis: str = "data",
+    ):
+        """Place both towers on device — corpus-sharded over ``axis`` when a
+        mesh is given (pad to the shard multiple first via :func:`padded`)."""
+        img = jnp.asarray(self.image, dtype)
+        txt = jnp.asarray(self.text, dtype)
+        if mesh is not None:
+            sharding = batch_sharding(mesh, 2, axis)
+            img = jax.device_put(img, sharding)
+            txt = jax.device_put(txt, sharding)
+        return img, txt
+
+    def padded(self, multiple: int) -> "EmbeddingStore":
+        """Zero-pad rows to a multiple (padded rows score ~0 and carry a
+        sentinel uuid)."""
+        n = len(self)
+        pad = (-n) % multiple
+        if pad == 0:
+            return self
+        z = np.zeros((pad, self.dim), np.float32)
+        return EmbeddingStore(
+            image=np.concatenate([self.image, z]),
+            text=np.concatenate([self.text, z]),
+            uuids=self.uuids + [f"__pad_{i}" for i in range(pad)],
+        )
+
+
+def build_embedding_store(
+    model: CLIP,
+    params,
+    pipeline: DataPipeline,
+    rt: Optional[MeshRuntime] = None,
+    batch_size: int = 256,
+) -> EmbeddingStore:
+    """Precompute corpus embeddings with the mesh-sharded encoder.
+
+    The ``text`` tower stores *target_text* embeddings (the corpus documents
+    the serving engine scores T2T against)."""
+    from ..eval.evaluator import encode_dataset
+
+    rt = rt or MeshRuntime.create()
+    encoded = encode_dataset(model, params, pipeline, rt, batch_size)
+    return EmbeddingStore(image=encoded.image, text=encoded.target, uuids=encoded.uuids)

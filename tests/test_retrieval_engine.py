@@ -1,0 +1,147 @@
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from knowledge_enhanced_multimodal_retrieval_tpu.data.datasets import DataPipeline, make_synthetic_source
+from knowledge_enhanced_multimodal_retrieval_tpu.data.tokenizer import CLIPTokenizer
+from knowledge_enhanced_multimodal_retrieval_tpu.knowledge import FakeKGSparqlClient, FakeLLMClient, Text2SparqlRetrieval
+from knowledge_enhanced_multimodal_retrieval_tpu.models import clip as M
+from knowledge_enhanced_multimodal_retrieval_tpu.parallel import MeshRuntime
+from knowledge_enhanced_multimodal_retrieval_tpu.retrieval import (
+    CLIPRetrieval,
+    EmbeddingStore,
+    RetrievalEngine,
+    build_embedding_store,
+)
+
+MERGES = [("c", "a"), ("ca", "t</w>"), ("h", "e"), ("he", "l")]
+
+
+@pytest.fixture(scope="module")
+def world(devices8):
+    tok = CLIPTokenizer(MERGES)
+    arch = M.CLIPArch(16, 32, 1, 32, 16, 16, tok.vocab_size, 32, 2, 1, vision_heads=2)
+    model = M.CLIP(arch, dtype=jnp.float32)
+    params = M.init_params(model, jax.random.PRNGKey(0))
+    src = make_synthetic_source(40, image_size=32)
+    pipe = DataPipeline(src, tok, image_size=32, context_length=16, num_workers=2)
+    rt = MeshRuntime.create()
+    store = build_embedding_store(model, params, pipe, rt, batch_size=16)
+    return model, params, tok, store, rt
+
+
+def test_store_roundtrip(world, tmp_path):
+    _, _, _, store, _ = world
+    path = os.path.join(tmp_path, "store.npz")
+    store.save(path)
+    loaded = EmbeddingStore.load(path)
+    np.testing.assert_array_equal(loaded.image, store.image)
+    assert loaded.uuids == store.uuids
+    assert len(loaded) == 40 and loaded.dim == 16
+
+
+def test_store_row_mismatch():
+    with pytest.raises(ValueError):
+        EmbeddingStore(np.zeros((3, 4)), np.zeros((2, 4)), ["a", "b", "c"])
+
+
+def test_store_padded(world):
+    _, _, _, store, _ = world
+    padded = store.padded(16)
+    assert len(padded) == 48
+    assert padded.uuids[-1].startswith("__pad_")
+    assert (padded.image[-8:] == 0).all()
+
+
+def test_clip_retrieval_topk_sorted(world):
+    model, params, tok, store, rt = world
+    r = CLIPRetrieval(model, params, tok, store, top_k=10)
+    results = r.retrieval("hello cat", alpha=0.5)
+    assert len(results) == 10
+    scores = [x["score"] for x in results]
+    assert scores == sorted(scores, reverse=True)
+    assert all(x["uuid"].startswith("uuid-") for x in results)
+
+
+def test_clip_retrieval_alpha_extremes(world):
+    model, params, tok, store, rt = world
+    r = CLIPRetrieval(model, params, tok, store, top_k=40)
+    q = np.asarray(r.encode_queries(["hello cat"]))[0]
+    res_img = r.retrieval("hello cat", alpha=1.0)
+    expected = q @ store.image.T
+    best = store.uuids[int(np.argmax(expected))]
+    assert res_img[0]["uuid"] == best
+    res_txt = r.retrieval("hello cat", alpha=0.0)
+    best_txt = store.uuids[int(np.argmax(q @ store.text.T))]
+    assert res_txt[0]["uuid"] == best_txt
+
+
+def test_clip_retrieval_sharded_matches_dense(world):
+    model, params, tok, store, rt = world
+    dense = CLIPRetrieval(model, params, tok, store, top_k=7)
+    sharded = CLIPRetrieval(model, params, tok, store, top_k=7, rt=rt, shard_corpus=True)
+    a = dense.retrieval("hello cat", alpha=0.5)
+    b = sharded.retrieval("hello cat", alpha=0.5)
+    assert [x["uuid"] for x in a] == [x["uuid"] for x in b]
+    np.testing.assert_allclose([x["score"] for x in a], [x["score"] for x in b], atol=1e-4)
+
+
+def _mk_engine(world, kg_uuid):
+    model, params, tok, store, rt = world
+    clip_r = CLIPRetrieval(model, params, tok, store, top_k=40)
+    llm_json = {
+        "distinct": True,
+        "variables": [{"termType": "Variable", "value": "DigitalArtefact"}],
+        "branches": [{"line": {"s": "DigitalArtefact", "p": "http://crm/P1", "o": "X_1",
+                               "sType": ["http://kg/DigitalArtefact"]}}],
+    }
+    llm = FakeLLMClient({}, default=json.dumps(llm_json))
+    kg = FakeKGSparqlClient(entities={}, artefacts=[f"http://kg/artefact/{kg_uuid}"])
+    t2s = Text2SparqlRetrieval(llm, kg)
+    return RetrievalEngine(clip_r, t2s)
+
+
+def test_engine_knowledge_bonus_promotes_hit(world):
+    engine = _mk_engine(world, "uuid-000025")
+    base = engine.retrieve_text_noknowledge("hello cat")
+    fused = engine.retrieve_text("hello cat")
+    base_scores = {x["uuid"]: x["score"] for x in base}
+    fused_scores = {x["uuid"]: x["score"] for x in fused}
+    # the KG hit gets exactly alpha*clip + beta
+    hit = "uuid-000025"
+    assert fused_scores[hit] == pytest.approx(round(0.8 * base_scores[hit] + 0.2, 4), abs=2e-4)
+    # non-hits are alpha-scaled only
+    other = next(u for u in base_scores if u != hit)
+    assert fused_scores[other] == pytest.approx(round(0.8 * base_scores[other], 4), abs=2e-4)
+
+
+def test_engine_threshold_filters(world):
+    engine = _mk_engine(world, "uuid-000025")
+    all_results = engine.retrieve_text("hello cat", threshold=-10)
+    some = engine.retrieve_text("hello cat", threshold=0.2)
+    assert len(some) < len(all_results)
+    assert all(x["score"] >= 0.2 for x in some)
+
+
+def test_engine_sorted_and_rounded(world):
+    engine = _mk_engine(world, "uuid-000025")
+    results = engine.retrieve_text("hello cat")
+    scores = [x["score"] for x in results]
+    assert scores == sorted(scores, reverse=True)
+    assert all(abs(s - round(s, 4)) < 1e-9 for s in scores)
+
+
+def test_engine_empty_clip_results(world):
+    engine = _mk_engine(world, "uuid-000025")
+    assert engine._fuse_clip_sparql_linear([], ["x"], 0.8, 0.2) == []
+
+
+def test_engine_without_t2s_retriever(world):
+    model, params, tok, store, rt = world
+    clip_r = CLIPRetrieval(model, params, tok, store, top_k=5)
+    engine = RetrievalEngine(clip_r, t2s_retriever=None)
+    assert len(engine.retrieve_text("hello", threshold=-10)) == 5
