@@ -1,0 +1,80 @@
+import json
+import os
+import random
+
+import pytest
+
+from knowledge_enhanced_multimodal_retrieval_tpu.datagen.captioning import CaptioningPipeline, FakeCaptioner
+from knowledge_enhanced_multimodal_retrieval_tpu.datagen.texts import (
+    build_hybrid_texts,
+    combine_descriptions,
+    random_select_content,
+)
+
+
+def test_combine_dedups_lead_in():
+    out = combine_descriptions("This is a painting, oil on canvas", "a painting of a dog")
+    assert out.startswith("A painting of a dog")
+    assert "This is a painting" not in out
+    assert ", oil on canvas" in out
+
+
+def test_combine_plain_concatenation():
+    out = combine_descriptions("Portrait of a lady", "a sculpture of a horse")
+    assert out == "A sculpture of a horse. Portrait of a lady"
+
+
+def test_combine_single_sides_and_empty():
+    assert combine_descriptions("meta only", "") == "Meta only"
+    assert combine_descriptions("", "content only") == "Content only"
+    assert combine_descriptions("", "") == ""
+
+
+def test_combine_church_replacement():
+    out = combine_descriptions("This is a church, gothic style", "a church with a tall spire")
+    assert "This is a church" not in out
+
+
+def test_random_select_content_filters():
+    rng = random.Random(0)
+    descs = ["the church of the person x", "short", "a long valid caption one", "another valid caption two"]
+    c1, c2 = random_select_content(descs, rng)
+    assert c1 != c2
+    assert all("the church of the person" not in c and len(c) >= 10 for c in (c1, c2))
+    assert random_select_content(["bad" ], rng) == ("", "")
+
+
+def test_build_hybrid_texts(tmp_path):
+    meta = tmp_path / "meta"; content = tmp_path / "content"; images = tmp_path / "img"; out = tmp_path / "final"
+    for d in (meta, content, images):
+        d.mkdir()
+    for i in range(3):
+        (meta / f"u{i}.json").write_text(json.dumps({"metadata_descriptions": [f"This is a painting, from {1800+i}"]}))
+        (content / f"u{i}.json").write_text(json.dumps({"content_descriptions": [f"a painting of scene {i}"]}))
+        (images / f"u{i}.jpg").write_bytes(b"x")
+    (meta / "no-image.json").write_text(json.dumps({"metadata_descriptions": ["m"]}))
+    result = build_hybrid_texts(str(meta), str(content), str(images), str(out), seed=1)
+    assert sorted(result["written"]) == ["u0", "u1", "u2"]
+    data = json.load(open(out / "u1.json"))
+    assert data["uuid"] == "u1"
+    assert "scene 1" in data["target_text"]
+    assert "This is a painting" not in data["target_text"]
+
+
+def test_captioning_pipeline_resume(tmp_path):
+    cap = FakeCaptioner(num_captions=5)
+    pipe = CaptioningPipeline(cap, str(tmp_path / "caps"), batch_size=2)
+    uuids = [f"u{i}" for i in range(5)]
+    images = [object()] * 5
+    r1 = pipe.run(uuids, images)
+    assert sorted(r1["written"]) == sorted(uuids)
+    data = json.load(open(tmp_path / "caps" / "u3.json"))
+    assert len(data["content_descriptions"]) == 5
+    # resume: nothing re-captioned
+    calls_before = cap.calls
+    r2 = pipe.run(uuids, images)
+    assert r2["written"] == [] and sorted(r2["skipped"]) == sorted(uuids)
+    assert cap.calls == calls_before
+    # mismatched inputs
+    with pytest.raises(ValueError):
+        pipe.run(["a"], [])
