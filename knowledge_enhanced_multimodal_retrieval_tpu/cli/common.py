@@ -1,0 +1,67 @@
+"""Shared CLI plumbing: model/params/data construction from a Config.
+
+Replaces the reference's per-entry-point argparse blocks and pip-installing
+shell scripts (``scripts/*/*.sh`` — SURVEY §2.20) with one factory layer on
+top of the typed config system. Dataset URIs:
+
+- ``synthetic:N``                  — offline random corpus (tests/smoke);
+- anything else                    — HuggingFace dataset name with the
+  reference schema (``xuemduan/reevaluate-image-text-pairs``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..data.datasets import DataPipeline, load_hf_source, make_synthetic_source
+from ..data.tokenizer import CLIPTokenizer
+from ..models import clip as clip_mod
+from ..models.convert import load_clip_params
+from ..parallel.mesh import MeshRuntime
+from ..utils.config import Config
+
+
+def build_tokenizer(cfg: Config) -> CLIPTokenizer:
+    return CLIPTokenizer.find_default()
+
+
+def build_model_and_params(cfg: Config, rng_seed: int = 0):
+    """Model from config; params from checkpoint (OpenAI / HF / npz) or init."""
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.model.dtype]
+    model = clip_mod.build_model(cfg.model.name, dtype=dtype, remat=cfg.model.remat)
+    if cfg.model.checkpoint:
+        params = load_clip_params(cfg.model.checkpoint)
+    else:
+        params = clip_mod.init_params(model, jax.random.PRNGKey(rng_seed))
+    return model, params
+
+
+def build_pipeline(cfg: Config, split: str, tokenizer: Optional[CLIPTokenizer] = None) -> DataPipeline:
+    name = cfg.data.dataset
+    if name.startswith("synthetic:"):
+        n = int(name.split(":", 1)[1])
+        source = make_synthetic_source(n, image_size=cfg.data.image_size)
+        tokenizer = tokenizer or _tiny_tokenizer()
+    else:
+        source = load_hf_source(name, split)
+        tokenizer = tokenizer or build_tokenizer(cfg)
+    return DataPipeline(
+        source,
+        tokenizer,
+        image_size=cfg.data.image_size,
+        context_length=cfg.data.context_length,
+        max_text_words=cfg.data.max_text_words,
+        num_workers=cfg.data.num_workers,
+    )
+
+
+def _tiny_tokenizer() -> CLIPTokenizer:
+    """Byte-fallback tokenizer (no merges) — enough for synthetic smoke runs."""
+    return CLIPTokenizer([])
+
+
+def build_runtime(cfg: Config) -> MeshRuntime:
+    return MeshRuntime.create(cfg.mesh)

@@ -1,0 +1,76 @@
+"""Serving entry point: knowledge-enhanced retrieval queries.
+
+The reference's serving usage (``README.md:139-142``) instantiates
+``RetrievalEngine()`` and calls ``retrieve_text``. This CLI loads a
+precomputed embedding store, wires the Text2SPARQL retriever against the
+configured endpoints (or runs CLIP-only when they're absent), and answers
+one query or an interactive loop:
+
+    python -m knowledge_enhanced_multimodal_retrieval_tpu.cli.serve \
+        --store=data/embeddings/store.npz --model.name=ViT-L/14 \
+        [--query="madonna and child"] [--fusion.alpha=0.8]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from ..retrieval.clip_retrieval import CLIPRetrieval
+from ..retrieval.embedding_store import EmbeddingStore
+from ..retrieval.engine import RetrievalEngine
+from ..utils.config import Endpoints, config_from_argv
+from ..utils.logging_utils import setup_logger
+from .common import build_model_and_params, build_tokenizer
+
+
+def build_engine(cfg, store_path: str) -> RetrievalEngine:
+    model, params = build_model_and_params(cfg)
+    tokenizer = build_tokenizer(cfg)
+    store = EmbeddingStore.load(store_path)
+    clip_r = CLIPRetrieval(model, params, tokenizer, store)
+
+    t2s = None
+    env = Endpoints.from_env()
+    if env.sparql_endpoint and env.mistral_api_key and env.mistral_agent_id:
+        from ..knowledge.clients import HTTPSparqlClient, MistralAgentClient
+        from ..knowledge.text2sparql import Text2SparqlRetrieval
+
+        t2s = Text2SparqlRetrieval(MistralAgentClient(), HTTPSparqlClient())
+    return RetrievalEngine(clip_r, t2s, cfg.fusion)
+
+
+def main(argv=None) -> None:
+    args = list(sys.argv[1:] if argv is None else argv)
+    store_path, query = "data/embeddings/store.npz", None
+    for flag in ("--store", "--query"):
+        if flag in args:
+            i = args.index(flag)
+            value = args[i + 1]
+            del args[i : i + 2]
+            if flag == "--store":
+                store_path = value
+            else:
+                query = value
+    cfg = config_from_argv(args)
+    logger = setup_logger("kemr_tpu.cli.serve")
+    engine = build_engine(cfg, store_path)
+    mode = "knowledge-enhanced" if engine.t2s_retriever else "CLIP-only (no KG endpoints configured)"
+    logger.info("engine ready: %s", mode)
+
+    def answer(q: str) -> None:
+        results = engine.retrieve_text(q) if engine.t2s_retriever else engine.retrieve_text_noknowledge(q)
+        print(json.dumps({"query": q, "results": results[:20]}, indent=2))
+
+    if query is not None:
+        answer(query)
+        return
+    for line in sys.stdin:
+        q = line.strip()
+        if not q:
+            continue
+        answer(q)
+
+
+if __name__ == "__main__":
+    main()

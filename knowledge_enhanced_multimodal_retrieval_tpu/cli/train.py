@@ -1,0 +1,38 @@
+"""Fine-tuning entry point.
+
+TPU-native replacement for ``python -m src.clip.train.trainer`` +
+``scripts/fine-tuning/train.sh`` (reference ``trainer.py:528-600``):
+
+    python -m knowledge_enhanced_multimodal_retrieval_tpu.cli.train \
+        --model.name=ViT-L/14 --train.epochs=20 --train.lr=5e-6 \
+        [--config base.json] [--data.dataset=synthetic:256]
+"""
+
+from __future__ import annotations
+
+import sys
+
+from ..train.trainer import CLIPTrainer
+from ..utils.config import Config, config_from_argv
+from ..utils.logging_utils import setup_logger
+from .common import build_model_and_params, build_pipeline, build_runtime
+
+
+def main(argv=None) -> dict:
+    cfg = config_from_argv(sys.argv[1:] if argv is None else argv)
+    logger = setup_logger("kemr_tpu.cli.train")
+    logger.info("training %s on %s", cfg.model.name, cfg.data.dataset)
+
+    model, params = build_model_and_params(cfg, rng_seed=cfg.train.seed)
+    rt = build_runtime(cfg)
+    train_pipe = build_pipeline(cfg, cfg.data.split_train)
+    val_pipe = build_pipeline(cfg, cfg.data.split_val) if not cfg.data.dataset.startswith("synthetic:") else train_pipe
+
+    trainer = CLIPTrainer(model, params, train_pipe, val_pipe, cfg.train, rt, out_dir=cfg.eval.output_dir)
+    result = trainer.train()
+    logger.info("done: best %.4f @ epoch %d", result["best_metric"], result["best_epoch"])
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from knowledge_enhanced_multimodal_retrieval_tpu.cli import common as CC
+from knowledge_enhanced_multimodal_retrieval_tpu.utils.config import Config, apply_overrides
+
+
+def _tiny_cfg(tmp, **over):
+    cfg = Config()
+    base = {
+        "data.dataset": "synthetic:24",
+        "data.image_size": "32",
+        "data.context_length": "16",
+        "model.name": "tiny",  # replaced below; tiny arch injected via monkeypatch
+        "eval.output_dir": os.path.join(tmp, "exp"),
+    }
+    base.update(over)
+    return apply_overrides(cfg, base)
+
+
+@pytest.fixture(autouse=True)
+def tiny_arch(monkeypatch):
+    """Register a 'tiny' CLIP variant so CLI smoke tests stay fast."""
+    from knowledge_enhanced_multimodal_retrieval_tpu.models import clip as M
+
+    monkeypatch.setitem(
+        M.ARCHS, "tiny", M.CLIPArch(16, 32, 1, 32, 16, 16, 600, 32, 2, 1, vision_heads=2)
+    )
+
+
+def test_build_pipeline_synthetic(tmp_path):
+    cfg = _tiny_cfg(str(tmp_path))
+    pipe = CC.build_pipeline(cfg, "train")
+    assert len(pipe) == 24
+    batch = pipe.make_batch([0, 1])
+    assert batch.images.shape == (2, 32, 32, 3)
+    assert batch.query_ids.shape == (2, 16)
+
+
+def test_cli_evaluate_end_to_end(tmp_path, devices8):
+    from knowledge_enhanced_multimodal_retrieval_tpu.cli.evaluate import main
+
+    cfg_dir = str(tmp_path)
+    report = main([
+        "--data.dataset=synthetic:24",
+        "--data.image_size=32",
+        "--data.context_length=16",
+        "--model.name=tiny",
+        "--eval.batch_size=8",
+        f"--eval.output_dir={cfg_dir}",
+    ])
+    assert report["num_samples"] == 24
+    out = os.path.join(cfg_dir, "eval_tiny_zeroshot.json")
+    assert os.path.exists(out)
+    assert "T2I_MRR" in report["per_task"]
+
+
+def test_cli_evaluate_with_t2s_sweep(tmp_path, devices8):
+    from knowledge_enhanced_multimodal_retrieval_tpu.cli.evaluate import main
+
+    t2s = os.path.join(tmp_path, "t2s.json")
+    json.dump({"uuid-000001": ["uuid-000001"]}, open(t2s, "w"))
+    report = main([
+        "--data.dataset=synthetic:24",
+        "--data.image_size=32",
+        "--data.context_length=16",
+        "--model.name=tiny",
+        "--eval.batch_size=8",
+        f"--eval.output_dir={tmp_path}",
+        "--t2s_results", t2s,
+    ])
+    assert len(report["fusion_sweep"]) == 18
+
+
+def test_cli_train_smoke(tmp_path, devices8):
+    from knowledge_enhanced_multimodal_retrieval_tpu.cli.train import main
+
+    result = main([
+        "--data.dataset=synthetic:32",
+        "--data.image_size=32",
+        "--data.context_length=16",
+        "--model.name=tiny",
+        "--model.dtype=float32",
+        "--train.batch_size=16",
+        "--train.epochs=1",
+        "--train.lr=1e-3",
+        f"--train.checkpoint_dir={tmp_path}/ckpt",
+        f"--eval.output_dir={tmp_path}/exp",
+    ])
+    assert result["epochs_run"] == 1
+    assert os.path.isdir(os.path.join(tmp_path, "ckpt", "checkpoint_latest"))
+
+
+def test_cli_precompute_and_serve_query(tmp_path, devices8, capsys, monkeypatch):
+    from knowledge_enhanced_multimodal_retrieval_tpu.cli.precompute import main as precompute
+    from knowledge_enhanced_multimodal_retrieval_tpu.cli.serve import main as serve
+
+    store_path = os.path.join(tmp_path, "store.npz")
+    out = precompute([
+        "--data.dataset=synthetic:24",
+        "--data.image_size=32",
+        "--data.context_length=16",
+        "--model.name=tiny",
+        "--eval.batch_size=8",
+        "--out", store_path,
+    ])
+    assert os.path.exists(out)
+
+    # serve uses the byte-fallback tokenizer for synthetic configs; pretend
+    # no CLIP vocab exists so build_tokenizer falls back cleanly
+    monkeypatch.setattr(
+        "knowledge_enhanced_multimodal_retrieval_tpu.cli.serve.build_tokenizer",
+        lambda cfg: CC._tiny_tokenizer(),
+    )
+    serve([
+        "--model.name=tiny",
+        "--store", store_path,
+        "--query", "hello cat",
+    ])
+    out_text = capsys.readouterr().out  # logger lines precede the JSON blob
+    payload = json.loads(out_text[out_text.index("{") :])
+    assert payload["query"] == "hello cat"
+    assert len(payload["results"]) == 20
+    scores = [r["score"] for r in payload["results"]]
+    assert scores == sorted(scores, reverse=True)
