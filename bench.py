@@ -47,16 +47,20 @@ def _build(corpus_n: int, batch: int, model_name: str):
     # Text tower params only would suffice; init the full model for realism.
     params = M.init_params(model, jax.random.PRNGKey(0))
 
+    from knowledge_enhanced_multimodal_retrieval_tpu.data.tokenizer import trim_to_bucket
+
     rng = np.random.default_rng(0)
     ids_variants = []
     for _ in range(NUM_INPUT_VARIANTS):
         ids = np.zeros((batch, arch.context_length), np.int32)
-        lengths = rng.integers(5, arch.context_length - 2, batch)
+        # realistic serving queries: 8-30 BPE tokens (short user sentences)
+        lengths = rng.integers(8, 31, batch)
         ids[:, 0] = arch.vocab_size - 2
         for i, L in enumerate(lengths):
             ids[i, 1 : 1 + L] = rng.integers(1, arch.vocab_size - 2, L)
             ids[i, 1 + L] = arch.vocab_size - 1
-        ids_variants.append(jnp.asarray(ids))
+        # bucketed trim (exact math: causal mask + EOT pooling)
+        ids_variants.append(jnp.asarray(trim_to_bucket(ids)))
 
     def norm(x):
         return (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)

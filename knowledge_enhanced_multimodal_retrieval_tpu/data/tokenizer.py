@@ -93,10 +93,26 @@ class CLIPTokenizer:
         specials.
     """
 
-    def __init__(self, merges: Sequence[Tuple[str, str]], vocab: Optional[Dict[str, int]] = None):
+    def __init__(
+        self,
+        merges: Sequence[Tuple[str, str]],
+        vocab: Optional[Dict[str, int]] = None,
+        use_native: Optional[bool] = None,
+    ):
         self.byte_encoder = bytes_to_unicode()
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
         self.bpe_ranks: Dict[Tuple[str, str], int] = {tuple(m): i for i, m in enumerate(merges)}
+        # optional C++ merge engine (host hot path); None -> pure Python
+        self._native = None
+        if use_native or use_native is None:
+            try:
+                from ..native.bpe_wrapper import NativeBPE
+
+                self._native = NativeBPE.create(merges)
+            except Exception:
+                self._native = None
+            if use_native and self._native is None:
+                raise RuntimeError("native BPE requested but unavailable (no g++?)")
         if vocab is None:
             chars = list(self.byte_encoder.values())
             tokens = chars + [c + "</w>" for c in chars]
@@ -161,6 +177,10 @@ class CLIPTokenizer:
         cached = self._cache.get(token)
         if cached is not None:
             return cached
+        if self._native is not None:
+            result = self._native.apply(token)
+            self._cache[token] = result
+            return result
         word: Tuple[str, ...] = tuple(token[:-1]) + (token[-1] + "</w>",)
         pairs = _get_pairs(word)
         if not pairs:
@@ -233,6 +253,31 @@ class CLIPTokenizer:
                 toks[-1] = self.eot_token
             out[row, : len(toks)] = toks
         return out
+
+
+DEFAULT_BUCKETS = (32, 64, CONTEXT_LENGTH)
+
+
+def trim_to_bucket(ids: np.ndarray, buckets: Sequence[int] = DEFAULT_BUCKETS) -> np.ndarray:
+    """Trim trailing padding columns to the smallest bucket that fits.
+
+    Exact-math optimization for the causal text tower: positions after EOT
+    never influence positions up to EOT (causal mask) and pooling reads the
+    EOT position, so dropping all-zero trailing columns changes nothing but
+    the compute. One jit compilation per bucket instead of per length.
+    """
+    if ids.size == 0:
+        return ids
+    # last nonzero column per row = the EOT position (EOT id is never 0;
+    # id 0 is a real token ('!') that may appear mid-sequence, so count from
+    # the end rather than summing nonzeros)
+    nonzero_rev = (np.asarray(ids) != 0)[:, ::-1]
+    last_nonzero = ids.shape[1] - 1 - np.argmax(nonzero_rev, axis=1)
+    used = int(np.max(last_nonzero)) + 1
+    for b in sorted(buckets):
+        if used <= b <= ids.shape[1]:
+            return ids[:, :b]
+    return ids
 
 
 def truncate_words(text: str, max_words: int = 150) -> str:

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.tokenizer import CLIPTokenizer
+from ..data.tokenizer import CLIPTokenizer, trim_to_bucket
 from ..models.clip import CLIP, l2_normalize
 from ..ops.similarity import fused_similarity_topk, sharded_similarity_topk, similarity_topk_xla
 from ..parallel.mesh import MeshRuntime
@@ -60,8 +60,11 @@ class CLIPRetrieval:
     # -- core ----------------------------------------------------------------
 
     def encode_queries(self, queries: Sequence[str]) -> jax.Array:
-        ids = jnp.asarray(self.tokenizer(list(queries), context_length=self.model.arch.context_length))
-        return self._encode(self.params, ids)
+        ids = self.tokenizer(list(queries), context_length=self.model.arch.context_length)
+        # Bucketed sequence trim: causal mask + EOT pooling make trailing-pad
+        # compute pure waste; short serving queries encode ~2x faster.
+        ids = trim_to_bucket(ids)
+        return self._encode(self.params, jnp.asarray(ids))
 
     def search_batch(self, queries: Sequence[str], alpha: float = 0.5, top_k: Optional[int] = None):
         """Batched search: returns (values [Q, k], indices [Q, k])."""

@@ -78,3 +78,39 @@ def test_captioning_pipeline_resume(tmp_path):
     # mismatched inputs
     with pytest.raises(ValueError):
         pipe.run(["a"], [])
+
+
+def test_metadata_descriptions_generation():
+    from knowledge_enhanced_multimodal_retrieval_tpu.datagen.metadata import (
+        generate_metadata_descriptions,
+    )
+
+    meta = {
+        "object_type": "Painting",
+        "title": "Madonna and Child",
+        "creator": "Unknown Master",
+        "date": "1480",
+        "material": "tempera on wood",
+        "location": "Benaki Museum",
+    }
+    variants = generate_metadata_descriptions(meta, num_variants=5)
+    assert len(variants) == 5
+    assert len(set(variants)) > 1
+    assert variants[0].startswith("This is a painting")
+    assert any("1480" in v for v in variants)
+    assert any("Benaki Museum" in v for v in variants)
+    # deterministic
+    assert variants == generate_metadata_descriptions(meta, num_variants=5)
+    # sparse metadata degrades gracefully
+    sparse = generate_metadata_descriptions({"object_type": "vase"}, num_variants=3)
+    assert all(v and "None" not in v for v in sparse)
+
+
+def test_build_metadata_texts(tmp_path):
+    from knowledge_enhanced_multimodal_retrieval_tpu.datagen.metadata import build_metadata_texts
+
+    records = [{"uuid": "m1", "object_type": "icon", "creator": "A"}]
+    written = build_metadata_texts(records, str(tmp_path / "meta"))
+    assert written == ["m1"]
+    data = json.load(open(tmp_path / "meta" / "m1.json"))
+    assert len(data["metadata_descriptions"]) == 5

@@ -135,3 +135,44 @@ def test_unicode_bytes(tok):
     # non-ASCII text must round-trip through the byte encoder without KeyError
     ids = tok.encode("café ☕")
     assert tok.decode(ids) == "café ☕"
+
+
+def test_trim_to_bucket(tok):
+    import numpy as np
+
+    from knowledge_enhanced_multimodal_retrieval_tpu.data.tokenizer import trim_to_bucket
+
+    ids = tok(["hello cat", "cat"], context_length=77)
+    out = trim_to_bucket(ids, buckets=(32, 64, 77))
+    assert out.shape == (2, 32)
+    # content preserved
+    np.testing.assert_array_equal(out, ids[:, :32])
+    # 62 used tokens -> bucket 64; 77 used tokens -> full context
+    long = tok("hello " * 60, context_length=77)
+    assert trim_to_bucket(long, buckets=(32, 64, 77)).shape == (1, 64)
+    longest = tok("hello " * 90, context_length=77)
+    assert trim_to_bucket(longest, buckets=(32, 64, 77)).shape == (1, 77)
+    # id 0 ('!') mid-sequence must not confuse the trim
+    ids2 = ids.copy()
+    ids2[0, 2] = 0
+    assert trim_to_bucket(ids2, buckets=(32, 64, 77)).shape[1] == 32
+
+
+def test_trimmed_encoding_is_exact(tok):
+    """Encoding trimmed ids == encoding full-width ids (causal + EOT pooling)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from knowledge_enhanced_multimodal_retrieval_tpu.data.tokenizer import trim_to_bucket
+    from knowledge_enhanced_multimodal_retrieval_tpu.models import clip as M
+
+    arch = M.CLIPArch(16, 32, 1, 32, 16, 64, tok.vocab_size, 32, 2, 1, vision_heads=2)
+    model = M.CLIP(arch, dtype=jnp.float32)
+    params = M.init_params(model, jax.random.PRNGKey(0))
+    ids = tok(["hello cat", "cat hello world"], context_length=64)
+    trimmed = trim_to_bucket(ids, buckets=(16, 32, 64))
+    assert trimmed.shape[1] == 16
+    full = model.apply({"params": params}, jnp.asarray(ids), method=M.CLIP.encode_text)
+    short = model.apply({"params": params}, jnp.asarray(trimmed), method=M.CLIP.encode_text)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(short), atol=1e-5)
