@@ -82,6 +82,17 @@ def _trainable_labels(params, freeze_image: bool, freeze_text: bool):
 
 def make_optimizer(cfg: TrainConfig, steps_per_epoch: int, params) -> optax.GradientTransformation:
     schedule = cosine_annealing_lr(cfg.lr, cfg.epochs, max(1, steps_per_epoch), cfg.eta_min_factor)
+
+    # The reference loss uses a fixed temperature; logit_scale receives no
+    # gradient and torch's AdamW skips grad-less params entirely
+    # (trainer.py:479-485, losses.py:75-98). optax would still weight-decay a
+    # zero-grad param, so mask it out to match.
+    def _wd_mask(p):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: not (len(path) == 1 and getattr(path[0], "key", None) == "logit_scale"),
+            p,
+        )
+
     base = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip_norm),
         optax.adamw(
@@ -90,6 +101,7 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int, params) -> optax.Grad
             b2=cfg.beta2,
             eps=cfg.eps,
             weight_decay=cfg.weight_decay,
+            mask=_wd_mask,
         ),
     )
     if cfg.freeze_image_encoder or cfg.freeze_text_encoder:

@@ -109,12 +109,13 @@ def test_grad_accum_matches_larger_batch_semantics(setup, devices8, tmp_path):
     cfg = _cfg(str(tmp_path), grad_accum_steps=2)
     trainer = T.CLIPTrainer(model, params, pipe, None, cfg, out_dir=str(tmp_path))
     batch = trainer._device_batch(pipe.make_batch(list(range(16))))
-    p0 = np.asarray(trainer.state["params"]["logit_scale"])
+    # watch a param with a real gradient path (logit_scale never updates)
+    p0 = np.asarray(trainer.state["params"]["text"]["text_projection"])
     state, _ = trainer.train_step(trainer.state, batch)
-    p1 = np.asarray(state["params"]["logit_scale"])
+    p1 = np.asarray(state["params"]["text"]["text_projection"])
     np.testing.assert_array_equal(p0, p1)  # first micro-step: accumulate only
     state, _ = trainer.train_step(state, batch)
-    p2 = np.asarray(state["params"]["logit_scale"])
+    p2 = np.asarray(state["params"]["text"]["text_projection"])
     assert not np.array_equal(p1, p2)  # second micro-step applies the update
 
 
@@ -154,3 +155,24 @@ def test_early_stopper():
     assert s.update(0.4, 2) is False
     assert s.should_stop
     assert s.best_epoch == 0
+
+
+def test_logit_scale_untouched_by_training(setup, devices8, tmp_path):
+    """Reference parity: the loss uses fixed temperature, so logit_scale gets
+    no gradient and torch AdamW skips it entirely — weight decay must not
+    erode it here either."""
+    model, params, pipe = setup
+    cfg = _cfg(str(tmp_path), weight_decay=0.5, lr=1e-2)
+    trainer = T.CLIPTrainer(model, params, pipe, None, cfg, out_dir=str(tmp_path))
+    batch = trainer._device_batch(pipe.make_batch(list(range(16))))
+    state = trainer.state
+    before = float(np.asarray(state["params"]["logit_scale"]))
+    for _ in range(5):
+        state, _ = trainer.train_step(state, batch)
+    after = float(np.asarray(state["params"]["logit_scale"]))
+    assert after == pytest.approx(before, abs=1e-7)
+    # ...while ordinary params do move
+    assert not np.array_equal(
+        np.asarray(params["text"]["text_projection"]),
+        np.asarray(state["params"]["text"]["text_projection"]),
+    )
