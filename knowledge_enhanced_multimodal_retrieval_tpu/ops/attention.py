@@ -60,16 +60,21 @@ def mha(
 ) -> jax.Array:
     """Dispatching multi-head attention, [B, H, S, D].
 
-    ``use_pallas=None`` auto-selects: Pallas flash kernel on TPU backends for
-    sequences long enough to tile, XLA everywhere else.
+    ``use_pallas=None`` auto-selects on TPU:
+    - short sequences (<= 512) -> ``short_attention`` (whole sequence in
+      VMEM, no score matrix in HBM; the flash grid degenerates into tiny
+      overhead-bound blocks at these lengths);
+    - long sequences -> tiled ``flash_attention``.
+    CPU (tests) uses the XLA reference.
     """
+    s = q.shape[-2]
     if use_pallas is None:
-        use_pallas = (
-            jax.default_backend() not in ("cpu",)
-            and q.shape[-2] >= 128
-            and q.shape[-1] <= 256
-        )
+        use_pallas = jax.default_backend() not in ("cpu",) and q.shape[-1] <= 256
     if use_pallas:
+        if s <= 512:
+            from .short_attention import short_attention
+
+            return short_attention(q, k, v, causal=causal)
         from .flash_attention import flash_attention
 
         return flash_attention(q, k, v, causal=causal)

@@ -249,6 +249,14 @@ class CLIPTrainer:
         self.out_dir = out_dir
         self.logger = setup_logger("kemr_tpu.train")
         self.metrics_writer = MetricsWriter(out_dir, "train")
+        self._wandb = None
+        if cfg.wandb_project and is_coordinator():
+            try:  # optional dependency (reference trainer.py:25-29,117-131)
+                import wandb
+
+                self._wandb = wandb.init(project=cfg.wandb_project, config=dataclasses.asdict(cfg))
+            except Exception as e:
+                self.logger.warning("wandb unavailable: %s", e)
 
         self.steps_per_epoch = train_data.num_batches(cfg.batch_size)
         self.optimizer = make_optimizer(cfg, self.steps_per_epoch, params)
@@ -351,6 +359,9 @@ class CLIPTrainer:
             }
             history.append(record)
             self.metrics_writer.log(epoch, record)
+            if self._wandb is not None:
+                self._wandb.log({"epoch": epoch, **{f"train/{k}": v for k, v in running.items()},
+                                 **{f"val/{k}": v for k, v in val_metrics.items()}})
             self.logger.info(
                 "epoch %d: loss=%.4f monitor(%s)=%.4f (%.1fs)",
                 epoch, running.get("loss", float("nan")), cfg.early_stop_metric, monitor, epoch_time,

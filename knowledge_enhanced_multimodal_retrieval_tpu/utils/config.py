@@ -264,6 +264,7 @@ class TrainConfig:
     checkpoint_dir: str = "checkpoints"
     resume: bool = False
     log_every: int = 50
+    wandb_project: Optional[str] = None  # optional wandb logging (trainer.py:117-131)
 
 
 @dataclass(frozen=True)
