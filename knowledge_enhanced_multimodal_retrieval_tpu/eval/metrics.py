@@ -73,6 +73,13 @@ def compute_mrr_and_mean_rank(similarity) -> Dict[str, float]:
     return _to_float(_rank_metrics(ranks, (), recall=False, mrr=True))
 
 
+# Above this many similarity-matrix elements, rank blockwise instead of
+# materializing [N, M] at once (43k x 43k fp32 = 7.4 GB would not be a
+# polite use of one chip's HBM).
+_BLOCK_THRESHOLD = 64 * 1024 * 1024
+_RANK_BLOCK = 1024
+
+
 def compute_retrieval_metrics(
     query_embeddings,
     candidate_embeddings,
@@ -81,14 +88,18 @@ def compute_retrieval_metrics(
     compute_recall: bool = True,
     compute_mrr: bool = True,
 ) -> Dict[str, float]:
-    """Metrics from normalized embeddings: sim = Q @ C^T (metrics.py:79-116)."""
-    m = _jit_embedding_metrics(
-        jnp.asarray(query_embeddings),
-        jnp.asarray(candidate_embeddings),
-        ks=tuple(k_values),
-        recall=compute_recall,
-        mrr=compute_mrr,
-    )
+    """Metrics from normalized embeddings: sim = Q @ C^T (metrics.py:79-116).
+
+    Large corpora are ranked in query blocks: each block computes its
+    [B, M] similarity stripe, counts scores above the diagonal entry, and
+    discards the stripe — peak memory O(B*M) instead of O(N*M).
+    """
+    q = jnp.asarray(query_embeddings)
+    c = jnp.asarray(candidate_embeddings)
+    if q.shape[0] * c.shape[0] > _BLOCK_THRESHOLD:
+        ranks = diagonal_ranks_blocked(q, c)
+        return _prefixed(_to_float(_rank_metrics(ranks, tuple(k_values), compute_recall, compute_mrr)), prefix)
+    m = _jit_embedding_metrics(q, c, ks=tuple(k_values), recall=compute_recall, mrr=compute_mrr)
     return _prefixed(_to_float(m), prefix)
 
 
@@ -96,6 +107,31 @@ def compute_retrieval_metrics(
 def _jit_embedding_metrics(q, c, ks: Tuple[int, ...], recall: bool, mrr: bool):
     sim = q @ c.T
     return _rank_metrics(diagonal_ranks(sim), ks, recall, mrr)
+
+
+@jax.jit
+def _block_ranks(q_block, c, start):
+    sim = jnp.dot(q_block, c.T, preferred_element_type=jnp.float32)  # [B, M]
+    # diagonal entries come from the stripe itself so the comparison uses the
+    # exact same accumulation as the dense path (bitwise-identical ranks)
+    rows = jnp.arange(q_block.shape[0])
+    cols = jnp.clip(start + rows, 0, sim.shape[1] - 1)
+    diag_vals = sim[rows, cols]
+    return 1 + jnp.sum(sim > diag_vals[:, None], axis=1).astype(jnp.int32)
+
+
+def diagonal_ranks_blocked(q: jax.Array, c: jax.Array, block: int = _RANK_BLOCK) -> jax.Array:
+    """Diagonal ranks without materializing the full similarity matrix."""
+    n = q.shape[0]
+    out = []
+    for start in range(0, n, block):
+        stop = min(start + block, n)
+        qb = q[start:stop]
+        pad = block - (stop - start)
+        if pad:
+            qb = jnp.pad(qb, ((0, pad), (0, 0)))
+        out.append(np.asarray(_block_ranks(qb, c, start))[: stop - start])
+    return jnp.asarray(np.concatenate(out))
 
 
 def compute_retrieval_metrics_final(

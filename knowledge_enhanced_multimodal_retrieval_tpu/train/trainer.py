@@ -30,6 +30,7 @@ out-projection — a defect not replicated here).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Any, Callable, Dict, Iterator, Optional, Tuple
 
@@ -164,7 +165,9 @@ def make_train_step(
         check_vma=False,
     )
 
-    @jax.jit
+    # donate the state: params/opt_state update in place (427M-param state is
+    # ~5 GB — without donation two copies must coexist and L/14 OOMs a 16 GB chip)
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch):
         params, opt_state, step, metrics = sharded(
             state["params"], state["opt_state"], state["step"],
@@ -260,6 +263,9 @@ class CLIPTrainer:
 
         self.steps_per_epoch = train_data.num_batches(cfg.batch_size)
         self.optimizer = make_optimizer(cfg, self.steps_per_epoch, params)
+        # own copy: the donated train step invalidates its input buffers, so
+        # the trainer must never alias arrays the caller still holds
+        params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
         opt_state = self.optimizer.init(params)
         self.state = {
             "params": jax.device_put(params, replicated(self.rt.mesh)),

@@ -100,3 +100,24 @@ def test_rectangular_matrix(rng):
     ours = MET.compute_recall_at_k(sim, [1, 5])
     assert ours["R@1"] == pytest.approx(ref["R@1"], abs=1e-4)
     assert ours["R@5"] == pytest.approx(ref["R@5"], abs=1e-4)
+
+
+def test_blocked_ranks_match_dense(rng):
+    import jax.numpy as jnp
+
+    q = rng.standard_normal((100, 16)).astype(np.float32)
+    c = rng.standard_normal((100, 16)).astype(np.float32)
+    dense = np.asarray(MET.diagonal_ranks(jnp.asarray(q) @ jnp.asarray(c).T))
+    blocked = np.asarray(MET.diagonal_ranks_blocked(jnp.asarray(q), jnp.asarray(c), block=32))
+    np.testing.assert_array_equal(dense, blocked)
+
+
+def test_blocked_path_triggers_for_large_n(rng, monkeypatch):
+    monkeypatch.setattr(MET, "_BLOCK_THRESHOLD", 10)  # force the blocked path
+    q = rng.standard_normal((40, 8)).astype(np.float32)
+    c = rng.standard_normal((40, 8)).astype(np.float32)
+    blocked = MET.compute_retrieval_metrics(q, c)
+    monkeypatch.setattr(MET, "_BLOCK_THRESHOLD", 64 * 1024 * 1024)
+    dense = MET.compute_retrieval_metrics(q, c)
+    for k in dense:
+        assert blocked[k] == pytest.approx(dense[k], abs=1e-4), k
