@@ -194,3 +194,30 @@ def evaluate_text_model(
     metrics["T2T_MRR"] = float(np.mean(1.0 / ranks) * 100)
     metrics["T2T_Mean_Rank"] = float(np.mean(ranks))
     return metrics
+
+
+# ---------------------------------------------------------------------------
+# Query -> target LM baseline (reference evaluator_lm.py — SURVEY §2.13d)
+# ---------------------------------------------------------------------------
+
+
+def evaluate_lm_query_target(
+    encoder: TextEncoder,
+    queries: Sequence[str],
+    targets: Sequence[str],
+    k_values: Sequence[int] = DEFAULT_KS,
+    prefix: str = "T2T",
+    mrr_only: bool = False,
+) -> Dict[str, float]:
+    """T2T retrieval with a text-only model: encode queries and targets,
+    diagonal ground truth (``evaluator_lm.py:41-132``; the MRR-only training
+    variant is ``:136-165``)."""
+    from ..eval.metrics import compute_retrieval_metrics
+
+    if len(queries) != len(targets):
+        raise ValueError("queries and targets must be aligned")
+    q = encoder.encode(queries)
+    t = encoder.encode(targets)
+    return compute_retrieval_metrics(
+        q, t, prefix=prefix, k_values=k_values, compute_recall=not mrr_only, compute_mrr=True
+    )

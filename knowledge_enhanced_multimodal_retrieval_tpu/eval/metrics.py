@@ -121,7 +121,10 @@ def _block_ranks(q_block, c, start):
 
 
 def diagonal_ranks_blocked(q: jax.Array, c: jax.Array, block: int = _RANK_BLOCK) -> jax.Array:
-    """Diagonal ranks without materializing the full similarity matrix."""
+    """Diagonal ranks without materializing the full similarity matrix.
+
+    Blocks stay on device; one concatenated fetch at the end (host round
+    trips through the TPU relay are expensive)."""
     n = q.shape[0]
     out = []
     for start in range(0, n, block):
@@ -130,8 +133,8 @@ def diagonal_ranks_blocked(q: jax.Array, c: jax.Array, block: int = _RANK_BLOCK)
         pad = block - (stop - start)
         if pad:
             qb = jnp.pad(qb, ((0, pad), (0, 0)))
-        out.append(np.asarray(_block_ranks(qb, c, start))[: stop - start])
-    return jnp.asarray(np.concatenate(out))
+        out.append(_block_ranks(qb, c, start)[: stop - start])
+    return jnp.concatenate(out)
 
 
 def compute_retrieval_metrics_final(

@@ -44,7 +44,7 @@ def test_grouped_metrics_perfect_case():
     for i in range(n):
         sim[i, i * v] = 1.0
     m = grouped_retrieval_metrics(sim, groups, k_values=(1,))
-    assert m["T2T_R@1"] == 100.0
+    assert m["T2T_R@1"] == pytest.approx(100.0)
     assert m["T2T_MRR"] == 100.0
 
 
@@ -73,7 +73,7 @@ def test_identical_variants_rank_first():
     texts = [[f"unique-artifact-{i}"] * 5 for i in range(10)]
     enc = HashTextEncoder(dim=16)
     m = evaluate_text_model(enc, texts, mode="multi", k_values=(1,))
-    assert m["T2T_R@1"] == 100.0
+    assert m["T2T_R@1"] == pytest.approx(100.0)
 
 
 def test_load_text_variants(tmp_path):
@@ -85,3 +85,19 @@ def test_load_text_variants(tmp_path):
     assert out[1] == [""] * 5
     with pytest.raises(KeyError):
         load_text_variants(["u1"], str(d), "bogus_type")
+
+
+def test_lm_query_target_baseline():
+    from knowledge_enhanced_multimodal_retrieval_tpu.baselines.text_models import (
+        evaluate_lm_query_target,
+    )
+
+    enc = HashTextEncoder(dim=16)
+    queries = [f"find the artifact number {i}" for i in range(12)]
+    targets = [f"find the artifact number {i}" for i in range(12)]  # identical -> rank 1
+    m = evaluate_lm_query_target(enc, queries, targets)
+    assert m["T2T_R@1"] == pytest.approx(100.0)
+    m2 = evaluate_lm_query_target(enc, queries, list(reversed(targets)), mrr_only=True)
+    assert "T2T_R@1" not in m2 and "T2T_MRR" in m2
+    with pytest.raises(ValueError):
+        evaluate_lm_query_target(enc, queries, targets[:-1])
