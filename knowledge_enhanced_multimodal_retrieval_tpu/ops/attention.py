@@ -67,9 +67,11 @@ def mha(
     - long sequences -> tiled ``flash_attention``.
     CPU (tests) uses the XLA reference.
     """
+    from .dispatch import on_tpu
+
     s = q.shape[-2]
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",) and q.shape[-1] <= 256
+        use_pallas = on_tpu() and q.shape[-1] <= 256
     if use_pallas:
         if s <= 512:
             from .short_attention import short_attention

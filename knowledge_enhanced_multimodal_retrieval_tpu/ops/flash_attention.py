@@ -165,7 +165,9 @@ def flash_attention(
     run on the CPU mesh.
     """
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        from .dispatch import on_tpu
+
+        interpret = not on_tpu()
     return _flash_forward(q, k, v, causal, block_q, block_k, interpret)
 
 

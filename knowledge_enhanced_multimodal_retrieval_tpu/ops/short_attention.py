@@ -91,7 +91,9 @@ def _short_forward(
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        from .dispatch import on_tpu
+
+        interpret = not on_tpu()
     b, h, s, d = q.shape
     scale = 1.0 / (d**0.5)
     s_pad = max(128, ((s + 127) // 128) * 128)

@@ -151,7 +151,9 @@ def fused_similarity_topk(
     Returns ``(values [Q, k] f32, indices [Q, k] i32)``.
     """
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        from .dispatch import on_tpu
+
+        interpret = not on_tpu()
     if queries_txt is None:
         queries_txt = queries_img
     qn, d = queries_img.shape
@@ -232,7 +234,7 @@ def sharded_similarity_topk(
     k_local = min(k, shard_n)  # a shard can only contribute shard_n winners
 
     def local(q, img, txt):
-        if use_pallas or (use_pallas is None and jax.default_backend() == "tpu" and k_local <= 128):
+        if use_pallas or (use_pallas is None and jax.default_backend() == "tpu" and k_local <= 128):  # noqa: E501 (mesh ops always run on the process backend)
             vals, idx = fused_similarity_topk(q, img, txt, k=k_local, alpha=alpha)
         else:
             vals, idx = similarity_topk_xla(q, img, txt, k=k_local, alpha=alpha)
