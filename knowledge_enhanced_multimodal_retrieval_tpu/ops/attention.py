@@ -61,17 +61,19 @@ def mha(
     """Dispatching multi-head attention, [B, H, S, D].
 
     ``use_pallas=None`` auto-selects on TPU:
-    - short sequences (<= 512) -> ``short_attention`` (whole sequence in
-      VMEM, no score matrix in HBM; the flash grid degenerates into tiny
+    - 128 < s <= 512 -> ``short_attention`` (whole sequence in VMEM, no
+      score matrix in HBM; the flash grid degenerates into tiny
       overhead-bound blocks at these lengths);
-    - long sequences -> tiled ``flash_attention``.
-    CPU (tests) uses the XLA reference.
+    - s > 512 -> tiled ``flash_attention``;
+    - s <= 128 and CPU -> the XLA reference (lane padding would dominate).
     """
     from .dispatch import on_tpu
 
     s = q.shape[-2]
     if use_pallas is None:
-        use_pallas = on_tpu() and q.shape[-1] <= 256
+        # below ~128 tokens the short kernel's lane padding (to 128) wastes
+        # more than it saves vs XLA; measured crossover at CLIP shapes
+        use_pallas = on_tpu() and q.shape[-1] <= 256 and s > 128
     if use_pallas:
         if s <= 512:
             from .short_attention import short_attention

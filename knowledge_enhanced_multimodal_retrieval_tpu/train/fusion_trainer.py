@@ -19,8 +19,12 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..eval.evaluator import EncodedDataset
+from typing import TYPE_CHECKING
+
 from ..eval.metrics import DEFAULT_KS, compute_retrieval_metrics_fusion
+
+if TYPE_CHECKING:  # break the eval <-> train import cycle; type-only use
+    from ..eval.evaluator import EncodedDataset
 from ..models.fusion_heads import FusionModel
 from ..utils.logging_utils import setup_logger
 
@@ -29,7 +33,7 @@ logger = setup_logger("kemr_tpu.fusion_train")
 
 def train_fusion_head(
     fm: FusionModel,
-    encoded: EncodedDataset,
+    encoded: "EncodedDataset",
     epochs: int = 10,
     batch_size: int = 64,
     lr: float = 1e-3,
@@ -89,7 +93,7 @@ def train_fusion_head(
 def evaluate_fusion_model(
     fm: FusionModel,
     params,
-    encoded: EncodedDataset,
+    encoded: "EncodedDataset",
     k_values: Sequence[int] = DEFAULT_KS,
     block_q: int = 64,
     block_c: int = 512,

@@ -32,7 +32,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import time
-from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +43,6 @@ from jax.sharding import PartitionSpec as P
 
 from ..data.datasets import Batch, DataPipeline
 from ..eval.metrics import average_mrr, compute_training_metrics
-from ..models import clip as clip_model
 from ..models.clip import CLIP, l2_normalize
 from ..parallel.mesh import MeshRuntime
 from ..parallel.sharding import host_local_batch_to_global, replicated
