@@ -63,9 +63,11 @@ def encode_dataset(
     encode_step = make_encode_step(model, rt)
     imgs, qs, ts, uuids = [], [], [], []
     shard = rt.num_data
+    # every device batch must divide the data axis; one static shape for jit
+    eff_batch = -(-batch_size // shard) * shard
     for batch in pipeline.epoch_batches(batch_size, shuffle=False, drop_last=False):
         n = batch.images.shape[0]
-        pad = (-n) % max(batch_size, shard)
+        pad = eff_batch - n
         images = np.pad(batch.images, ((0, pad), (0, 0), (0, 0), (0, 0)))
         query_ids = np.pad(batch.query_ids, ((0, pad), (0, 0)))
         target_ids = np.pad(batch.target_ids, ((0, pad), (0, 0)))

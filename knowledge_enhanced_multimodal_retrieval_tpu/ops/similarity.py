@@ -158,6 +158,7 @@ def fused_similarity_topk(
         queries_txt = queries_img
     qn, d = queries_img.shape
     n = img_emb.shape[0]
+    k = min(k, n)
     if k > 128:
         # argmax-round merge degrades past ~128; XLA top_k handles big k.
         return similarity_topk_xla(queries_img, img_emb, txt_emb, k, alpha)

@@ -263,6 +263,11 @@ class CLIPTrainer:
             except Exception as e:
                 self.logger.warning("wandb unavailable: %s", e)
 
+        if cfg.batch_size % self.rt.num_data:
+            raise ValueError(
+                f"train.batch_size={cfg.batch_size} must be divisible by the "
+                f"data-axis size ({self.rt.num_data} devices)"
+            )
         self.steps_per_epoch = train_data.num_batches(cfg.batch_size)
         self.optimizer = make_optimizer(cfg, self.steps_per_epoch, params)
         # own copy: the donated train step invalidates its input buffers, so

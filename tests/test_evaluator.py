@@ -81,3 +81,12 @@ def test_fusion_sweep_alpha1_equals_pure_clip(world):
     pure = E.evaluate_weighted(enc, 0.5, 0.5)
     cell = sweep["t2i0.5_t2t0.5_alpha1.0"]
     assert cell["MRR"] == pytest.approx(pure["MRR"], abs=1e-3)
+
+
+def test_encode_dataset_batch_not_divisible_by_mesh(world):
+    """batch_size=10 on an 8-device mesh must still work (padded to 16)."""
+    model, params, pipe, rt = world
+    enc = E.encode_dataset(model, params, pipe, rt, batch_size=10)
+    assert enc.image.shape == (41, 16)
+    enc16 = E.encode_dataset(model, params, pipe, rt, batch_size=16)
+    np.testing.assert_allclose(enc.image, enc16.image, atol=2e-5)

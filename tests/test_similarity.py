@@ -82,3 +82,10 @@ def test_topk_values_sorted_desc(rng):
     fv, _ = S.fused_similarity_topk(jnp.asarray(q), jnp.asarray(img), jnp.asarray(txt), k=8, interpret=True)
     v = np.asarray(fv)
     assert (np.diff(v, axis=1) <= 1e-7).all()
+
+
+def test_fused_k_larger_than_corpus(rng):
+    q, img, txt = _corpus(rng, n=20, q=3)
+    fv, fi = S.fused_similarity_topk(jnp.asarray(q), jnp.asarray(img), jnp.asarray(txt), k=50, interpret=True)
+    assert fv.shape == (3, 20)  # clamped to corpus size
+    assert sorted(np.asarray(fi)[0].tolist()) == list(range(20))

@@ -176,3 +176,10 @@ def test_logit_scale_untouched_by_training(setup, devices8, tmp_path):
         np.asarray(params["text"]["text_projection"]),
         np.asarray(state["params"]["text"]["text_projection"]),
     )
+
+
+def test_batch_size_must_divide_mesh(setup, devices8, tmp_path):
+    model, params, pipe = setup
+    cfg = _cfg(str(tmp_path), batch_size=12)  # 12 % 8 != 0
+    with pytest.raises(ValueError, match="divisible"):
+        T.CLIPTrainer(model, params, pipe, None, cfg, out_dir=str(tmp_path))
