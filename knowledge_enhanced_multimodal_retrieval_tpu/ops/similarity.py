@@ -164,6 +164,11 @@ def fused_similarity_topk(
         return similarity_topk_xla(queries_img, img_emb, txt_emb, k, alpha)
 
     tile_n = min(tile_n, max(128, 1 << (n - 1).bit_length()))
+    # VMEM budget: the merge works on [Q, K + tile_n] f32+i32 copies; keep the
+    # score block bounded so large query batches still fit (~256k elements)
+    max_elems = 256 * 1024
+    if qn * tile_n > max_elems:
+        tile_n = max(128, (max_elems // qn) // 128 * 128)
     pad_n = (-n) % tile_n
     img_p = jnp.pad(img_emb, ((0, pad_n), (0, 0)))
     txt_p = jnp.pad(txt_emb, ((0, pad_n), (0, 0)))

@@ -89,3 +89,11 @@ def test_fused_k_larger_than_corpus(rng):
     fv, fi = S.fused_similarity_topk(jnp.asarray(q), jnp.asarray(img), jnp.asarray(txt), k=50, interpret=True)
     assert fv.shape == (3, 20)  # clamped to corpus size
     assert sorted(np.asarray(fi)[0].tolist()) == list(range(20))
+
+
+def test_fused_large_query_batch(rng):
+    """Q=512 must pick a smaller tile and still match the oracle."""
+    q, img, txt = _corpus(rng, n=2048, d=64, q=512)
+    fv, fi = S.fused_similarity_topk(jnp.asarray(q), jnp.asarray(img), jnp.asarray(txt), k=5, interpret=True)
+    xv, xi = S.similarity_topk_xla(jnp.asarray(q), jnp.asarray(img), jnp.asarray(txt), 5, 0.5)
+    np.testing.assert_array_equal(np.asarray(fi), np.asarray(xi))
