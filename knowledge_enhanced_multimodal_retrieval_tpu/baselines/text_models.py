@@ -19,11 +19,9 @@ Evaluation protocol (``evaluate_text_models.py:96-283``):
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass
 from pathlib import Path
-from typing import Dict, List, Optional, Protocol, Sequence
+from typing import Dict, List, Protocol, Sequence
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -11,7 +11,7 @@ top of the typed config system. Dataset URIs:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ import os
 import sys
 
 from ..eval.evaluator import run_full_evaluation
-from ..utils.config import config_from_argv, parse_cli_overrides
+from ..utils.config import config_from_argv
 from ..utils.logging_utils import setup_logger
 from .common import build_model_and_params, build_pipeline, build_runtime
 

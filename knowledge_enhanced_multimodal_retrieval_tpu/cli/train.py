@@ -13,7 +13,7 @@ from __future__ import annotations
 import sys
 
 from ..train.trainer import CLIPTrainer
-from ..utils.config import Config, config_from_argv
+from ..utils.config import config_from_argv
 from ..utils.logging_utils import setup_logger
 from .common import build_model_and_params, build_pipeline, build_runtime
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 import concurrent.futures as cf
 import random
 from dataclasses import dataclass
-from typing import Any, Dict, Iterator, List, Mapping, Optional, Protocol, Sequence
+from typing import Any, Iterator, List, Mapping, Protocol, Sequence
 
 import numpy as np
 

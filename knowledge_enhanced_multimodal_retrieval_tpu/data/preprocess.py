@@ -14,7 +14,7 @@ error-resilience (``clip_dataset.py:66-71``).
 from __future__ import annotations
 
 import io
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

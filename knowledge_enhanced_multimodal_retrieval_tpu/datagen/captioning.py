@@ -20,10 +20,9 @@ the heavyweight model path) and :class:`FakeCaptioner` for offline tests.
 from __future__ import annotations
 
 import json
-import os
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Protocol, Sequence
+from typing import Any, Dict, List, Protocol, Sequence
 
 
 class Captioner(Protocol):

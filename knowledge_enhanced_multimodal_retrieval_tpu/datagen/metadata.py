@@ -12,9 +12,8 @@ JSON files read by ``datagen/texts.py`` and ``baselines/text_models.py``).
 from __future__ import annotations
 
 import json
-import random
 from pathlib import Path
-from typing import Dict, List, Mapping, Optional, Sequence
+from typing import Dict, List, Mapping, Sequence
 
 
 _TEMPLATES = (

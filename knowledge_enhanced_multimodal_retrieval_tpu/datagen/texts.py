@@ -20,7 +20,7 @@ import json
 import os
 import random
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 
 def combine_descriptions(metadata: str, content: str) -> str:

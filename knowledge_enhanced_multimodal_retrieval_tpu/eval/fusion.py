@@ -19,7 +19,7 @@ URIs are mapped to UUIDs by last path segment (``fusion.py:76``).
 
 from __future__ import annotations
 
-from typing import Dict, List, Mapping, Optional, Sequence, Tuple
+from typing import Dict, Mapping, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ unspecified, so parity holds within float tolerance.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Iterable, List, Mapping, Optional, Sequence, Tuple
+from typing import Dict, Mapping, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

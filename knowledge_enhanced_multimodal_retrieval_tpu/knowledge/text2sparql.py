@@ -17,7 +17,7 @@ serving engine's resilience expectations.
 from __future__ import annotations
 
 import json
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 from ..utils.logging_utils import setup_logger
 from .clients import LLMClient, SparqlClient

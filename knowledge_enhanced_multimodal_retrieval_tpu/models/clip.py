@@ -22,7 +22,7 @@ Named variants: ViT-B/32, ViT-B/16, ViT-L/14 (reference
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

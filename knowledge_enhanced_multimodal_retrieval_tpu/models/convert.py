@@ -16,7 +16,6 @@ checkpoints use Orbax; see ``train.checkpoint``).
 
 from __future__ import annotations
 
-import io
 from typing import Any, Dict, Mapping
 
 import numpy as np

@@ -22,7 +22,7 @@ rounded to TPU-friendly shapes.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -20,7 +20,6 @@ scaled dot-product, optional additive causal mask, no dropout at inference.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

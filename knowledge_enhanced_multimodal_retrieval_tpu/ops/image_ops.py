@@ -14,8 +14,6 @@ in ``data.preprocess`` for bit-parity with the reference's PIL decoding.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

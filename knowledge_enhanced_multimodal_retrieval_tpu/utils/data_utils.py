@@ -16,7 +16,6 @@ Parity with the reference's ``src/clip/utils/data_utils.py`` (SURVEY §2.18):
 from __future__ import annotations
 
 import json
-import os
 import random
 from collections import defaultdict
 from pathlib import Path
