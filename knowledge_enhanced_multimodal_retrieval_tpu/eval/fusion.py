@@ -65,6 +65,100 @@ def build_hit_matrix(
     return hits, sizes
 
 
+def build_hit_indices(
+    text2sparql_results: Mapping[str, Sequence[str]],
+    query_uuids: Sequence[str],
+    artefact_uuids: Sequence[str],
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sparse hit representation: per-query corpus indices, padded.
+
+    Returns ``(idx [Q, H] int32, mask [Q, H] f32, sizes [Q] int32)`` where H
+    is the max hit count (>= 1). The dense [Q, N] hit matrix this replaces
+    is 7.4 GB fp32 at 43k x 43k; the sparse form is O(Q * H). Indices are
+    dedup'd so a scatter-add applies each bonus once (same semantics as
+    ``build_hit_matrix``'s assignment).
+    """
+    artefact_to_idx = {u: i for i, u in enumerate(artefact_uuids)}
+    per_q = []
+    sizes = np.zeros((len(query_uuids),), np.int32)
+    for qi, quuid in enumerate(query_uuids):
+        uris = text2sparql_results.get(quuid, [])
+        sizes[qi] = len(uris)
+        hit = {artefact_to_idx[u] for u in map(uri_to_uuid, uris) if u in artefact_to_idx}
+        per_q.append(sorted(hit))
+    h = max((len(x) for x in per_q), default=0) or 1
+    idx = np.zeros((len(per_q), h), np.int32)
+    mask = np.zeros((len(per_q), h), np.float32)
+    for qi, xs in enumerate(per_q):
+        idx[qi, : len(xs)] = xs
+        mask[qi, : len(xs)] = 1.0
+    return idx, mask, sizes
+
+
+@jax.jit
+def _weighted_fusion_block_ranks(
+    qb, tgt, img, hit_idx_b, hit_mask_b, start, w_t2i, w_t2t, alpha, sparql_weight
+):
+    """Diagonal ranks for one stripe of
+    ``alpha * (w_t2i * Q@I^T + w_t2t * Q@T^T) + sparql_weight * I[hit]``.
+
+    All scalars traced: one compiled kernel serves the whole sweep grid.
+    """
+    sim = w_t2i * jnp.dot(qb, img.T, preferred_element_type=jnp.float32)
+    sim = sim + w_t2t * jnp.dot(qb, tgt.T, preferred_element_type=jnp.float32)
+    sim = alpha * sim
+    rows = jnp.arange(qb.shape[0])
+    sim = sim.at[rows[:, None], hit_idx_b].add(sparql_weight * hit_mask_b)
+    cols = jnp.clip(start + rows, 0, sim.shape[1] - 1)
+    diag_vals = sim[rows, cols]
+    return 1 + jnp.sum(sim > diag_vals[:, None], axis=1).astype(jnp.int32)
+
+
+def weighted_fusion_ranks_blocked(
+    query_emb,
+    target_emb,
+    image_emb,
+    hit_idx: np.ndarray,
+    hit_mask: np.ndarray,
+    t2i_weight: float,
+    t2t_weight: float,
+    alpha: float,
+    sparql_weight: float,
+    block: int = 1024,
+) -> jax.Array:
+    """Diagonal ranks of the weighted CLIP x SPARQL fusion, blockwise.
+
+    The fused [N, N] matrix is never materialized — each stripe blends,
+    applies the sparse hit bonus via scatter-add, ranks, and is discarded.
+    Scale-safe form of ``weighted_fusion`` + ``evaluate_retrieval`` for the
+    43k-corpus sweep (reference ``evaluator.py:164-218``).
+    """
+    q = jnp.asarray(query_emb)
+    t = jnp.asarray(target_emb)
+    i = jnp.asarray(image_emb)
+    hit_idx = jnp.asarray(hit_idx)
+    hit_mask = jnp.asarray(hit_mask)
+    n = q.shape[0]
+    scalars = (
+        jnp.float32(t2i_weight),
+        jnp.float32(t2t_weight),
+        jnp.float32(alpha),
+        jnp.float32(sparql_weight),
+    )
+    out = []
+    for start in range(0, n, block):
+        stop = min(start + block, n)
+        qb, hib, hmb = q[start:stop], hit_idx[start:stop], hit_mask[start:stop]
+        pad = block - (stop - start)
+        if pad:
+            qb = jnp.pad(qb, ((0, pad), (0, 0)))
+            hib = jnp.pad(hib, ((0, pad), (0, 0)))
+            hmb = jnp.pad(hmb, ((0, pad), (0, 0)))
+        ranks = _weighted_fusion_block_ranks(qb, t, i, hib, hmb, start, *scalars)
+        out.append(ranks[: stop - start])
+    return jnp.concatenate(out)
+
+
 def _omega(sizes: jax.Array, thresholds: Tuple[Tuple[float, float], ...]) -> jax.Array:
     """Result-set-size decay: smallest threshold >= size wins; 0 for empty."""
     omega = jnp.zeros(sizes.shape, jnp.float32)

@@ -21,7 +21,7 @@ unspecified, so parity holds within float tolerance.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Mapping, Sequence, Tuple
+from typing import Dict, Mapping, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -71,6 +71,16 @@ def compute_mrr_and_mean_rank(similarity) -> Dict[str, float]:
     """MRR (%) and Mean Rank (metrics.py:47-76)."""
     ranks = diagonal_ranks(jnp.asarray(similarity))
     return _to_float(_rank_metrics(ranks, (), recall=False, mrr=True))
+
+
+def metrics_from_ranks(
+    ranks,
+    k_values: Sequence[int] = DEFAULT_KS,
+    compute_recall: bool = True,
+    compute_mrr: bool = True,
+) -> Dict[str, float]:
+    """Full metric dict (R@K / MRR / Mean_Rank) from precomputed 1-based ranks."""
+    return _to_float(_rank_metrics(jnp.asarray(ranks), tuple(k_values), compute_recall, compute_mrr))
 
 
 # Above this many similarity-matrix elements, rank blockwise instead of
@@ -137,6 +147,47 @@ def diagonal_ranks_blocked(q: jax.Array, c: jax.Array, block: int = _RANK_BLOCK)
     return jnp.concatenate(out)
 
 
+@jax.jit
+def _blended_block_ranks(q_block, t, i, start, w_t2i, w_t2t):
+    """Diagonal ranks for one query stripe of the blended matrix.
+
+    Weights are traced scalars so one compiled kernel serves every sweep
+    cell; ``start`` is traced so every stripe shares the compile too.
+    """
+    sim = w_t2i * jnp.dot(q_block, i.T, preferred_element_type=jnp.float32)
+    sim = sim + w_t2t * jnp.dot(q_block, t.T, preferred_element_type=jnp.float32)
+    rows = jnp.arange(q_block.shape[0])
+    cols = jnp.clip(start + rows, 0, sim.shape[1] - 1)
+    diag_vals = sim[rows, cols]
+    return 1 + jnp.sum(sim > diag_vals[:, None], axis=1).astype(jnp.int32)
+
+
+def blended_diagonal_ranks_blocked(
+    q: jax.Array,
+    t: jax.Array,
+    i: jax.Array,
+    t2i_weight: float,
+    t2t_weight: float,
+    block: Optional[int] = None,
+) -> jax.Array:
+    """Ranks of the diagonal of ``w_t2i * Q@I^T + w_t2t * Q@T^T``, blockwise:
+    peak memory O(block * N) instead of O(N^2)."""
+    block = block or _RANK_BLOCK
+    n = q.shape[0]
+    w_t2i = jnp.float32(t2i_weight)
+    w_t2t = jnp.float32(t2t_weight)
+    out = []
+    for start in range(0, n, block):
+        stop = min(start + block, n)
+        qb = q[start:stop]
+        pad = block - (stop - start)
+        if pad:
+            qb = jnp.pad(qb, ((0, pad), (0, 0)))
+        ranks = _blended_block_ranks(qb, t, i, start, w_t2i, w_t2t)
+        out.append(ranks[: stop - start])
+    return jnp.concatenate(out)
+
+
 def compute_retrieval_metrics_final(
     query_embeddings,
     target_embeddings,
@@ -148,11 +199,22 @@ def compute_retrieval_metrics_final(
     t2i_weight: float = 0.5,
     t2t_weight: float = 0.5,
 ) -> Dict[str, float]:
-    """Weighted T2I+T2T blended-matrix metrics (metrics.py:119-162)."""
+    """Weighted T2I+T2T blended-matrix metrics (metrics.py:119-162).
+
+    Corpora past ``_BLOCK_THRESHOLD`` elements rank blockwise — the blended
+    [N, N] matrix (7.4 GB fp32 at 43k) is never materialized.
+    """
+    q = jnp.asarray(query_embeddings)
+    t = jnp.asarray(target_embeddings)
+    i = jnp.asarray(image_embeddings)
+    if q.shape[0] * i.shape[0] > _BLOCK_THRESHOLD:
+        ranks = blended_diagonal_ranks_blocked(q, t, i, t2i_weight, t2t_weight)
+        m = _rank_metrics(ranks, tuple(k_values), compute_recall, compute_mrr)
+        return _prefixed(_to_float(m), prefix)
     m = _jit_final_metrics(
-        jnp.asarray(query_embeddings),
-        jnp.asarray(target_embeddings),
-        jnp.asarray(image_embeddings),
+        q,
+        t,
+        i,
         ks=tuple(k_values),
         recall=compute_recall,
         mrr=compute_mrr,

@@ -52,6 +52,26 @@ from . import checkpoint as ckpt
 from .losses import joint_contrastive_loss
 from .schedule import cosine_annealing_lr
 
+# The reference validates on T2I + T2T only and early-stops on their mean
+# MRR (reference trainer.py:241-252); I2T is an eval-time task.
+VAL_TASKS = ("T2I", "T2T")
+
+
+def sync_early_stop_monitor(value: float) -> float:
+    """Broadcast the coordinator's monitor value to every process.
+
+    Only the coordinator computes validation metrics; without this
+    broadcast each non-coordinator process would feed 0.0 into its
+    ``EarlyStopper``, diverge on the break/continue decision after
+    ``patience`` epochs, and desynchronize the ``train_step`` collectives
+    (hang). Single-process runs are a no-op.
+    """
+    if jax.process_count() == 1:
+        return float(value)
+    from jax.experimental import multihost_utils
+
+    return float(multihost_utils.broadcast_one_to_all(np.float32(value)))
+
 
 # ---------------------------------------------------------------------------
 # Optimizer
@@ -81,7 +101,12 @@ def _trainable_labels(params, freeze_image: bool, freeze_text: bool):
 
 
 def make_optimizer(cfg: TrainConfig, steps_per_epoch: int, params) -> optax.GradientTransformation:
-    schedule = cosine_annealing_lr(cfg.lr, cfg.epochs, max(1, steps_per_epoch), cfg.eta_min_factor)
+    # MultiSteps advances the inner schedule once per grad_accum_steps
+    # micro-batches, so the per-epoch cosine anneal must be built in
+    # *optimizer* steps or it runs k times slower than the reference's
+    # per-epoch scheduler.step() (trainer.py:304-305).
+    opt_steps_per_epoch = max(1, -(-steps_per_epoch // max(1, cfg.grad_accum_steps)))
+    schedule = cosine_annealing_lr(cfg.lr, cfg.epochs, opt_steps_per_epoch, cfg.eta_min_factor)
 
     # The reference loss uses a fixed temperature; logit_scale receives no
     # gradient and torch's AdamW skips grad-less params entirely
@@ -110,6 +135,11 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int, params) -> optax.Grad
     if cfg.grad_accum_steps > 1:
         base = optax.MultiSteps(base, every_k_schedule=cfg.grad_accum_steps)
     return base
+
+
+@jax.jit
+def _tree_add(a, b):
+    return jax.tree_util.tree_map(jnp.add, a, b)
 
 
 # ---------------------------------------------------------------------------
@@ -316,25 +346,41 @@ class CLIPTrainer:
     # -- validation ---------------------------------------------------------
 
     def validate(self) -> Dict[str, float]:
-        """MRR-only validation pass (reference ``trainer.py:230-258``)."""
+        """MRR-only validation pass (reference ``trainer.py:230-258``).
+
+        The reference validates on tasks ``['T2I', 'T2T']`` only
+        (``trainer.py:241-252``) and on the *full* validation split; the
+        tail batch is padded to keep jit shapes static, then sliced back.
+        """
         if self.val_data is None:
             return {}
         embs = {"img": [], "q": [], "t": []}
         global_bs = self.cfg.batch_size
-        for batch in self.val_data.epoch_batches(global_bs, shuffle=False, drop_last=True):
-            db = self._device_batch(batch)
+        for batch in self.val_data.epoch_batches(global_bs, shuffle=False, drop_last=False):
+            n = batch.images.shape[0]
+            pad = global_bs - n
+            images, query_ids, target_ids = batch.images, batch.query_ids, batch.target_ids
+            if pad:
+                images = np.pad(images, ((0, pad), (0, 0), (0, 0), (0, 0)))
+                query_ids = np.pad(query_ids, ((0, pad), (0, 0)))
+                target_ids = np.pad(target_ids, ((0, pad), (0, 0)))
+            db = host_local_batch_to_global(
+                {"images": images, "query_ids": query_ids, "target_ids": target_ids},
+                self.rt.mesh,
+                self.rt.data_axis,
+            )
             img_e, q_e, t_e = self.encode_step(
                 self.state["params"], db["images"], db["query_ids"], db["target_ids"]
             )
-            embs["img"].append(np.asarray(img_e))
-            embs["q"].append(np.asarray(q_e))
-            embs["t"].append(np.asarray(t_e))
+            embs["img"].append(np.asarray(img_e)[:n])
+            embs["q"].append(np.asarray(q_e)[:n])
+            embs["t"].append(np.asarray(t_e)[:n])
         if not embs["img"]:
             return {}
         img = np.concatenate(embs["img"])
         q = np.concatenate(embs["q"])
         t = np.concatenate(embs["t"])
-        return compute_training_metrics(q, t, img)
+        return compute_training_metrics(q, t, img, tasks=VAL_TASKS)
 
     # -- main loop ----------------------------------------------------------
 
@@ -343,24 +389,33 @@ class CLIPTrainer:
         history = []
         for epoch in range(self.start_epoch, cfg.epochs):
             t0 = time.perf_counter()
-            running: Dict[str, float] = {}
+            # per-epoch metric means (reference trainer.py:208-226), summed on
+            # device so the step loop never blocks on a host fetch
+            metric_sums = None
             n_steps = 0
             for batch in self.train_data.epoch_batches(
                 cfg.batch_size, epoch=epoch, shuffle=True, seed=cfg.seed, drop_last=True
             ):
                 self.state, metrics = self.train_step(self.state, self._device_batch(batch))
+                metric_sums = metrics if metric_sums is None else _tree_add(metric_sums, metrics)
                 n_steps += 1
-                if n_steps % cfg.log_every == 0 or n_steps == self.steps_per_epoch:
-                    for k, v in metrics.items():
-                        running[k] = float(v)
+                if n_steps % cfg.log_every == 0:
+                    self.logger.info(
+                        "epoch %d step %d/%d: loss=%.4f",
+                        epoch, n_steps, self.steps_per_epoch, float(metrics["loss"]),
+                    )
+            running = (
+                {k: float(v) / n_steps for k, v in metric_sums.items()} if metric_sums else {}
+            )
             epoch_time = time.perf_counter() - t0
 
             val_metrics = self.validate() if is_coordinator() else {}
             monitor = {
-                "avg_mrr": average_mrr(val_metrics),
+                "avg_mrr": average_mrr(val_metrics, tasks=VAL_TASKS),
                 "t2i_mrr": val_metrics.get("T2I_MRR", 0.0),
                 "t2t_mrr": val_metrics.get("T2T_MRR", 0.0),
             }.get(cfg.early_stop_metric, 0.0)
+            monitor = sync_early_stop_monitor(monitor)
 
             record = {
                 "epoch": epoch,

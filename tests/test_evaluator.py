@@ -83,6 +83,73 @@ def test_fusion_sweep_alpha1_equals_pure_clip(world):
     assert cell["MRR"] == pytest.approx(pure["MRR"], abs=1e-3)
 
 
+def _random_encoded(n: int, d: int = 16, seed: int = 0) -> E.EncodedDataset:
+    r = np.random.default_rng(seed)
+
+    def unit(x):
+        return (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
+
+    return E.EncodedDataset(
+        image=unit(r.standard_normal((n, d))),
+        query=unit(r.standard_normal((n, d))),
+        target=unit(r.standard_normal((n, d))),
+        uuids=[f"u{i}" for i in range(n)],
+    )
+
+
+def _dense_sweep_cell(enc, t2s, w_t2i, w_t2t, alpha):
+    """Oracle: the materialized-matrix fusion the blocked path replaces."""
+    from knowledge_enhanced_multimodal_retrieval_tpu.eval import fusion as F
+
+    hits, _ = F.build_hit_matrix(t2s, enc.uuids, enc.uuids)
+    clip_sim = w_t2i * (enc.query @ enc.image.T) + w_t2t * (enc.query @ enc.target.T)
+    fused = alpha * clip_sim + (1.0 - alpha) * hits
+    return F.evaluate_retrieval(fused)
+
+
+def test_fusion_sweep_blocked_matches_dense():
+    """Stripe-blocked sweep (odd block → padding + multiple stripes) must
+    reproduce the dense-matrix fusion metrics exactly."""
+    enc = _random_encoded(41)
+    r = np.random.default_rng(1)
+    t2s = {
+        f"u{i}": [f"u{j}" for j in r.choice(41, size=r.integers(0, 6), replace=False)]
+        for i in range(0, 41, 3)
+    }
+    t2s["u1"] = ["http://kg.example/artefact/u2", "not-in-corpus", "u2"]  # URI form + dup + miss
+    sweep = E.fusion_sweep(enc, t2s, weight_pairs=((0.5, 0.5), (0.1, 0.9)), alphas=(0.9, 0.5, 0.1), block=7)
+    for (w_t2i, w_t2t) in ((0.5, 0.5), (0.1, 0.9)):
+        for alpha in (0.9, 0.5, 0.1):
+            expected = _dense_sweep_cell(enc, t2s, w_t2i, w_t2t, alpha)
+            got = sweep[f"t2i{w_t2i}_t2t{w_t2t}_alpha{alpha}"]
+            for k in expected:
+                assert got[k] == pytest.approx(expected[k], rel=1e-5), (k, w_t2i, alpha)
+
+
+def test_final_metrics_blocked_matches_dense(monkeypatch):
+    """compute_retrieval_metrics_final must route through the blocked ranker
+    above the threshold and produce identical metrics."""
+    enc = _random_encoded(50, seed=3)
+    dense = MET.compute_retrieval_metrics_final(enc.query, enc.target, enc.image, t2i_weight=0.7, t2t_weight=0.3)
+    monkeypatch.setattr(MET, "_BLOCK_THRESHOLD", 100)  # 50*50 > 100 → blocked
+    monkeypatch.setattr(MET, "_RANK_BLOCK", 16)
+    blocked = MET.compute_retrieval_metrics_final(enc.query, enc.target, enc.image, t2i_weight=0.7, t2t_weight=0.3)
+    for k in dense:
+        assert blocked[k] == pytest.approx(dense[k], rel=1e-5), k
+
+
+@pytest.mark.slow
+def test_fusion_sweep_43k_scale_smoke():
+    """One sweep cell at the real 43k corpus scale: must complete in stripe
+    blocks (peak device memory O(block * N), far under 2 GB)."""
+    n = 43_000
+    enc = _random_encoded(n, d=16, seed=5)
+    t2s = {f"u{i}": [f"u{i}"] for i in range(0, n, 97)}
+    sweep = E.fusion_sweep(enc, t2s, weight_pairs=((0.5, 0.5),), alphas=(0.5,), block=2048)
+    cell = sweep["t2i0.5_t2t0.5_alpha0.5"]
+    assert 0.0 <= cell["MRR"] <= 100.0 and cell["Mean_Rank"] >= 1.0
+
+
 def test_encode_dataset_batch_not_divisible_by_mesh(world):
     """batch_size=10 on an 8-device mesh must still work (padded to 16)."""
     model, params, pipe, rt = world

@@ -147,6 +147,91 @@ def test_global_negatives_step_runs(setup, devices8, tmp_path):
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_grad_accum_schedule_uses_optimizer_steps(monkeypatch):
+    """With MultiSteps the inner schedule advances once per k micro-steps, so
+    the per-epoch cosine anneal must be built in optimizer steps (ADVICE r1)."""
+    captured = {}
+    real = T.cosine_annealing_lr
+
+    def spy(lr, epochs, steps_per_epoch, *a, **kw):
+        captured["spe"] = steps_per_epoch
+        return real(lr, epochs, steps_per_epoch, *a, **kw)
+
+    monkeypatch.setattr(T, "cosine_annealing_lr", spy)
+    params = {"w": jnp.zeros((2,))}
+    T.make_optimizer(TrainConfig(grad_accum_steps=4), steps_per_epoch=10, params=params)
+    assert captured["spe"] == 3  # ceil(10 / 4)
+    T.make_optimizer(TrainConfig(grad_accum_steps=1), steps_per_epoch=10, params=params)
+    assert captured["spe"] == 10
+
+
+def test_validate_covers_full_split_and_t2i_t2t_only(setup, devices8, tmp_path):
+    """The tail batch must be padded, not dropped: metrics identical whether
+    or not the batch size divides the split; tasks are T2I/T2T (reference
+    trainer.py:241-252)."""
+    model, params, pipe = setup
+    tok = CLIPTokenizer(MERGES)
+    src = make_synthetic_source(24, image_size=32)
+    vpipe = DataPipeline(src, tok, image_size=32, context_length=16, num_workers=2)
+
+    m_by_bs = {}
+    for bs in (8, 16):  # 24 % 16 != 0 → padded tail; 24 % 8 == 0 → exact
+        cfg = _cfg(str(tmp_path), batch_size=bs)
+        trainer = T.CLIPTrainer(model, params, pipe, vpipe, cfg, out_dir=str(tmp_path))
+        m_by_bs[bs] = trainer.validate()
+    assert set(m_by_bs[16]) == {"T2I_MRR", "T2I_Mean_Rank", "T2T_MRR", "T2T_Mean_Rank"}
+    for k in m_by_bs[8]:
+        assert m_by_bs[8][k] == pytest.approx(m_by_bs[16][k], rel=1e-5), k
+
+
+def test_divergent_val_metrics_identical_stop_decisions(monkeypatch):
+    """Multi-host: only the coordinator computes val metrics; after the
+    broadcast every process must take the same break/continue decisions."""
+    from jax.experimental import multihost_utils
+
+    coordinator_vals = [0.5, 0.4, 0.3, 0.2]  # degrading → early stop
+    current = {"v": 0.0}
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(
+        multihost_utils, "broadcast_one_to_all", lambda x: np.float32(current["v"])
+    )
+
+    decisions = []
+    for proc in range(2):
+        stopper = T.EarlyStopper(patience=2)
+        trace = []
+        for epoch, v in enumerate(coordinator_vals):
+            current["v"] = v
+            local = v if proc == 0 else 0.0  # non-coordinator has no metrics
+            monitor = T.sync_early_stop_monitor(local)
+            improved = stopper.update(monitor, epoch)
+            trace.append((monitor, improved, stopper.should_stop))
+        decisions.append(trace)
+    assert decisions[0] == decisions[1]
+    assert decisions[0][-1][2] is True  # both stop at the same epoch
+
+
+def test_epoch_metrics_are_means_not_last_step(setup, devices8, tmp_path):
+    """Per-epoch train metrics are the epoch mean (reference trainer.py:208-226)."""
+    model, params, pipe = setup
+    cfg = _cfg(str(tmp_path), epochs=1, log_every=1000)
+    trainer = T.CLIPTrainer(model, params, pipe, None, cfg, out_dir=str(tmp_path))
+
+    per_step = []
+    real_step = trainer.train_step
+
+    def spy(state, batch):
+        state, metrics = real_step(state, batch)
+        per_step.append(float(metrics["loss"]))
+        return state, metrics
+
+    trainer.train_step = spy
+    result = trainer.train()
+    logged = result["history"][0]["train"]["loss"]
+    assert logged == pytest.approx(np.mean(per_step), rel=1e-5)
+    assert logged != pytest.approx(per_step[-1], rel=1e-7)
+
+
 def test_early_stopper():
     s = T.EarlyStopper(patience=2)
     assert s.update(1.0, 0) is True
