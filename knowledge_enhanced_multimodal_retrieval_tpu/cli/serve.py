@@ -43,6 +43,9 @@ def build_engine(cfg, store_path: str) -> RetrievalEngine:
 def main(argv=None) -> None:
     args = list(sys.argv[1:] if argv is None else argv)
     store_path, query = "data/embeddings/store.npz", None
+    batch_mode = "--batch" in args
+    if batch_mode:
+        args.remove("--batch")
     for flag in ("--store", "--query"):
         if flag in args:
             i = args.index(flag)
@@ -62,8 +65,22 @@ def main(argv=None) -> None:
         results = engine.retrieve_text(q) if engine.t2s_retriever else engine.retrieve_text_noknowledge(q)
         print(json.dumps({"query": q, "results": results[:20]}, indent=2))
 
+    def answer_batch(qs) -> None:
+        if engine.t2s_retriever:
+            batches = engine.retrieve_text_batch(qs)
+        else:
+            batches = engine.retrieve_text_noknowledge_batch(qs)
+        for q, results in zip(qs, batches):
+            print(json.dumps({"query": q, "results": results[:20]}, indent=2))
+
     if query is not None:
         answer(query)
+        return
+    if batch_mode:
+        # drain stdin and answer everything in one device program
+        queries = [line.strip() for line in sys.stdin if line.strip()]
+        if queries:
+            answer_batch(queries)
         return
     for line in sys.stdin:
         q = line.strip()

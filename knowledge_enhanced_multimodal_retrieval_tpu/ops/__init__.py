@@ -2,4 +2,9 @@ from .attention import mha, mha_xla  # noqa: F401
 from .flash_attention import flash_attention  # noqa: F401
 from .image_ops import CLIP_MEAN, CLIP_STD, preprocess_batch, preprocess_image  # noqa: F401
 from .short_attention import short_attention  # noqa: F401
-from .similarity import fused_similarity_topk, sharded_similarity_topk, similarity_topk_xla  # noqa: F401
+from .similarity import (  # noqa: F401
+    fused_similarity_topk,
+    sharded_similarity_topk,
+    similarity_topk_segmented,
+    similarity_topk_xla,
+)

@@ -60,6 +60,39 @@ def similarity_topk_xla(
     return jax.lax.top_k(scores, k)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "alpha", "segment"))
+def similarity_topk_segmented(
+    queries: jax.Array,
+    img_emb: jax.Array,
+    txt_emb: jax.Array,
+    k: int,
+    alpha: float = 0.5,
+    segment: int = 4096,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact two-stage top-k: per-segment top-k, then a merge top-k.
+
+    Lifts the fused kernel's k<=128 cap (its argmax-round merge is O(k) per
+    tile): sorting cost drops from one top-k over N to ``n_seg`` independent
+    top-min(k, seg) selections over ``seg`` plus one merge over
+    ``n_seg * min(k, seg)``. Exact for every k: a segment holds only ``seg``
+    elements, so keeping min(k, seg) of them loses nothing.
+    """
+    scores = blended_scores(queries, img_emb, txt_emb, alpha)  # [Q, N]
+    qn, n = scores.shape
+    k = min(k, n)
+    seg = min(segment, n)
+    pad = (-n) % seg
+    if pad:
+        scores = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=_NEG_INF)
+    n_seg = scores.shape[1] // seg
+    k_local = min(k, seg)
+    v1, i1 = jax.lax.top_k(scores.reshape(qn, n_seg, seg), k_local)
+    i1 = i1 + (jnp.arange(n_seg, dtype=jnp.int32) * seg)[None, :, None]
+    v2, pos = jax.lax.top_k(v1.reshape(qn, n_seg * k_local), k)
+    idx = jnp.take_along_axis(i1.reshape(qn, n_seg * k_local), pos, axis=1)
+    return v2, idx.astype(jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # Pallas fused kernel
 # ---------------------------------------------------------------------------
@@ -160,8 +193,11 @@ def fused_similarity_topk(
     n = img_emb.shape[0]
     k = min(k, n)
     if k > 128:
-        # argmax-round merge degrades past ~128; XLA top_k handles big k.
-        return similarity_topk_xla(queries_img, img_emb, txt_emb, k, alpha)
+        # The argmax-round merge degrades past ~128 rounds; the segmented
+        # two-stage selection is the fast exact path for big k.
+        if queries_txt is not queries_img:
+            raise NotImplementedError("k > 128 with distinct query towers")
+        return similarity_topk_segmented(queries_img, img_emb, txt_emb, k, alpha)
 
     tile_n = min(tile_n, max(128, 1 << (n - 1).bit_length()))
     # VMEM budget: the merge works on [Q, K + tile_n] f32+i32 copies; keep the
@@ -242,6 +278,8 @@ def sharded_similarity_topk(
     def local(q, img, txt):
         if use_pallas or (use_pallas is None and jax.default_backend() == "tpu" and k_local <= 128):  # noqa: E501 (mesh ops always run on the process backend)
             vals, idx = fused_similarity_topk(q, img, txt, k=k_local, alpha=alpha)
+        elif k_local > 128:
+            vals, idx = similarity_topk_segmented(q, img, txt, k=k_local, alpha=alpha)
         else:
             vals, idx = similarity_topk_xla(q, img, txt, k=k_local, alpha=alpha)
         offset = jax.lax.axis_index(axis).astype(jnp.int32) * shard_n

@@ -11,7 +11,7 @@ than one chip.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -57,6 +57,23 @@ class CLIPRetrieval:
             lambda p, ids: l2_normalize(model.apply({"params": p}, ids, method=CLIP.encode_text))
         )
 
+        # The FULL search (encode -> blend -> top-k) as ONE jitted program:
+        # eager op dispatch costs a full host<->device round trip per op,
+        # which dwarfs the ~1 ms of device compute on a tunneled chip. One
+        # compile per (ids-bucket, k, alpha) signature, cached after.
+        def _search_program(params, ids, cimg, ctxt, *, k: int, alpha: float):
+            q = l2_normalize(model.apply({"params": params}, ids, method=CLIP.encode_text))
+            q = q.astype(cimg.dtype)
+            if self.shard_corpus:
+                return sharded_similarity_topk(
+                    q, cimg, ctxt, k=k, alpha=alpha, mesh=self.rt.mesh, use_pallas=self.use_pallas
+                )
+            if self.use_pallas:
+                return fused_similarity_topk(q, cimg, ctxt, k=k, alpha=alpha)
+            return similarity_topk_xla(q, cimg, ctxt, k=k, alpha=alpha)
+
+        self._search_program = jax.jit(_search_program, static_argnames=("k", "alpha"))
+
     # -- core ----------------------------------------------------------------
 
     def encode_queries(self, queries: Sequence[str]) -> jax.Array:
@@ -66,31 +83,77 @@ class CLIPRetrieval:
         ids = trim_to_bucket(ids)
         return self._encode(self.params, jnp.asarray(ids))
 
+    def _tokenize(self, queries: Sequence[str]) -> np.ndarray:
+        ids = self.tokenizer(list(queries), context_length=self.model.arch.context_length)
+        return trim_to_bucket(ids)
+
     def search_batch(self, queries: Sequence[str], alpha: float = 0.5, top_k: Optional[int] = None):
-        """Batched search: returns (values [Q, k], indices [Q, k])."""
+        """Batched search: returns (values [Q, k], indices [Q, k]).
+
+        The returned arrays are device futures (async dispatch); convert
+        with ``np.asarray`` to synchronize.
+        """
         k = min(top_k or self.top_k, len(self.store))
-        q = self.encode_queries(queries).astype(self.corpus_img.dtype)
-        if self.shard_corpus:
-            return sharded_similarity_topk(
-                q, self.corpus_img, self.corpus_txt, k=k, alpha=alpha, mesh=self.rt.mesh,
-                use_pallas=self.use_pallas,
-            )
-        if self.use_pallas:
-            return fused_similarity_topk(q, self.corpus_img, self.corpus_txt, k=k, alpha=alpha)
-        return similarity_topk_xla(q, self.corpus_img, self.corpus_txt, k=k, alpha=alpha)
+        ids = self._tokenize(queries)
+        return self._search_program(
+            self.params, jnp.asarray(ids), self.corpus_img, self.corpus_txt,
+            k=k, alpha=float(alpha),
+        )
+
+    def search_batches_pipelined(
+        self,
+        query_batches: Iterable[Sequence[str]],
+        alpha: float = 0.5,
+        top_k: Optional[int] = None,
+        depth: int = 4,
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Stream batches keeping up to ``depth`` device programs in flight.
+
+        While batch i's [Q, k] winners are fetched (the expensive part on a
+        tunneled chip), later batches are already tokenized and dispatched —
+        steady-state throughput approaches max(device, host) instead of
+        their sum. Yields ``(values, indices)`` numpy pairs in order.
+        """
+        from collections import deque
+
+        pending: deque = deque()
+        for queries in query_batches:
+            pending.append(self.search_batch(queries, alpha=alpha, top_k=top_k))
+            if len(pending) >= max(1, depth):
+                vals, idx = pending.popleft()
+                yield np.asarray(vals), np.asarray(idx)
+        while pending:
+            vals, idx = pending.popleft()
+            yield np.asarray(vals), np.asarray(idx)
 
     # -- reference-parity API --------------------------------------------------
+
+    def results_from_topk(self, vals: np.ndarray, idx: np.ndarray) -> List[List[Dict]]:
+        """[Q, k] winners -> per-query ``[{"uuid", "score"}]`` lists."""
+        uuids = self.store.uuids
+        results: List[List[Dict]] = []
+        for row_vals, row_idx in zip(vals, idx):
+            out = []
+            for v, i in zip(row_vals.tolist(), row_idx.tolist()):
+                uuid = uuids[i]
+                if uuid.startswith("__pad_"):
+                    continue
+                out.append({"uuid": uuid, "score": v})
+            results.append(out)
+        return results
+
+    def retrieval_batch(
+        self, queries: Sequence[str], alpha: float = 0.5, top_k: Optional[int] = None
+    ) -> List[List[Dict]]:
+        """Batched search -> one ``[{"uuid", "score"}]`` list per query.
+
+        The whole batch rides a single device program (encode + fused
+        blend + top-k); only the [Q, k] winners come back to the host.
+        """
+        vals, idx = self.search_batch(queries, alpha=alpha, top_k=top_k)
+        return self.results_from_topk(np.asarray(vals, np.float32), np.asarray(idx))
 
     def retrieval(self, query: str, alpha: float = 0.5, top_k: Optional[int] = None) -> List[Dict]:
         """Single-query search -> ``[{"uuid", "score"}]`` sorted descending
         (reference ``clip_retrieval.py:39-40`` / retriever ``search``)."""
-        vals, idx = self.search_batch([query], alpha=alpha, top_k=top_k)
-        vals = np.asarray(vals)[0]
-        idx = np.asarray(idx)[0]
-        out = []
-        for v, i in zip(vals, idx):
-            uuid = self.store.uuids[int(i)]
-            if uuid.startswith("__pad_"):
-                continue
-            out.append({"uuid": uuid, "score": float(v)})
-        return out
+        return self.retrieval_batch([query], alpha=alpha, top_k=top_k)[0]

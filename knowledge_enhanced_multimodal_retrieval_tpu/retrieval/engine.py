@@ -70,11 +70,7 @@ class RetrievalEngine:
         clip_results = self.clip_retriever.retrieval(query, alpha=alpha_clip)
         t2s_results = self.t2s_retriever.retrieval(query) if self.t2s_retriever is not None else []
         fused = self._fuse_clip_sparql_linear(clip_results, t2s_results, alpha=alpha, beta=beta)
-        return [
-            {"uuid": item["uuid"], "score": item["score"]}
-            for item in fused
-            if item.get("score", 0) >= threshold
-        ]
+        return self._apply_threshold(fused, threshold)
 
     def retrieve_text_noknowledge(
         self,
@@ -88,6 +84,81 @@ class RetrievalEngine:
         alpha_clip = self.fusion.alpha_clip if alpha_clip is None else alpha_clip
         threshold = self.fusion.threshold if threshold is None else threshold
         results = self.clip_retriever.retrieval(query, alpha=alpha_clip)
+        return self._apply_threshold(results, threshold)
+
+    # -- batch API (TPU-native extension; the reference is single-query,
+    # src/retrieval.py:79, leaving the chip idle between queries) -------------
+
+    def retrieve_text_batch(
+        self,
+        queries: Sequence[str],
+        alpha: Optional[float] = None,
+        beta: Optional[float] = None,
+        alpha_clip: Optional[float] = None,
+        threshold: Optional[float] = None,
+        max_workers: int = 8,
+    ) -> List[List[Dict]]:
+        """Knowledge-enhanced retrieval for a batch of queries.
+
+        CLIP scoring runs as ONE device program for the whole batch;
+        Text2SPARQL calls (network-bound LLM + KG round trips) fan out over
+        a thread pool. Per-query semantics are identical to
+        :meth:`retrieve_text`.
+        """
+        alpha = self.fusion.alpha if alpha is None else alpha
+        beta = self.fusion.beta if beta is None else beta
+        alpha_clip = self.fusion.alpha_clip if alpha_clip is None else alpha_clip
+        threshold = self.fusion.threshold if threshold is None else threshold
+
+        clip_lists = self.clip_retriever.retrieval_batch(queries, alpha=alpha_clip)
+        if self.t2s_retriever is None:
+            t2s_lists: List[Sequence[str]] = [[] for _ in queries]
+        else:
+            import concurrent.futures as cf
+
+            with cf.ThreadPoolExecutor(max_workers=max_workers) as pool:
+                t2s_lists = list(pool.map(self.t2s_retriever.retrieval, queries))
+        out: List[List[Dict]] = []
+        for clip_results, t2s_results in zip(clip_lists, t2s_lists):
+            fused = self._fuse_clip_sparql_linear(clip_results, t2s_results, alpha=alpha, beta=beta)
+            out.append(self._apply_threshold(fused, threshold))
+        return out
+
+    def retrieve_text_noknowledge_batch(
+        self,
+        queries: Sequence[str],
+        alpha: Optional[float] = None,
+        beta: Optional[float] = None,
+        alpha_clip: Optional[float] = None,
+        threshold: Optional[float] = None,
+    ) -> List[List[Dict]]:
+        """CLIP-only batch retrieval — the measured q/s/chip path."""
+        alpha_clip = self.fusion.alpha_clip if alpha_clip is None else alpha_clip
+        threshold = self.fusion.threshold if threshold is None else threshold
+        clip_lists = self.clip_retriever.retrieval_batch(queries, alpha=alpha_clip)
+        return [self._apply_threshold(results, threshold) for results in clip_lists]
+
+    def retrieve_text_noknowledge_batches(
+        self,
+        query_batches,
+        alpha_clip: Optional[float] = None,
+        threshold: Optional[float] = None,
+    ):
+        """Streaming CLIP-only retrieval over an iterable of query batches.
+
+        Keeps one device program in flight (double buffering): batch i+1's
+        tokenize+dispatch overlaps batch i's result fetch + host dict
+        building — the steady-state serving mode.
+        Yields one ``List[List[Dict]]`` per input batch, in order.
+        """
+        alpha_clip = self.fusion.alpha_clip if alpha_clip is None else alpha_clip
+        threshold = self.fusion.threshold if threshold is None else threshold
+        for vals, idx in self.clip_retriever.search_batches_pipelined(query_batches, alpha=alpha_clip):
+            results = self.clip_retriever.results_from_topk(vals, idx)
+            yield [self._apply_threshold(r, threshold) for r in results]
+
+    @staticmethod
+    def _apply_threshold(results: List[Dict], threshold: float) -> List[Dict]:
         return [
             {"uuid": item["uuid"], "score": item["score"]}
             for item in results

@@ -66,6 +66,41 @@ def test_fused_large_k_falls_back(rng):
     assert fv.shape == (3, 200)
 
 
+@pytest.mark.parametrize("k,n,segment", [(200, 3000, 512), (512, 3000, 512), (512, 43_0, 512), (129, 1000, 4096)])
+def test_segmented_topk_oracle(rng, k, n, segment):
+    """Exact two-stage selection must match direct lax.top_k for k > 128,
+    including k > segment and non-divisible corpus sizes."""
+    q, img, txt = _corpus(rng, n=n, q=5)
+    sv, si = S.similarity_topk_segmented(
+        jnp.asarray(q), jnp.asarray(img), jnp.asarray(txt), k=k, alpha=0.6, segment=segment
+    )
+    kk = min(k, n)
+    xv, xi = S.similarity_topk_xla(jnp.asarray(q), jnp.asarray(img), jnp.asarray(txt), kk, 0.6)
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(xv), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(xi))
+
+
+def test_fused_routes_big_k_to_segmented(rng):
+    """fused_similarity_topk(k>128) must produce exact results via the
+    segmented path (oracle = full argsort)."""
+    q, img, txt = _corpus(rng, n=2000, q=4)
+    fv, fi = S.fused_similarity_topk(jnp.asarray(q), jnp.asarray(img), jnp.asarray(txt), k=300, alpha=0.5)
+    scores = 0.5 * (q @ img.T) + 0.5 * (q @ txt.T)
+    ref_idx = np.argsort(-scores, axis=1)[:, :300]
+    np.testing.assert_array_equal(np.asarray(fi), ref_idx)
+
+
+def test_sharded_big_k_matches_dense(rng, devices8):
+    rt = MeshRuntime.create()
+    q, img, txt = _corpus(rng, n=2048, q=4)
+    sv, si = S.sharded_similarity_topk(
+        jnp.asarray(q), jnp.asarray(img), jnp.asarray(txt), k=200, alpha=0.7, mesh=rt.mesh
+    )
+    xv, xi = S.similarity_topk_xla(jnp.asarray(q), jnp.asarray(img), jnp.asarray(txt), 200, 0.7)
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(xv), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(xi))
+
+
 def test_sharded_matches_dense(rng, devices8):
     rt = MeshRuntime.create()
     q, img, txt = _corpus(rng, n=512, q=6)
