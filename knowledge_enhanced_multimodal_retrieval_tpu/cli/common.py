@@ -55,6 +55,7 @@ def build_pipeline(cfg: Config, split: str, tokenizer: Optional[CLIPTokenizer] =
         context_length=cfg.data.context_length,
         max_text_words=cfg.data.max_text_words,
         num_workers=cfg.data.num_workers,
+        preprocess_mode=cfg.data.preprocess_mode,
     )
 
 

@@ -96,6 +96,7 @@ class DataPipeline:
         context_length: int = 77,
         max_text_words: int = 150,
         num_workers: int = 8,
+        preprocess_mode: str = "openai",
     ):
         self.source = source
         self.tokenizer = tokenizer
@@ -103,6 +104,10 @@ class DataPipeline:
         self.context_length = context_length
         self.max_text_words = max_text_words
         self.num_workers = max(1, num_workers)
+        # "openai" = clip.load torchvision parity; "hf" = CLIPImageProcessor
+        # parity for evaluating the published HF model (reference
+        # ``evaluator_hf.py:115-147``). See data/preprocess.py.
+        self.preprocess_mode = preprocess_mode
 
     def __len__(self) -> int:
         return len(self.source)
@@ -110,7 +115,12 @@ class DataPipeline:
     def make_batch(self, indices: Sequence[int]) -> Batch:
         records = [self.source[i] for i in indices]
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
-            results = list(pool.map(lambda r: safe_preprocess(r["image"], self.image_size), records))
+            results = list(
+                pool.map(
+                    lambda r: safe_preprocess(r["image"], self.image_size, mode=self.preprocess_mode),
+                    records,
+                )
+            )
         images = np.stack([r[0] for r in results])
         decode_ok = np.array([r[1] for r in results])
         queries = [truncate_words(r["query_text"], self.max_text_words) for r in records]

@@ -260,6 +260,39 @@ def build_model(name: str, dtype: Any = jnp.bfloat16, remat: bool = False) -> CL
     return CLIP(ARCHS[name], dtype=dtype, remat=remat)
 
 
+def arch_from_params(params) -> CLIPArch:
+    """Infer the :class:`CLIPArch` from a converted parameter tree's shapes.
+
+    Lets real checkpoints (OpenAI ``.pt`` / HF ``CLIPModel``) be loaded
+    without naming the variant up front — the reference instead requires a
+    ``--model_name`` that must match the checkpoint
+    (``src/clip/model/clip_model.py:15-44``).
+    """
+    visual, text = params["visual"], params["text"]
+    patch = visual["conv1"]["kernel"].shape[0]
+    vision_width = visual["conv1"]["kernel"].shape[3]
+    grid_sq = visual["positional_embedding"].shape[0] - 1
+    image_resolution = int(round(grid_sq**0.5)) * patch
+    vocab_size, text_width = text["token_embedding"]["embedding"].shape
+    return CLIPArch(
+        embed_dim=text["text_projection"].shape[1],
+        image_resolution=image_resolution,
+        vision_layers=len(visual["transformer"]),
+        vision_width=vision_width,
+        vision_patch_size=patch,
+        context_length=text["positional_embedding"].shape[0],
+        vocab_size=vocab_size,
+        text_width=text_width,
+        text_heads=text_width // 64,
+        text_layers=len(text["transformer"]),
+    )
+
+
+def build_model_from_params(params, dtype: Any = jnp.bfloat16, remat: bool = False) -> CLIP:
+    """Build the CLIP module matching a converted checkpoint's shapes."""
+    return CLIP(arch_from_params(params), dtype=dtype, remat=remat)
+
+
 def init_params(model: CLIP, rng: jax.Array, batch: int = 1):
     """Initialize a parameter pytree with dummy inputs."""
     a = model.arch

@@ -31,10 +31,12 @@ def resize_shorter_side(image: jax.Array, size: int, method: str = "cubic") -> j
     jit-compatible (one trace per input geometry).
     """
     h, w = image.shape[0], image.shape[1]
+    # floored long side — torchvision's and HF's shared formula
+    # (see data/preprocess.resize_shortest_edge, pinned by tests)
     if h <= w:
-        new_h, new_w = size, max(size, int(round(w * size / h)))
+        new_h, new_w = size, int(w * size / h)
     else:
-        new_h, new_w = max(size, int(round(h * size / w))), size
+        new_h, new_w = int(h * size / w), size
     img = image.astype(jnp.float32)
     return jax.image.resize(img, (new_h, new_w, image.shape[2]), method=method, antialias=True)
 

@@ -233,6 +233,9 @@ class DataConfig:
     max_text_words: int = 150  # word-level pre-truncation (clip_dataset.py:49-54)
     context_length: int = 77  # CLIP BPE context (hard ceiling)
     image_size: int = 224
+    # "openai" (clip.load torchvision parity) | "hf" (CLIPImageProcessor
+    # parity, for the published HF model — reference evaluator_hf.py:115-147)
+    preprocess_mode: str = "openai"
     shuffle_buffer: int = 0
     num_workers: int = 8
 

@@ -83,3 +83,70 @@ def test_pil_upscale_small_image():
     img = np.zeros((50, 60, 3), np.uint8)
     out = preprocess_pil(img, size=224)
     assert out.shape == (224, 224, 3)
+
+
+# ---------------------------------------------------------------------------
+# Preprocess parity modes (openai torchvision vs HF CLIPImageProcessor)
+# ---------------------------------------------------------------------------
+
+
+def test_resize_shortest_edge_floor_semantics():
+    """Both torchvision and HF floor the long side: int(size * long / short)."""
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from knowledge_enhanced_multimodal_retrieval_tpu.data.preprocess import resize_shortest_edge
+
+    img = Image.fromarray(np.zeros((225, 301, 3), np.uint8))
+    out = resize_shortest_edge(img, 224)
+    assert out.size == (int(224 * 301 / 225), 224)  # (299, 224), floored
+
+
+def test_openai_vs_hf_crop_offset(rng):
+    """When the post-resize extent minus crop size is odd, torchvision's
+    round-half-even offset sits one pixel right/below HF's floor offset."""
+    pytest.importorskip("PIL")
+    img = _rand_image(rng, 225, 301)  # resizes to (299, 224): 299-224=75 odd
+    a = preprocess_pil(img, size=224, mode="openai")
+    b = preprocess_pil(img, size=224, mode="hf")
+    assert a.shape == b.shape == (224, 224, 3)
+    assert not np.allclose(a, b)
+    np.testing.assert_allclose(a[:, :-1], b[:, 1:], atol=1e-6)
+
+
+def test_modes_identical_on_even_margins(rng):
+    pytest.importorskip("PIL")
+    img = _rand_image(rng, 224, 448)  # margins even -> identical crops
+    a = preprocess_pil(img, size=224, mode="openai")
+    b = preprocess_pil(img, size=224, mode="hf")
+    np.testing.assert_array_equal(a, b)
+
+
+def test_hf_mode_matches_transformers_processor(rng):
+    """Bit-parity with the actual HF CLIPImageProcessor (evaluator_hf parity)."""
+    pytest.importorskip("PIL")
+    transformers = pytest.importorskip("transformers")
+    from PIL import Image
+
+    proc = transformers.CLIPImageProcessor(
+        do_resize=True,
+        size={"shortest_edge": 224},
+        resample=3,  # PILImageResampling.BICUBIC
+        do_center_crop=True,
+        crop_size={"height": 224, "width": 224},
+        do_rescale=True,
+        do_normalize=True,
+        image_mean=list(iops.CLIP_MEAN),
+        image_std=list(iops.CLIP_STD),
+        do_convert_rgb=True,
+    )
+    for h, w in [(225, 301), (320, 480), (640, 300), (224, 224), (150, 500)]:
+        img = Image.fromarray(_rand_image(rng, h, w))
+        ref = proc(img, return_tensors="np")["pixel_values"][0].transpose(1, 2, 0)
+        got = preprocess_pil(img, size=224, mode="hf")
+        np.testing.assert_allclose(got, ref, atol=2e-6), (h, w)
+
+
+def test_preprocess_mode_rejects_unknown():
+    with pytest.raises(ValueError):
+        preprocess_pil(np.zeros((64, 64, 3), np.uint8), mode="nope")
