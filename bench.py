@@ -167,6 +167,12 @@ def main() -> None:
 
     model, params, ids_variants, corpus_img, corpus_txt, encode = _build(args.corpus, args.batch, args.model)
 
+    from knowledge_enhanced_multimodal_retrieval_tpu.models.clip import l2_normalize
+    from knowledge_enhanced_multimodal_retrieval_tpu.models.fast_encode import (
+        encode_text_fast,
+        make_text_plan,
+    )
+
     # --- TPU-native path: encode + fused blend/top-k in one jitted program ---
     def native(params, ids, cimg, ctxt):
         q = encode(params, ids).astype(cimg.dtype)
@@ -176,12 +182,25 @@ def main() -> None:
         q = encode(params, ids).astype(cimg.dtype)
         return similarity_topk_xla(q, cimg, ctxt, k=args.k, alpha=args.alpha)
 
+    # fused-block Pallas encoder (VMEM-resident transformer blocks) + fused top-k
+    plan = make_text_plan(params)
+
+    def native_fused_enc(plan, ids, cimg, ctxt):
+        q = l2_normalize(encode_text_fast(model.arch, plan, ids)).astype(cimg.dtype)
+        return fused_similarity_topk(q, cimg, ctxt, k=args.k, alpha=args.alpha, interpret=False)
+
     on_tpu = jax.default_backend() == "tpu"
-    candidates = [native_xla] if not on_tpu else [native, native_xla]
+    if on_tpu:
+        candidates = [
+            ("fused-encoder+topk", native_fused_enc, plan),
+            ("fused-pallas", native, params),
+            ("xla", native_xla, params),
+        ]
+    else:
+        candidates = [("xla", native_xla, params)]
     times = {}
-    for fn in candidates:
-        name = "fused-pallas" if fn is native else "xla"
-        times[name] = _time(fn, params, ids_variants, corpus_img, corpus_txt, iters=args.iters)
+    for name, fn, p in candidates:
+        times[name] = _time(fn, p, ids_variants, corpus_img, corpus_txt, iters=args.iters)
     best_name = min(times, key=times.get)
     native_time = times[best_name]
     qps = args.batch / native_time

@@ -1,5 +1,11 @@
 from .attention import mha, mha_xla  # noqa: F401
 from .flash_attention import flash_attention  # noqa: F401
+from .fused_block import (  # noqa: F401
+    attention_block_reference,
+    fused_attention_block,
+    fused_mlp_block,
+    mlp_block_reference,
+)
 from .image_ops import CLIP_MEAN, CLIP_STD, preprocess_batch, preprocess_image  # noqa: F401
 from .short_attention import short_attention  # noqa: F401
 from .similarity import (  # noqa: F401

@@ -1,0 +1,310 @@
+"""Fused transformer-block Pallas kernels (serving fast path).
+
+The CLIP towers are HBM-bandwidth-bound at serving shapes on v5e: the XLA
+path round-trips every intermediate ([N, 4W] MLP activations, qkv, attention
+layouts) through HBM, ~3 GB per L/14 text forward at batch 256. These two
+kernels keep a residual-block's intermediates in VMEM and stream only the
+residual stream:
+
+- ``fused_attention_block`` — LN1 -> qkv projection -> per-sequence causal
+  attention (block-diagonal within the row tile, heads unrolled) -> output
+  projection -> residual add. Measured 0.33 ms vs 0.64 ms XLA per L/14 text
+  layer at [8192, 768] bf16 (the attention-layout transposes never touch HBM).
+- ``fused_mlp_block`` — LN2 -> c_fc -> QuickGELU -> c_proj -> residual add,
+  with the [tile, 4W] intermediate chunked over the FF axis so weights and
+  activations fit the 16 MB VMEM budget.
+
+Both are inference-only (no VJP; the trainer keeps the flax/XLA path, which
+autodiffs and remats). Reference semantics match the OpenAI
+``ResidualAttentionBlock`` the reference loads at
+``src/clip/model/clip_model.py:15-44``: pre-LN (fp32), fused in_proj, scaled
+dot-product attention with additive causal mask, QuickGELU.
+
+Layout contract: ``x`` is ``[num_rows, width]`` with whole sequences of
+``seq_len`` rows stored contiguously (row r belongs to sequence r // seq_len)
+and ``num_rows`` divisible by the row tile. ``pad_rows``/``unpad_rows`` below
+handle arbitrary batch sizes. ``mask_len`` masks out trailing key positions
+of each sequence (for sequence lengths padded up to a sublane multiple).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+_SUBLANE = 16  # bf16 sublane multiple
+
+
+def _check_common(x, width: int):
+    if x.ndim != 2:
+        raise ValueError(f"x must be [rows, width], got {x.shape}")
+    if x.shape[1] != width:
+        raise ValueError(f"width mismatch: x {x.shape} vs weights {width}")
+    if width % _LANE != 0:
+        raise ValueError(f"width must be a multiple of {_LANE}, got {width}")
+
+
+def default_mlp_chunks(ff: int) -> int:
+    """Most FF chunks that stay lane-aligned (chunk size a multiple of 128)."""
+    for c in (8, 6, 4, 3, 2):
+        if ff % c == 0 and (ff // c) % _LANE == 0:
+            return c
+    return 1
+
+
+def default_attention_tile(seq_len: int, target: int = 256) -> int:
+    """Largest multiple of ``seq_len`` that is sublane-aligned and <= target."""
+    if seq_len % _SUBLANE == 0 and seq_len <= target:
+        return seq_len * max(1, target // seq_len)
+    # seq_len not sublane-aligned: the tile must still hold whole sequences;
+    # use lcm(seq_len, sublane) capped at a few sequences
+    tile = seq_len
+    while tile % _SUBLANE or tile < target // 2:
+        tile += seq_len
+    return tile
+
+
+# ---------------------------------------------------------------------------
+# Attention block
+# ---------------------------------------------------------------------------
+
+
+def _attention_block_kernel(
+    x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, o_ref, attn_ref,
+    *, tile: int, seq_len: int, mask_len: int, heads: int, eps: float, causal: bool,
+):
+    width = x_ref.shape[1]
+    head_dim = width // heads
+    x = x_ref[:]
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, -1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), -1, keepdims=True)
+    h = ((xf - mu) * jax.lax.rsqrt(var + eps)) * g_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32)
+    h = h.astype(x.dtype)
+    qkv = jnp.dot(h, wqkv_ref[:], preferred_element_type=jnp.float32) + bqkv_ref[:].astype(jnp.float32)
+    qkv = qkv.astype(x.dtype)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
+    ok = (row // seq_len == col // seq_len) & (col % seq_len < mask_len)
+    if causal:
+        ok &= col <= row
+    neg = jnp.float32(-1e9)
+    scale = jnp.float32(1.0 / np.sqrt(head_dim))
+    for hh in range(heads):
+        q_h = qkv[:, hh * head_dim:(hh + 1) * head_dim]
+        k_h = qkv[:, width + hh * head_dim:width + (hh + 1) * head_dim]
+        v_h = qkv[:, 2 * width + hh * head_dim:2 * width + (hh + 1) * head_dim]
+        s = jax.lax.dot_general(q_h, k_h, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        s = jnp.where(ok, s * scale, neg)
+        s = s - jnp.max(s, -1, keepdims=True)
+        e = jnp.exp(s)
+        p = (e / jnp.sum(e, -1, keepdims=True)).astype(x.dtype)
+        attn_ref[:, hh * head_dim:(hh + 1) * head_dim] = jnp.dot(
+            p, v_h, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+    out = jnp.dot(attn_ref[:], wo_ref[:], preferred_element_type=jnp.float32) + bo_ref[:].astype(jnp.float32)
+    o_ref[:] = x + out.astype(x.dtype)
+
+
+def fused_attention_block(
+    x: jax.Array,
+    ln_scale: jax.Array,
+    ln_bias: jax.Array,
+    wqkv: jax.Array,
+    bqkv: jax.Array,
+    wo: jax.Array,
+    bo: jax.Array,
+    *,
+    seq_len: int,
+    heads: int,
+    mask_len: Optional[int] = None,
+    tile: Optional[int] = None,
+    eps: float = 1e-5,
+    causal: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """x + out_proj(attention(LN(x))) over row-contiguous sequences.
+
+    ``causal=True`` is the text tower; ``causal=False`` (bidirectional) is
+    the vision tower."""
+    width = wqkv.shape[0]
+    _check_common(x, width)
+    n = x.shape[0]
+    tile = tile or default_attention_tile(seq_len)
+    if tile % seq_len or n % tile:
+        raise ValueError(f"rows {n} / tile {tile} / seq_len {seq_len} incompatible")
+    if width % heads or (width // heads) % 2:
+        raise ValueError(f"width {width} not divisible into {heads} even heads")
+    mask_len = seq_len if mask_len is None else mask_len
+    kern = functools.partial(
+        _attention_block_kernel,
+        tile=tile, seq_len=seq_len, mask_len=mask_len, heads=heads, eps=eps,
+        causal=causal,
+    )
+    row2 = lambda a: a.reshape(1, -1)
+    return pl.pallas_call(
+        kern,
+        grid=(n // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, width), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((width, 3 * width), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * width), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((width, width), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, width), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, width), x.dtype),
+        scratch_shapes=[pltpu.VMEM((tile, width), x.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * width * 4 * width + heads * 4 * n * seq_len * (width // heads),
+            bytes_accessed=2 * n * width * 2 + 4 * width * width * 2,
+            transcendentals=n * seq_len * heads,
+        ),
+        interpret=interpret,
+    )(x, row2(ln_scale), row2(ln_bias), wqkv, row2(bqkv), wo, row2(bo))
+
+
+# ---------------------------------------------------------------------------
+# MLP block
+# ---------------------------------------------------------------------------
+
+
+def _mlp_block_kernel(
+    x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, acc_ref,
+    *, n_chunks: int, eps: float,
+):
+    ff = w1_ref.shape[1]
+    ck = ff // n_chunks
+    x = x_ref[:]
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, -1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), -1, keepdims=True)
+    h = ((xf - mu) * jax.lax.rsqrt(var + eps)) * g_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32)
+    h = h.astype(x.dtype)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    for c in range(n_chunks):
+        f = jnp.dot(h, w1_ref[:, c * ck:(c + 1) * ck], preferred_element_type=jnp.float32)
+        f = f + b1_ref[:, c * ck:(c + 1) * ck].astype(jnp.float32)
+        f = (f * jax.nn.sigmoid(1.702 * f)).astype(x.dtype)  # QuickGELU
+        acc_ref[:] += jnp.dot(f, w2_ref[c * ck:(c + 1) * ck, :], preferred_element_type=jnp.float32)
+    o_ref[:] = x + (acc_ref[:] + b2_ref[:].astype(jnp.float32)).astype(x.dtype)
+
+
+def fused_mlp_block(
+    x: jax.Array,
+    ln_scale: jax.Array,
+    ln_bias: jax.Array,
+    w1: jax.Array,
+    b1: jax.Array,
+    w2: jax.Array,
+    b2: jax.Array,
+    *,
+    tile: int = 256,
+    n_chunks: Optional[int] = None,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> jax.Array:
+    """x + c_proj(quick_gelu(c_fc(LN(x)))); FF axis chunked for VMEM."""
+    width, ff = w1.shape
+    _check_common(x, width)
+    n = x.shape[0]
+    n_chunks = default_mlp_chunks(ff) if n_chunks is None else n_chunks
+    if n % tile:
+        raise ValueError(f"rows {n} not divisible by tile {tile}")
+    if ff % n_chunks or (ff // n_chunks) % _LANE:
+        raise ValueError(f"ff {ff} must split into {n_chunks} lane-aligned chunks")
+    kern = functools.partial(_mlp_block_kernel, n_chunks=n_chunks, eps=eps)
+    row2 = lambda a: a.reshape(1, -1)
+    return pl.pallas_call(
+        kern,
+        grid=(n // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, width), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((width, ff), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ff), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ff, width), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, width), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, width), x.dtype),
+        scratch_shapes=[pltpu.VMEM((tile, width), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * width * ff * 2,
+            bytes_accessed=2 * n * width * 2 + 2 * width * ff * 2,
+            transcendentals=n * ff,
+        ),
+        interpret=interpret,
+    )(x, row2(ln_scale), row2(ln_bias), w1, row2(b1), w2, row2(b2))
+
+
+# ---------------------------------------------------------------------------
+# XLA reference implementations (CPU path + oracles for the kernels)
+# ---------------------------------------------------------------------------
+
+
+def _ln_ref(x, scale, bias, eps):
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    return (((xf - mu) * jax.lax.rsqrt(var + eps)) * scale + bias).astype(x.dtype)
+
+
+def attention_block_reference(
+    x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, *, seq_len, heads,
+    mask_len=None, eps: float = 1e-5, causal: bool = True,
+):
+    """XLA oracle with identical semantics (row-contiguous sequences)."""
+    width = wqkv.shape[0]
+    head_dim = width // heads
+    mask_len = seq_len if mask_len is None else mask_len
+    h = _ln_ref(x, ln_scale, ln_bias, eps)
+    qkv = (h @ wqkv.astype(x.dtype)) + bqkv.astype(x.dtype)
+    qkv = qkv.reshape(-1, seq_len, 3, heads, head_dim)
+    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) / np.sqrt(head_dim)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (seq_len, seq_len), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (seq_len, seq_len), 1)
+    ok = cc < mask_len
+    if causal:
+        ok &= cc <= rr
+    logits = jnp.where(ok, logits, -1e9)
+    p = jax.nn.softmax(logits, -1).astype(x.dtype)
+    a = jnp.einsum("bhqk,bhkd->bhqd", p, v).transpose(0, 2, 1, 3).reshape(-1, width)
+    return x + (a @ wo.astype(x.dtype) + bo.astype(x.dtype))
+
+
+def mlp_block_reference(x, ln_scale, ln_bias, w1, b1, w2, b2, *, eps: float = 1e-5):
+    h = _ln_ref(x, ln_scale, ln_bias, eps)
+    f = h @ w1.astype(x.dtype) + b1.astype(x.dtype)
+    f = f * jax.nn.sigmoid(1.702 * f.astype(jnp.float32)).astype(x.dtype)
+    return x + (f @ w2.astype(x.dtype) + b2.astype(x.dtype))
+
+
+# ---------------------------------------------------------------------------
+# Row padding helpers
+# ---------------------------------------------------------------------------
+
+
+def pad_rows(x: jax.Array, multiple: int) -> jax.Array:
+    """Zero-pad the leading axis to a multiple (whole-sequence granularity)."""
+    n = x.shape[0]
+    rem = n % multiple
+    if rem == 0:
+        return x
+    return jnp.pad(x, ((0, multiple - rem), (0, 0)))
+
+
+def unpad_rows(x: jax.Array, n: int) -> jax.Array:
+    return x[:n]

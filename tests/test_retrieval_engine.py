@@ -80,6 +80,20 @@ def test_clip_retrieval_alpha_extremes(world):
     assert res_txt[0]["uuid"] == best_txt
 
 
+def test_clip_retrieval_fused_encoder_matches_flax(world):
+    """The fast-encode serving path returns the same rankings as the flax tower."""
+    model, params, tok, store, rt = world
+    base = CLIPRetrieval(model, params, tok, store, top_k=10)
+    fast = CLIPRetrieval(model, params, tok, store, top_k=10, use_fused_encoder=True)
+    assert fast.use_fused_encoder and fast._text_plan is not None
+    a = base.retrieval("hello cat", alpha=0.5)
+    b = fast.retrieval("hello cat", alpha=0.5)
+    assert [x["uuid"] for x in a] == [x["uuid"] for x in b]
+    np.testing.assert_allclose(
+        [x["score"] for x in a], [x["score"] for x in b], atol=1e-4
+    )
+
+
 def test_clip_retrieval_sharded_matches_dense(world):
     model, params, tok, store, rt = world
     dense = CLIPRetrieval(model, params, tok, store, top_k=7)
