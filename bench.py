@@ -184,6 +184,8 @@ def main() -> None:
 
     # fused-block Pallas encoder (VMEM-resident transformer blocks) + fused top-k
     plan = make_text_plan(params)
+    # W8A8 dynamic int8 projections: the v5e MXU runs int8 at ~2x bf16
+    plan_q8 = make_text_plan(params, quantize="int8")
 
     def native_fused_enc(plan, ids, cimg, ctxt):
         q = l2_normalize(encode_text_fast(model.arch, plan, ids)).astype(cimg.dtype)
@@ -192,6 +194,7 @@ def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
         candidates = [
+            ("int8-encoder+topk", native_fused_enc, plan_q8),
             ("fused-encoder+topk", native_fused_enc, plan),
             ("fused-pallas", native, params),
             ("xla", native_xla, params),
@@ -241,6 +244,9 @@ def main() -> None:
             "impl": best_name,
             "batch_latency_ms": round(native_time * 1e3, 3),
             "impl_times_ms": {k: round(v * 1e3, 3) for k, v in times.items()},
+            # int8 = opt-in W8A8 dynamic quantization (scores within ~1% of
+            # the bf16 path; see tests/test_retrieval_engine.py)
+            "quantized_impls": ["int8-encoder+topk"],
             "reference_design_qps": round(ref_qps, 1),
             "engine_api_qps": round(engine_sync_qps, 1),
             "engine_pipelined_qps": round(engine_pipe_qps, 1),

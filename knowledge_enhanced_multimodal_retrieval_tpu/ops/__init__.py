@@ -1,10 +1,16 @@
 from .attention import mha, mha_xla  # noqa: F401
 from .flash_attention import flash_attention  # noqa: F401
 from .fused_block import (  # noqa: F401
+    attention_block_q8_reference,
     attention_block_reference,
     fused_attention_block,
+    fused_attention_block_q8,
+    fused_layer_q8,
     fused_mlp_block,
+    fused_mlp_block_q8,
+    mlp_block_q8_reference,
     mlp_block_reference,
+    quantize_weight,
 )
 from .image_ops import CLIP_MEAN, CLIP_STD, preprocess_batch, preprocess_image  # noqa: F401
 from .short_attention import short_attention  # noqa: F401

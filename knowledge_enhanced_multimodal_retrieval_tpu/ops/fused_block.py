@@ -76,12 +76,50 @@ def default_attention_tile(seq_len: int, target: int = 256) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _attention_interior(
+    qkv: jax.Array, *, tile: int, seq_len: int, mask_len: int, heads: int,
+    causal: bool, out_dtype,
+) -> jax.Array:
+    """Per-sequence attention over row-contiguous sequences: [tile, 3W] -> [tile, W].
+
+    Reshapes each head to ``[tile // seq_len, seq_len, head_dim]`` and runs a
+    batched ``seq x seq`` score/softmax — the straightforward ``tile x tile``
+    block-diagonal layout costs ``tile / seq_len`` times more softmax VPU
+    work (8x at the 32-token serving bucket), which dominated the kernel.
+    """
+    width = qkv.shape[1] // 3
+    head_dim = width // heads
+    nseq = tile // seq_len
+    row = jax.lax.broadcasted_iota(jnp.int32, (seq_len, seq_len), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (seq_len, seq_len), 1)
+    ok = col < mask_len
+    if causal:
+        ok &= col <= row
+    neg = jnp.float32(-1e9)
+    scale = jnp.float32(1.0 / np.sqrt(head_dim))
+    bdims = (((2,), (2,)), ((0,), (0,)))
+    outs = []
+    for hh in range(heads):
+        q_h = qkv[:, hh * head_dim:(hh + 1) * head_dim].reshape(nseq, seq_len, head_dim)
+        k_h = qkv[:, width + hh * head_dim:width + (hh + 1) * head_dim].reshape(nseq, seq_len, head_dim)
+        v_h = qkv[:, 2 * width + hh * head_dim:2 * width + (hh + 1) * head_dim].reshape(nseq, seq_len, head_dim)
+        s = jax.lax.dot_general(q_h, k_h, bdims, preferred_element_type=jnp.float32)
+        s = jnp.where(ok, s * scale, neg)
+        s = s - jnp.max(s, -1, keepdims=True)
+        e = jnp.exp(s)
+        p = (e / jnp.sum(e, -1, keepdims=True)).astype(qkv.dtype)
+        o = jax.lax.dot_general(
+            p, v_h, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        outs.append(o.reshape(tile, head_dim).astype(out_dtype))
+    return jnp.concatenate(outs, axis=-1)
+
+
 def _attention_block_kernel(
-    x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, o_ref, attn_ref,
+    x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, o_ref,
     *, tile: int, seq_len: int, mask_len: int, heads: int, eps: float, causal: bool,
 ):
     width = x_ref.shape[1]
-    head_dim = width // heads
     x = x_ref[:]
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, -1, keepdims=True)
@@ -90,27 +128,11 @@ def _attention_block_kernel(
     h = h.astype(x.dtype)
     qkv = jnp.dot(h, wqkv_ref[:], preferred_element_type=jnp.float32) + bqkv_ref[:].astype(jnp.float32)
     qkv = qkv.astype(x.dtype)
-
-    row = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
-    ok = (row // seq_len == col // seq_len) & (col % seq_len < mask_len)
-    if causal:
-        ok &= col <= row
-    neg = jnp.float32(-1e9)
-    scale = jnp.float32(1.0 / np.sqrt(head_dim))
-    for hh in range(heads):
-        q_h = qkv[:, hh * head_dim:(hh + 1) * head_dim]
-        k_h = qkv[:, width + hh * head_dim:width + (hh + 1) * head_dim]
-        v_h = qkv[:, 2 * width + hh * head_dim:2 * width + (hh + 1) * head_dim]
-        s = jax.lax.dot_general(q_h, k_h, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        s = jnp.where(ok, s * scale, neg)
-        s = s - jnp.max(s, -1, keepdims=True)
-        e = jnp.exp(s)
-        p = (e / jnp.sum(e, -1, keepdims=True)).astype(x.dtype)
-        attn_ref[:, hh * head_dim:(hh + 1) * head_dim] = jnp.dot(
-            p, v_h, preferred_element_type=jnp.float32
-        ).astype(x.dtype)
-    out = jnp.dot(attn_ref[:], wo_ref[:], preferred_element_type=jnp.float32) + bo_ref[:].astype(jnp.float32)
+    attn = _attention_interior(
+        qkv, tile=tile, seq_len=seq_len, mask_len=mask_len, heads=heads,
+        causal=causal, out_dtype=x.dtype,
+    )
+    out = jnp.dot(attn, wo_ref[:], preferred_element_type=jnp.float32) + bo_ref[:].astype(jnp.float32)
     o_ref[:] = x + out.astype(x.dtype)
 
 
@@ -164,7 +186,6 @@ def fused_attention_block(
         ],
         out_specs=pl.BlockSpec((tile, width), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, width), x.dtype),
-        scratch_shapes=[pltpu.VMEM((tile, width), x.dtype)],
         cost_estimate=pl.CostEstimate(
             flops=2 * n * width * 4 * width + heads * 4 * n * seq_len * (width // heads),
             bytes_accessed=2 * n * width * 2 + 4 * width * width * 2,
@@ -247,6 +268,388 @@ def fused_mlp_block(
         ),
         interpret=interpret,
     )(x, row2(ln_scale), row2(ln_bias), w1, row2(b1), w2, row2(b2))
+
+
+# ---------------------------------------------------------------------------
+# int8 (W8A8 dynamic) variants — serving MXU runs int8 at ~2x bf16
+# ---------------------------------------------------------------------------
+#
+# Quantization scheme (measured 345 TOP/s int8 vs 176 TFLOP/s bf16 on v5e):
+# weights are symmetric per-output-channel int8 (``w ~= w_q * s_col``,
+# ``s_col = max_k |w[k, c]| / 127``, packed once at plan build); activations
+# are symmetric per-row dynamic int8 computed in-kernel after the LayerNorm
+# (``h ~= h_q * r_row``). The int32 MXU accumulator is rescaled by the rank-1
+# outer product ``r_row * s_col`` — exact up to the two rounding steps. The
+# attention interior (scores, softmax, p@v) stays bf16: it is tiny next to
+# the projections and quantizing it would hurt ranking fidelity for nothing.
+
+
+def quantize_weight(w: jax.Array) -> tuple:
+    """Symmetric per-output-channel int8: returns (w_q [K, C] int8, s [1, C] f32)."""
+    w = jnp.asarray(w, jnp.float32)
+    s = jnp.max(jnp.abs(w), axis=0, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    return jnp.round(w / s).astype(jnp.int8), s
+
+
+def _quantize_rows(h: jax.Array) -> tuple:
+    """Symmetric per-row dynamic int8 for f32 activations: (h_q int8, r [N, 1] f32)."""
+    r = jnp.max(jnp.abs(h), axis=-1, keepdims=True) / 127.0
+    r = jnp.maximum(r, 1e-12)
+    return jnp.round(h / r).astype(jnp.int8), r
+
+
+def _q8_matmul(h: jax.Array, wq, ws) -> jax.Array:
+    """f32 activations x int8 weights -> f32, via dynamic row quantization."""
+    hq, r = _quantize_rows(h)
+    acc = jax.lax.dot_general(hq, wq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * r * ws
+
+
+def _attention_block_q8_kernel(
+    x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref, bqkv_ref, wo_ref, so_ref, bo_ref,
+    o_ref,
+    *, tile: int, seq_len: int, mask_len: int, heads: int, eps: float, causal: bool,
+):
+    width = x_ref.shape[1]
+    x = x_ref[:]
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, -1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), -1, keepdims=True)
+    h = ((xf - mu) * jax.lax.rsqrt(var + eps)) * g_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32)
+    qkv = _q8_matmul(h, wqkv_ref[:], sqkv_ref[:]) + bqkv_ref[:].astype(jnp.float32)
+    qkv = qkv.astype(x.dtype)
+    attn = _attention_interior(
+        qkv, tile=tile, seq_len=seq_len, mask_len=mask_len, heads=heads,
+        causal=causal, out_dtype=x.dtype,
+    )
+    out = _q8_matmul(attn.astype(jnp.float32), wo_ref[:], so_ref[:]) + bo_ref[:].astype(jnp.float32)
+    o_ref[:] = x + out.astype(x.dtype)
+
+
+def fused_attention_block_q8(
+    x: jax.Array,
+    ln_scale: jax.Array,
+    ln_bias: jax.Array,
+    wqkv_q: jax.Array,
+    wqkv_s: jax.Array,
+    bqkv: jax.Array,
+    wo_q: jax.Array,
+    wo_s: jax.Array,
+    bo: jax.Array,
+    *,
+    seq_len: int,
+    heads: int,
+    mask_len: Optional[int] = None,
+    tile: Optional[int] = None,
+    eps: float = 1e-5,
+    causal: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """int8-projection variant of :func:`fused_attention_block`."""
+    width = wqkv_q.shape[0]
+    _check_common(x, width)
+    n = x.shape[0]
+    tile = tile or default_attention_tile(seq_len)
+    if tile % seq_len or n % tile:
+        raise ValueError(f"rows {n} / tile {tile} / seq_len {seq_len} incompatible")
+    mask_len = seq_len if mask_len is None else mask_len
+    kern = functools.partial(
+        _attention_block_q8_kernel,
+        tile=tile, seq_len=seq_len, mask_len=mask_len, heads=heads, eps=eps,
+        causal=causal,
+    )
+    row2 = lambda a: a.reshape(1, -1)
+    return pl.pallas_call(
+        kern,
+        grid=(n // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, width), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((width, 3 * width), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * width), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * width), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((width, width), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, width), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, width), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=n * width * 4 * width + heads * 4 * n * seq_len * (width // heads),
+            bytes_accessed=2 * n * width * 2 + 4 * width * width,
+            transcendentals=n * seq_len * heads,
+        ),
+        interpret=interpret,
+    )(x, row2(ln_scale), row2(ln_bias), wqkv_q, wqkv_s, row2(bqkv), wo_q, wo_s, row2(bo))
+
+
+def _mlp_block_q8_kernel(
+    x_ref, g_ref, b_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+    o_ref, acc_ref,
+    *, n_chunks: int, eps: float,
+):
+    ff = w1_ref.shape[1]
+    ck = ff // n_chunks
+    x = x_ref[:]
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, -1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), -1, keepdims=True)
+    h = ((xf - mu) * jax.lax.rsqrt(var + eps)) * g_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32)
+    hq, hr = _quantize_rows(h)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    for c in range(n_chunks):
+        f = jax.lax.dot_general(
+            hq, w1_ref[:, c * ck:(c + 1) * ck], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * hr * s1_ref[:, c * ck:(c + 1) * ck]
+        f = f + b1_ref[:, c * ck:(c + 1) * ck].astype(jnp.float32)
+        f = f * jax.nn.sigmoid(1.702 * f)  # QuickGELU, f32
+        fq, fr = _quantize_rows(f)
+        acc_ref[:] += jax.lax.dot_general(
+            fq, w2_ref[c * ck:(c + 1) * ck, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * fr * s2_ref[:]
+    o_ref[:] = x + (acc_ref[:] + b2_ref[:].astype(jnp.float32)).astype(x.dtype)
+
+
+def fused_mlp_block_q8(
+    x: jax.Array,
+    ln_scale: jax.Array,
+    ln_bias: jax.Array,
+    w1_q: jax.Array,
+    w1_s: jax.Array,
+    b1: jax.Array,
+    w2_q: jax.Array,
+    w2_s: jax.Array,
+    b2: jax.Array,
+    *,
+    tile: int = 256,
+    n_chunks: Optional[int] = None,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> jax.Array:
+    """int8 variant of :func:`fused_mlp_block` (per-chunk activation requant)."""
+    width, ff = w1_q.shape
+    _check_common(x, width)
+    n = x.shape[0]
+    n_chunks = default_mlp_chunks(ff) if n_chunks is None else n_chunks
+    if n % tile:
+        raise ValueError(f"rows {n} not divisible by tile {tile}")
+    if ff % n_chunks or (ff // n_chunks) % _LANE:
+        raise ValueError(f"ff {ff} must split into {n_chunks} lane-aligned chunks")
+    kern = functools.partial(_mlp_block_q8_kernel, n_chunks=n_chunks, eps=eps)
+    row2 = lambda a: a.reshape(1, -1)
+    return pl.pallas_call(
+        kern,
+        grid=(n // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, width), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((width, ff), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ff), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ff), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ff, width), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, width), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, width), x.dtype),
+        scratch_shapes=[pltpu.VMEM((tile, width), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * width * ff,
+            bytes_accessed=2 * n * width * 2 + 2 * width * ff,
+            transcendentals=n * ff,
+        ),
+        interpret=interpret,
+    )(x, row2(ln_scale), row2(ln_bias), w1_q, w1_s, row2(b1), w2_q, w2_s, row2(b2))
+
+
+def _layer_q8_kernel(
+    x_ref, g1_ref, c1_ref, wqkv_ref, sqkv_ref, bqkv_ref, wo_ref, so_ref, bo_ref,
+    g2_ref, c2_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+    o_ref, acc_ref,
+    *, tile: int, seq_len: int, mask_len: int, heads: int, n_chunks: int,
+    eps: float, causal: bool,
+):
+    width = x_ref.shape[1]
+    x = x_ref[:]
+
+    # --- attention half (identical math to _attention_block_q8_kernel) ---
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, -1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), -1, keepdims=True)
+    h = ((xf - mu) * jax.lax.rsqrt(var + eps)) * g1_ref[:].astype(jnp.float32) + c1_ref[:].astype(jnp.float32)
+    qkv = _q8_matmul(h, wqkv_ref[:], sqkv_ref[:]) + bqkv_ref[:].astype(jnp.float32)
+    qkv = qkv.astype(x.dtype)
+    attn = _attention_interior(
+        qkv, tile=tile, seq_len=seq_len, mask_len=mask_len, heads=heads,
+        causal=causal, out_dtype=x.dtype,
+    )
+    out = _q8_matmul(attn.astype(jnp.float32), wo_ref[:], so_ref[:]) + bo_ref[:].astype(jnp.float32)
+    y = x + out.astype(x.dtype)
+
+    # --- MLP half (identical math to _mlp_block_q8_kernel), VMEM-resident ---
+    ff = w1_ref.shape[1]
+    ck = ff // n_chunks
+    yf = y.astype(jnp.float32)
+    mu2 = jnp.mean(yf, -1, keepdims=True)
+    var2 = jnp.mean(jnp.square(yf - mu2), -1, keepdims=True)
+    h2 = ((yf - mu2) * jax.lax.rsqrt(var2 + eps)) * g2_ref[:].astype(jnp.float32) + c2_ref[:].astype(jnp.float32)
+    hq, hr = _quantize_rows(h2)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    for c in range(n_chunks):
+        f = jax.lax.dot_general(
+            hq, w1_ref[:, c * ck:(c + 1) * ck], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * hr * s1_ref[:, c * ck:(c + 1) * ck]
+        f = f + b1_ref[:, c * ck:(c + 1) * ck].astype(jnp.float32)
+        f = f * jax.nn.sigmoid(1.702 * f)
+        fq, fr = _quantize_rows(f)
+        acc_ref[:] += jax.lax.dot_general(
+            fq, w2_ref[c * ck:(c + 1) * ck, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * fr * s2_ref[:]
+    o_ref[:] = y + (acc_ref[:] + b2_ref[:].astype(jnp.float32)).astype(x.dtype)
+
+
+def fused_layer_q8(
+    x: jax.Array,
+    ln1_scale: jax.Array,
+    ln1_bias: jax.Array,
+    wqkv_q: jax.Array,
+    wqkv_s: jax.Array,
+    bqkv: jax.Array,
+    wo_q: jax.Array,
+    wo_s: jax.Array,
+    bo: jax.Array,
+    ln2_scale: jax.Array,
+    ln2_bias: jax.Array,
+    w1_q: jax.Array,
+    w1_s: jax.Array,
+    b1: jax.Array,
+    w2_q: jax.Array,
+    w2_s: jax.Array,
+    b2: jax.Array,
+    *,
+    seq_len: int,
+    heads: int,
+    mask_len: Optional[int] = None,
+    tile: Optional[int] = None,
+    n_chunks: Optional[int] = None,
+    eps: float = 1e-5,
+    causal: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """A whole residual layer (attention block + MLP block) in ONE kernel.
+
+    int8 weights make the full layer's weights ~7 MB at L/14 text scale, so
+    both halves fit VMEM together and the residual stream crosses HBM once
+    per layer instead of twice — the bf16 kernels cannot do this (14 MB of
+    weights plus activations exceeds the 16 MB VMEM budget).
+    """
+    width = wqkv_q.shape[0]
+    _check_common(x, width)
+    ff = w1_q.shape[1]
+    n = x.shape[0]
+    tile = tile or default_attention_tile(seq_len)
+    if tile % seq_len or n % tile:
+        raise ValueError(f"rows {n} / tile {tile} / seq_len {seq_len} incompatible")
+    mask_len = seq_len if mask_len is None else mask_len
+    n_chunks = default_mlp_chunks(ff) if n_chunks is None else n_chunks
+    if ff % n_chunks or (ff // n_chunks) % _LANE:
+        raise ValueError(f"ff {ff} must split into {n_chunks} lane-aligned chunks")
+    kern = functools.partial(
+        _layer_q8_kernel,
+        tile=tile, seq_len=seq_len, mask_len=mask_len, heads=heads,
+        n_chunks=n_chunks, eps=eps, causal=causal,
+    )
+    row2 = lambda a: a.reshape(1, -1)
+    fixed = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(n // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, width), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            fixed((1, width)), fixed((1, width)),
+            fixed((width, 3 * width)), fixed((1, 3 * width)), fixed((1, 3 * width)),
+            fixed((width, width)), fixed((1, width)), fixed((1, width)),
+            fixed((1, width)), fixed((1, width)),
+            fixed((width, ff)), fixed((1, ff)), fixed((1, ff)),
+            fixed((ff, width)), fixed((1, width)), fixed((1, width)),
+        ],
+        out_specs=pl.BlockSpec((tile, width), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, width), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile, width), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=n * width * (4 * width + 2 * ff) + heads * 4 * n * seq_len * (width // heads),
+            bytes_accessed=2 * n * width * 2 + width * (4 * width + 2 * ff),
+            transcendentals=n * (seq_len * heads + ff),
+        ),
+        interpret=interpret,
+    )(
+        x, row2(ln1_scale), row2(ln1_bias), wqkv_q, wqkv_s, row2(bqkv),
+        wo_q, wo_s, row2(bo), row2(ln2_scale), row2(ln2_bias),
+        w1_q, w1_s, row2(b1), w2_q, w2_s, row2(b2),
+    )
+
+
+def attention_block_q8_reference(
+    x, ln_scale, ln_bias, wqkv_q, wqkv_s, bqkv, wo_q, wo_s, bo,
+    *, seq_len, heads, mask_len=None, eps: float = 1e-5, causal: bool = True,
+):
+    """XLA oracle with identical int8 math AND op order (row-contiguous
+    sequences). Shares ``_attention_interior`` with the kernels on purpose:
+    quantized paths amplify ulp-level order differences into whole rounding
+    steps, so the exactness oracle must match op order; independence from
+    the kernels is covered by the fp-proximity and flax-cosine tests."""
+    width = wqkv_q.shape[0]
+    mask_len = seq_len if mask_len is None else mask_len
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    h = ((xf - mu) * jax.lax.rsqrt(var + eps)) * ln_scale + ln_bias
+    qkv = (_q8_matmul(h, wqkv_q, wqkv_s) + bqkv).astype(x.dtype)
+    a = _attention_interior(
+        qkv, tile=x.shape[0], seq_len=seq_len, mask_len=mask_len, heads=heads,
+        causal=causal, out_dtype=x.dtype,
+    )
+    out = _q8_matmul(a.astype(jnp.float32), wo_q, wo_s) + bo
+    return x + out.astype(x.dtype)
+
+
+def mlp_block_q8_reference(
+    x, ln_scale, ln_bias, w1_q, w1_s, b1, w2_q, w2_s, b2,
+    *, n_chunks: Optional[int] = None, eps: float = 1e-5
+):
+    """Matches the kernel bit-for-bit, including its per-FF-chunk activation
+    requantization (the chunk count changes the dynamic scales slightly)."""
+    ff = w1_q.shape[1]
+    n_chunks = default_mlp_chunks(ff) if n_chunks is None else n_chunks
+    ck = ff // n_chunks
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    h = ((xf - mu) * jax.lax.rsqrt(var + eps)) * ln_scale + ln_bias
+    hq, hr = _quantize_rows(h)
+    acc = b2.astype(jnp.float32)
+    for c in range(n_chunks):
+        f = jax.lax.dot_general(
+            hq, w1_q[:, c * ck:(c + 1) * ck], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * hr * w1_s[:, c * ck:(c + 1) * ck]
+        f = f + b1[c * ck:(c + 1) * ck]
+        f = f * jax.nn.sigmoid(1.702 * f)
+        fq, fr = _quantize_rows(f)
+        acc = acc + jax.lax.dot_general(
+            fq, w2_q[c * ck:(c + 1) * ck, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * fr * w2_s
+    return x + acc.astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -35,6 +35,7 @@ def main() -> None:
 
     model, params, ids_variants, cimg, ctxt, _ = _build(args.corpus, args.batch, args.model)
     plan = make_text_plan(params)
+    plan_q8 = make_text_plan(params, quantize="int8")
 
     def encode_only(plan, ids, cimg, ctxt):
         q = l2_normalize(encode_text_fast(model.arch, plan, ids)).astype(cimg.dtype)
@@ -57,8 +58,14 @@ def main() -> None:
         q = l2_normalize(encode_text_fast(model.arch, plan, ids)).astype(cimg.dtype)
         return fused_similarity_topk(q, cimg, ctxt, k=args.k, alpha=0.5)
 
-    for name, fn in [("encode_only", encode_only), ("topk_only", topk_only), ("full", full)]:
-        t = _time(fn, plan, ids_variants, cimg, ctxt, iters=args.iters)
+    for name, fn, p in [
+        ("encode_only", encode_only, plan),
+        ("topk_only", topk_only, plan),
+        ("full", full, plan),
+        ("encode_q8", encode_only, plan_q8),
+        ("full_q8", full, plan_q8),
+    ]:
+        t = _time(fn, p, ids_variants, cimg, ctxt, iters=args.iters)
         print(f"{name:12s} {t * 1e3:8.3f} ms  ({args.batch / t:9.1f} q/s)")
 
 

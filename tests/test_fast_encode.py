@@ -14,14 +14,20 @@ from knowledge_enhanced_multimodal_retrieval_tpu.models import clip as M
 from knowledge_enhanced_multimodal_retrieval_tpu.models.fast_encode import (
     encode_text_fast,
     make_text_plan,
+    plan_is_quantized,
 )
 from knowledge_enhanced_multimodal_retrieval_tpu.ops.fused_block import (
+    attention_block_q8_reference,
     attention_block_reference,
     default_attention_tile,
     fused_attention_block,
+    fused_attention_block_q8,
     fused_mlp_block,
+    fused_mlp_block_q8,
+    mlp_block_q8_reference,
     mlp_block_reference,
     pad_rows,
+    quantize_weight,
 )
 
 W, H, S = 256, 4, 16
@@ -124,6 +130,120 @@ def test_default_attention_tile():
     assert default_attention_tile(64) == 256
     assert default_attention_tile(80) % 80 == 0
     assert default_attention_tile(80) % 16 == 0
+
+
+# ---------------------------------------------------------------------------
+# int8 (W8A8 dynamic) variants
+# ---------------------------------------------------------------------------
+
+
+def _q8_attn_weights(rng, width=W):
+    wts = _attn_weights(rng, width)
+    wqkv_q, wqkv_s = quantize_weight(wts["wqkv"])
+    wo_q, wo_s = quantize_weight(wts["wo"])
+    return dict(
+        ln_scale=wts["ln_scale"], ln_bias=wts["ln_bias"],
+        wqkv_q=wqkv_q, wqkv_s=wqkv_s, bqkv=wts["bqkv"],
+        wo_q=wo_q, wo_s=wo_s, bo=wts["bo"],
+    ), wts
+
+
+def test_quantize_weight_roundtrip(rng):
+    w = jnp.asarray(rng.standard_normal((W, 2 * W)) * 0.05, jnp.float32)
+    wq, s = quantize_weight(w)
+    assert wq.dtype == jnp.int8 and s.shape == (1, 2 * W)
+    err = np.abs(np.asarray(wq, np.float32) * np.asarray(s) - np.asarray(w)).max()
+    assert err <= np.asarray(s).max() / 2 + 1e-7  # within half a step
+
+
+def test_fused_attention_block_q8_matches_reference(rng):
+    x = jnp.asarray(rng.standard_normal((8 * S, W)), jnp.float32)
+    q8, _ = _q8_attn_weights(rng)
+    ref = attention_block_q8_reference(x, **q8, seq_len=S, heads=H)
+    # single tile == identical op order == exact; multi-tile grouping can
+    # shift f32 ulps across int8 rounding boundaries, so it gets a
+    # quant-step tolerance instead (steps ~ wo_s, here ~2e-3)
+    got1 = fused_attention_block_q8(x, **q8, seq_len=S, heads=H, tile=8 * S, interpret=True)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(ref), atol=1e-4, rtol=1e-4)
+    got4 = fused_attention_block_q8(x, **q8, seq_len=S, heads=H, tile=2 * S, interpret=True)
+    np.testing.assert_allclose(np.asarray(got4), np.asarray(ref), atol=0.02)
+
+
+def test_q8_attention_close_to_fp(rng):
+    """Quantization error stays small relative to the fp32 block output."""
+    x = jnp.asarray(rng.standard_normal((4 * S, W)), jnp.float32)
+    q8, wts = _q8_attn_weights(rng)
+    fp = np.asarray(attention_block_reference(x, **wts, seq_len=S, heads=H))
+    q = np.asarray(attention_block_q8_reference(x, **q8, seq_len=S, heads=H))
+    denom = np.abs(fp).max()
+    assert np.abs(q - fp).max() / denom < 0.05
+
+
+def test_fused_mlp_block_q8_matches_reference(rng):
+    x = jnp.asarray(rng.standard_normal((128, W)), jnp.float32)
+    wts = _mlp_weights(rng)
+    w1_q, w1_s = quantize_weight(wts["w1"])
+    w2_q, w2_s = quantize_weight(wts["w2"])
+    q8 = dict(
+        ln_scale=wts["ln_scale"], ln_bias=wts["ln_bias"],
+        w1_q=w1_q, w1_s=w1_s, b1=wts["b1"], w2_q=w2_q, w2_s=w2_s, b2=wts["b2"],
+    )
+    ref = mlp_block_q8_reference(x, **q8, n_chunks=4)
+    got = fused_mlp_block_q8(x, **q8, tile=32, n_chunks=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
+    fp = np.asarray(mlp_block_reference(x, **wts))
+    assert np.abs(np.asarray(ref) - fp).max() / np.abs(fp).max() < 0.05
+
+
+def test_fused_layer_q8_matches_two_block_kernels(rng):
+    """The single-kernel layer == its two building-block kernels, bit-exact
+    at the same tile; and tracks the two-block reference chain to within a
+    few quantization steps (cross-grouping ulps can flip int8 roundings)."""
+    from knowledge_enhanced_multimodal_retrieval_tpu.ops.fused_block import fused_layer_q8
+
+    x = jnp.asarray(rng.standard_normal((4 * S, W)), jnp.float32)
+    q8a, _ = _q8_attn_weights(rng)
+    m = _mlp_weights(rng)
+    w1_q, w1_s = quantize_weight(m["w1"])
+    w2_q, w2_s = quantize_weight(m["w2"])
+    blocks = fused_attention_block_q8(x, **q8a, seq_len=S, heads=H, tile=2 * S, interpret=True)
+    blocks = fused_mlp_block_q8(
+        blocks, m["ln_scale"], m["ln_bias"], w1_q, w1_s, m["b1"], w2_q, w2_s, m["b2"],
+        tile=2 * S, n_chunks=4, interpret=True,
+    )
+    got = fused_layer_q8(
+        x, q8a["ln_scale"], q8a["ln_bias"], q8a["wqkv_q"], q8a["wqkv_s"], q8a["bqkv"],
+        q8a["wo_q"], q8a["wo_s"], q8a["bo"], m["ln_scale"], m["ln_bias"],
+        w1_q, w1_s, m["b1"], w2_q, w2_s, m["b2"],
+        seq_len=S, heads=H, tile=2 * S, n_chunks=4, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(blocks))
+    ref = attention_block_q8_reference(x, **q8a, seq_len=S, heads=H)
+    ref = mlp_block_q8_reference(
+        ref, m["ln_scale"], m["ln_bias"], w1_q, w1_s, m["b1"], w2_q, w2_s, m["b2"],
+        n_chunks=4,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0.05)
+
+
+def test_encode_text_fast_int8_plan(tiny_model, rng):
+    """int8 plan: kernel == reference, and cosine vs the fp tower stays high."""
+    model, params = tiny_model
+    ids = _ids(rng, 6, TINY.context_length)
+    plan = make_text_plan(params, dtype=jnp.float32, quantize="int8")
+    assert plan_is_quantized(plan)
+    ref = np.asarray(encode_text_fast(TINY, plan, ids, use_fused=False))
+    got = np.asarray(encode_text_fast(TINY, plan, ids, use_fused=True, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+    fp = np.asarray(model.apply({"params": params}, ids, method=M.CLIP.encode_text))
+    cos = np.sum(ref * fp, -1) / (np.linalg.norm(ref, axis=-1) * np.linalg.norm(fp, axis=-1))
+    assert cos.min() > 0.999, cos
+
+
+def test_make_text_plan_rejects_unknown_mode(tiny_model):
+    _, params = tiny_model
+    with pytest.raises(ValueError):
+        make_text_plan(params, quantize="int4")
 
 
 # ---------------------------------------------------------------------------

@@ -94,6 +94,28 @@ def test_clip_retrieval_fused_encoder_matches_flax(world):
     )
 
 
+def test_clip_retrieval_int8_encoder_ranking(world):
+    """Opt-in W8A8 serving: rankings track the fp path, scores within 1%."""
+    model, params, tok, store, rt = world
+    base = CLIPRetrieval(model, params, tok, store, top_k=10)
+    q8 = CLIPRetrieval(
+        model, params, tok, store, top_k=10, use_fused_encoder=True, quantize="int8"
+    )
+    a = base.retrieval("hello cat", alpha=0.5)
+    b = q8.retrieval("hello cat", alpha=0.5)
+    assert a[0]["uuid"] == b[0]["uuid"]  # top hit stable under quantization
+    assert len(set(x["uuid"] for x in a) & set(x["uuid"] for x in b)) >= 8
+    np.testing.assert_allclose(
+        [x["score"] for x in a], [x["score"] for x in b], atol=0.01
+    )
+
+
+def test_clip_retrieval_quantize_requires_fused_encoder(world):
+    model, params, tok, store, rt = world
+    with pytest.raises(ValueError):
+        CLIPRetrieval(model, params, tok, store, use_fused_encoder=False, quantize="int8")
+
+
 def test_clip_retrieval_sharded_matches_dense(world):
     model, params, tok, store, rt = world
     dense = CLIPRetrieval(model, params, tok, store, top_k=7)
