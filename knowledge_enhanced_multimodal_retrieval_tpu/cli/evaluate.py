@@ -53,6 +53,7 @@ def main(argv=None) -> dict:
         t2t_weight=cfg.eval.t2t_weight,
         text2sparql_results=t2s_results,
         output_json=out,
+        encoder=cfg.eval.encoder,
     )
     logger.info("saved %s", out)
     for key, value in report["per_task"].items():

@@ -33,7 +33,13 @@ def main(argv=None) -> str:
     model, params = build_model_and_params(cfg)
     rt = build_runtime(cfg)
     pipe = build_pipeline(cfg, cfg.data.split_test)
-    store = build_embedding_store(model, params, pipe, rt, batch_size=cfg.eval.batch_size)
+    if cfg.eval.encoder not in ("flax", "fast", "int8"):
+        raise ValueError(f"unknown eval.encoder {cfg.eval.encoder!r}: expected flax|fast|int8")
+    store = build_embedding_store(
+        model, params, pipe, rt, batch_size=cfg.eval.batch_size,
+        use_fast=cfg.eval.encoder in ("fast", "int8"),
+        quantize="int8" if cfg.eval.encoder == "int8" else None,
+    )
     os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
     store.save(out)
     logger.info("saved %d x %d embedding store to %s", len(store), store.dim, out)

@@ -56,10 +56,22 @@ def encode_dataset(
     pipeline: DataPipeline,
     rt: MeshRuntime,
     batch_size: int = 256,
+    use_fast: bool = False,
+    quantize: Optional[str] = None,
 ) -> EncodedDataset:
     """Encode every example (order-preserving; final partial batch padded to
-    keep jit shapes static, then sliced)."""
-    encode_step = make_encode_step(model, rt)
+    keep jit shapes static, then sliced).
+
+    ``use_fast=True`` (implied by ``quantize``) packs both towers into
+    serving plans (``models.fast_encode``) and encodes through the fused /
+    int8 kernels — same embeddings within kernel tolerance, much faster at
+    corpus scale."""
+    use_fast = use_fast or quantize is not None
+    if use_fast:
+        from ..models.fast_encode import make_encode_plans
+
+        params = make_encode_plans(params, dtype=model.dtype, quantize=quantize)
+    encode_step = make_encode_step(model, rt, fast=use_fast)
     imgs, qs, ts, uuids = [], [], [], []
     shard = rt.num_data
     # every device batch must divide the data axis; one static shape for jit
@@ -160,11 +172,20 @@ def run_full_evaluation(
     t2t_weight: float = 0.5,
     text2sparql_results: Optional[Mapping[str, Sequence[str]]] = None,
     output_json: Optional[str] = None,
+    encoder: str = "flax",
 ) -> Dict[str, object]:
     """End-to-end eval: encode -> 3-task metrics -> weighted combined ->
-    optional fusion sweep -> optional JSON persistence (``evaluator.py:260-389``)."""
+    optional fusion sweep -> optional JSON persistence (``evaluator.py:260-389``).
+
+    ``encoder``: "flax" (exact), "fast" (fused bf16), or "int8" (W8A8)."""
+    if encoder not in ("flax", "fast", "int8"):
+        raise ValueError(f"unknown encoder {encoder!r}: expected flax|fast|int8")
     rt = rt or MeshRuntime.create()
-    encoded = encode_dataset(model, params, pipeline, rt, batch_size)
+    encoded = encode_dataset(
+        model, params, pipeline, rt, batch_size,
+        use_fast=encoder in ("fast", "int8"),
+        quantize="int8" if encoder == "int8" else None,
+    )
     report: Dict[str, object] = {
         "num_samples": len(encoded.uuids),
         "per_task": evaluate_clip_model(encoded, k_values),

@@ -32,8 +32,10 @@ from ..ops.fused_block import (
     attention_block_reference,
     default_attention_tile,
     fused_attention_block,
+    fused_attention_block_q8,
     fused_layer_q8,
     fused_mlp_block,
+    fused_mlp_block_q8,
     mlp_block_q8_reference,
     mlp_block_reference,
     pad_rows,
@@ -57,10 +59,47 @@ def make_text_plan(params, dtype=jnp.bfloat16, quantize: Optional[str] = None) -
         raise ValueError(f"unknown quantize mode: {quantize!r}")
     tp = params["text"]
     cast = lambda a: jnp.asarray(a, dtype)
+    return {
+        "token_embedding": cast(tp["token_embedding"]["embedding"]),
+        "positional_embedding": cast(tp["positional_embedding"]),
+        "layers": _pack_layers(tp["transformer"], dtype, quantize),
+        "lnf_scale": jnp.asarray(tp["ln_final"]["ln"]["scale"], jnp.float32),
+        "lnf_bias": jnp.asarray(tp["ln_final"]["ln"]["bias"], jnp.float32),
+        "text_projection": cast(tp["text_projection"]),
+        # NOTE: no string marker here — the plan travels through jit as a
+        # pytree; quantization is detected from the packed weight dtype.
+    }
+
+
+def make_vision_plan(params, dtype=jnp.bfloat16, quantize: Optional[str] = None) -> Dict[str, Any]:
+    """Pack the vision tower's params (``models.clip.VisionTransformer``) for
+    :func:`encode_image_fast`. The conv patch embed is reshaped to a matmul
+    weight (stride == kernel size makes the conv an exact patch matmul)."""
+    if quantize not in (None, "int8"):
+        raise ValueError(f"unknown quantize mode: {quantize!r}")
+    vp = params["visual"]
+    cast = lambda a: jnp.asarray(a, dtype)
+    conv = jnp.asarray(vp["conv1"]["kernel"])  # [P, P, 3, width]
+    p = conv.shape[0]
+    return {
+        "conv_w": cast(conv.reshape(p * p * 3, conv.shape[-1])),
+        "class_embedding": cast(vp["class_embedding"]),
+        "positional_embedding": cast(vp["positional_embedding"]),
+        "ln_pre_scale": jnp.asarray(vp["ln_pre"]["ln"]["scale"], jnp.float32),
+        "ln_pre_bias": jnp.asarray(vp["ln_pre"]["ln"]["bias"], jnp.float32),
+        "layers": _pack_layers(vp["transformer"], dtype, quantize),
+        "ln_post_scale": jnp.asarray(vp["ln_post"]["ln"]["scale"], jnp.float32),
+        "ln_post_bias": jnp.asarray(vp["ln_post"]["ln"]["bias"], jnp.float32),
+        "proj": cast(vp["proj"]),
+    }
+
+
+def _pack_layers(transformer_params, dtype, quantize: Optional[str]) -> list:
+    cast = lambda a: jnp.asarray(a, dtype)
     layers = []
     i = 0
-    while f"resblocks_{i}" in tp["transformer"]:
-        blk = tp["transformer"][f"resblocks_{i}"]
+    while f"resblocks_{i}" in transformer_params:
+        blk = transformer_params[f"resblocks_{i}"]
         lp = {
             "ln1_scale": jnp.asarray(blk["ln_1"]["ln"]["scale"], jnp.float32),
             "ln1_bias": jnp.asarray(blk["ln_1"]["ln"]["bias"], jnp.float32),
@@ -86,20 +125,19 @@ def make_text_plan(params, dtype=jnp.bfloat16, quantize: Optional[str] = None) -
             lp["w2"] = cast(blk["mlp"]["c_proj"]["kernel"])
         layers.append(lp)
         i += 1
-    return {
-        "token_embedding": cast(tp["token_embedding"]["embedding"]),
-        "positional_embedding": cast(tp["positional_embedding"]),
-        "layers": layers,
-        "lnf_scale": jnp.asarray(tp["ln_final"]["ln"]["scale"], jnp.float32),
-        "lnf_bias": jnp.asarray(tp["ln_final"]["ln"]["bias"], jnp.float32),
-        "text_projection": cast(tp["text_projection"]),
-        # NOTE: no string marker here — the plan travels through jit as a
-        # pytree; quantization is detected from the packed weight dtype.
-    }
+    return layers
 
 
 def plan_is_quantized(plan: Dict[str, Any]) -> bool:
     return plan["layers"][0]["wqkv"].dtype == jnp.int8
+
+
+def make_encode_plans(params, dtype=jnp.bfloat16, quantize: Optional[str] = None) -> Dict[str, Any]:
+    """Both towers' packed plans, keyed like the param tree (visual/text)."""
+    return {
+        "visual": make_vision_plan(params, dtype=dtype, quantize=quantize),
+        "text": make_text_plan(params, dtype=dtype, quantize=quantize),
+    }
 
 
 # Row-tile target for the serving kernels. Measured on v5e at L/14 text
@@ -110,6 +148,100 @@ _TILE_TARGET = 512
 
 def _mlp_tile(n_rows: int, attn_tile: int) -> int:
     return _TILE_TARGET if n_rows % _TILE_TARGET == 0 else attn_tile
+
+
+# VMEM planning (v5e: ~16 MB/core). A kernel's resident weights must leave
+# room for the row tile's activations; these caps encode the measured limits.
+_LAYER_Q8_WEIGHT_CAP = 9 * 2**20  # whole-layer q8 kernel (text L/14: 7.1 MB ok)
+_BLOCK_WEIGHT_CAP = 10 * 2**20  # single attention/MLP block, any dtype
+
+
+def _layer_weight_bytes(lp: Dict[str, Any]) -> int:
+    return sum(lp[k].size * lp[k].dtype.itemsize for k in ("wqkv", "wo", "w1", "w2"))
+
+
+def _block_weight_bytes(lp: Dict[str, Any], which: str) -> int:
+    keys = ("wqkv", "wo") if which == "attn" else ("w1", "w2")
+    return sum(lp[k].size * lp[k].dtype.itemsize for k in keys)
+
+
+def _apply_layers(
+    x: jax.Array,
+    layers,
+    *,
+    s_pad: int,
+    heads: int,
+    mask_len: int,
+    tile: int,
+    mtile: int,
+    use_fused: bool,
+    causal: bool,
+    interpret: bool,
+) -> jax.Array:
+    """Run the residual layers, picking the best kernel strategy per layer
+    size: whole-layer q8 kernel when its weights fit VMEM, individual fused
+    blocks otherwise, XLA reference blocks when a block's weights don't fit
+    (vision-L/14 bf16 MLP) or off-TPU."""
+    if not layers:
+        return x
+    q8 = layers[0]["wqkv"].dtype == jnp.int8
+    for lp in layers:
+        if q8 and use_fused and _layer_weight_bytes(lp) <= _LAYER_Q8_WEIGHT_CAP:
+            x = fused_layer_q8(
+                x, lp["ln1_scale"], lp["ln1_bias"], lp["wqkv"], lp["wqkv_s"],
+                lp["bqkv"], lp["wo"], lp["wo_s"], lp["bo"],
+                lp["ln2_scale"], lp["ln2_bias"], lp["w1"], lp["w1_s"],
+                lp["b1"], lp["w2"], lp["w2_s"], lp["b2"],
+                seq_len=s_pad, heads=heads, mask_len=mask_len, tile=tile,
+                causal=causal, interpret=interpret,
+            )
+        elif q8 and use_fused:
+            x = fused_attention_block_q8(
+                x, lp["ln1_scale"], lp["ln1_bias"], lp["wqkv"], lp["wqkv_s"],
+                lp["bqkv"], lp["wo"], lp["wo_s"], lp["bo"],
+                seq_len=s_pad, heads=heads, mask_len=mask_len, tile=tile,
+                causal=causal, interpret=interpret,
+            )
+            x = fused_mlp_block_q8(
+                x, lp["ln2_scale"], lp["ln2_bias"], lp["w1"], lp["w1_s"],
+                lp["b1"], lp["w2"], lp["w2_s"], lp["b2"],
+                tile=mtile, interpret=interpret,
+            )
+        elif q8:
+            x = attention_block_q8_reference(
+                x, lp["ln1_scale"], lp["ln1_bias"], lp["wqkv"], lp["wqkv_s"],
+                lp["bqkv"], lp["wo"], lp["wo_s"], lp["bo"],
+                seq_len=s_pad, heads=heads, mask_len=mask_len, causal=causal,
+            )
+            x = mlp_block_q8_reference(
+                x, lp["ln2_scale"], lp["ln2_bias"], lp["w1"], lp["w1_s"],
+                lp["b1"], lp["w2"], lp["w2_s"], lp["b2"],
+            )
+        else:
+            if use_fused and _block_weight_bytes(lp, "attn") <= _BLOCK_WEIGHT_CAP:
+                x = fused_attention_block(
+                    x, lp["ln1_scale"], lp["ln1_bias"], lp["wqkv"], lp["bqkv"],
+                    lp["wo"], lp["bo"], seq_len=s_pad, heads=heads,
+                    mask_len=mask_len, tile=tile, causal=causal,
+                    interpret=interpret,
+                )
+            else:
+                x = attention_block_reference(
+                    x, lp["ln1_scale"], lp["ln1_bias"], lp["wqkv"], lp["bqkv"],
+                    lp["wo"], lp["bo"], seq_len=s_pad, heads=heads,
+                    mask_len=mask_len, causal=causal,
+                )
+            if use_fused and _block_weight_bytes(lp, "mlp") <= _BLOCK_WEIGHT_CAP:
+                x = fused_mlp_block(
+                    x, lp["ln2_scale"], lp["ln2_bias"], lp["w1"], lp["b1"],
+                    lp["w2"], lp["b2"], tile=mtile, interpret=interpret,
+                )
+            else:
+                x = mlp_block_reference(
+                    x, lp["ln2_scale"], lp["ln2_bias"], lp["w1"], lp["b1"],
+                    lp["w2"], lp["b2"],
+                )
+    return x
 
 
 def encode_text_fast(
@@ -143,50 +275,10 @@ def encode_text_fast(
     x = pad_rows(x, tile)
     mtile = _mlp_tile(x.shape[0], tile)
 
-    q8 = plan_is_quantized(plan)
-    for lp in plan["layers"]:
-        if q8:
-            if use_fused:
-                # whole residual layer in one kernel: int8 weights are small
-                # enough that attention + MLP fit VMEM together, so the
-                # residual stream crosses HBM once per layer
-                x = fused_layer_q8(
-                    x, lp["ln1_scale"], lp["ln1_bias"], lp["wqkv"], lp["wqkv_s"],
-                    lp["bqkv"], lp["wo"], lp["wo_s"], lp["bo"],
-                    lp["ln2_scale"], lp["ln2_bias"], lp["w1"], lp["w1_s"],
-                    lp["b1"], lp["w2"], lp["w2_s"], lp["b2"],
-                    seq_len=s_pad, heads=heads, mask_len=s, tile=tile,
-                    interpret=interpret,
-                )
-            else:
-                x = attention_block_q8_reference(
-                    x, lp["ln1_scale"], lp["ln1_bias"], lp["wqkv"], lp["wqkv_s"],
-                    lp["bqkv"], lp["wo"], lp["wo_s"], lp["bo"],
-                    seq_len=s_pad, heads=heads, mask_len=s,
-                )
-                x = mlp_block_q8_reference(
-                    x, lp["ln2_scale"], lp["ln2_bias"], lp["w1"], lp["w1_s"],
-                    lp["b1"], lp["w2"], lp["w2_s"], lp["b2"],
-                )
-        elif use_fused:
-            x = fused_attention_block(
-                x, lp["ln1_scale"], lp["ln1_bias"], lp["wqkv"], lp["bqkv"],
-                lp["wo"], lp["bo"], seq_len=s_pad, heads=heads, mask_len=s,
-                tile=tile, interpret=interpret,
-            )
-            x = fused_mlp_block(
-                x, lp["ln2_scale"], lp["ln2_bias"], lp["w1"], lp["b1"],
-                lp["w2"], lp["b2"], tile=mtile, interpret=interpret,
-            )
-        else:
-            x = attention_block_reference(
-                x, lp["ln1_scale"], lp["ln1_bias"], lp["wqkv"], lp["bqkv"],
-                lp["wo"], lp["bo"], seq_len=s_pad, heads=heads, mask_len=s,
-            )
-            x = mlp_block_reference(
-                x, lp["ln2_scale"], lp["ln2_bias"], lp["w1"], lp["b1"],
-                lp["w2"], lp["b2"],
-            )
+    x = _apply_layers(
+        x, plan["layers"], s_pad=s_pad, heads=heads, mask_len=s, tile=tile,
+        mtile=mtile, use_fused=use_fused, causal=True, interpret=interpret,
+    )
 
     # EOT-pool BEFORE the final LayerNorm: LN is row-local, so gathering the
     # B pooled rows first is mathematically identical to the flax tower's
@@ -199,3 +291,65 @@ def encode_text_fast(
     var = ((pf - mu) ** 2).mean(-1, keepdims=True)
     pooled = ((pf - mu) * jax.lax.rsqrt(var + 1e-5)) * plan["lnf_scale"] + plan["lnf_bias"]
     return (pooled.astype(dtype) @ plan["text_projection"]).astype(jnp.float32)
+
+
+def encode_image_fast(
+    arch,
+    plan: Dict[str, Any],
+    images: jax.Array,
+    *,
+    use_fused: Optional[bool] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """images [B, H, W, 3] (NHWC, preprocessed) -> [B, embed_dim] float32.
+
+    Semantics match ``models.clip.VisionTransformer`` exactly: the strided
+    conv is computed as an exact patch matmul, attention is bidirectional,
+    pooling takes the class token, LayerNorms run in fp32. At vision-L/14
+    widths (1024/4096) the whole-layer q8 kernel exceeds VMEM, so the q8
+    path runs per-block kernels; the bf16 MLP falls back to XLA (16.8 MB of
+    weights cannot be VMEM-resident) — ``_apply_layers`` picks per layer.
+    """
+    if use_fused is None:
+        use_fused = on_tpu()
+    b = images.shape[0]
+    p = arch.vision_patch_size
+    g = arch.grid_size
+    width = plan["conv_w"].shape[1]
+    heads = arch.heads_vision
+    dtype = plan["conv_w"].dtype
+
+    # strided conv == patch matmul: [B, g, p, g, p, 3] -> [B, g*g, p*p*3]
+    x = images.astype(dtype).reshape(b, g, p, g, p, 3)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, g * g, p * p * 3)
+    x = x @ plan["conv_w"]
+
+    cls = jnp.broadcast_to(plan["class_embedding"], (b, 1, width))
+    x = jnp.concatenate([cls, x], axis=1) + plan["positional_embedding"]
+    s = g * g + 1
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    x = (((xf - mu) * jax.lax.rsqrt(var + 1e-5)) * plan["ln_pre_scale"] + plan["ln_pre_bias"]).astype(dtype)
+
+    s_pad = -(-s // _SUBLANE) * _SUBLANE
+    if s_pad != s:
+        x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+    x = x.reshape(b * s_pad, width)
+    n = x.shape[0]
+    tile = default_attention_tile(s_pad, target=_TILE_TARGET)
+    x = pad_rows(x, tile)
+    mtile = _mlp_tile(x.shape[0], tile)
+
+    x = _apply_layers(
+        x, plan["layers"], s_pad=s_pad, heads=heads, mask_len=s, tile=tile,
+        mtile=mtile, use_fused=use_fused, causal=False, interpret=interpret,
+    )
+
+    # class-token pool, then fp32 LN on the B pooled rows (row-local)
+    pooled = unpad_rows(x, n).reshape(b, s_pad, width)[:, 0]
+    pf = pooled.astype(jnp.float32)
+    mu = pf.mean(-1, keepdims=True)
+    var = ((pf - mu) ** 2).mean(-1, keepdims=True)
+    pooled = ((pf - mu) * jax.lax.rsqrt(var + 1e-5)) * plan["ln_post_scale"] + plan["ln_post_bias"]
+    return (pooled.astype(dtype) @ plan["proj"]).astype(jnp.float32)

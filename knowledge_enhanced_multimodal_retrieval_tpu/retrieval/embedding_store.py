@@ -100,13 +100,18 @@ def build_embedding_store(
     pipeline: DataPipeline,
     rt: Optional[MeshRuntime] = None,
     batch_size: int = 256,
+    use_fast: bool = False,
+    quantize: Optional[str] = None,
 ) -> EmbeddingStore:
     """Precompute corpus embeddings with the mesh-sharded encoder.
 
     The ``text`` tower stores *target_text* embeddings (the corpus documents
-    the serving engine scores T2T against)."""
+    the serving engine scores T2T against). ``use_fast``/``quantize`` route
+    through the fused / int8 towers (``models.fast_encode``)."""
     from ..eval.evaluator import encode_dataset
 
     rt = rt or MeshRuntime.create()
-    encoded = encode_dataset(model, params, pipeline, rt, batch_size)
+    encoded = encode_dataset(
+        model, params, pipeline, rt, batch_size, use_fast=use_fast, quantize=quantize
+    )
     return EmbeddingStore(image=encoded.image, text=encoded.target, uuids=encoded.uuids)

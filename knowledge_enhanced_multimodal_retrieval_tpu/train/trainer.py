@@ -212,11 +212,23 @@ def make_train_step(
 # ---------------------------------------------------------------------------
 
 
-def make_encode_step(model: CLIP, rt: MeshRuntime) -> Callable:
-    """Jitted mesh encode: batch -> normalized (img, query, target) embeddings."""
+def make_encode_step(model: CLIP, rt: MeshRuntime, fast: bool = False) -> Callable:
+    """Jitted mesh encode: batch -> normalized (img, query, target) embeddings.
+
+    ``fast=True`` returns a step that takes encode *plans* (see
+    ``models.fast_encode.make_encode_plans``) instead of raw params and runs
+    the fused/quantized serving towers — used by ``eval.encode_dataset`` and
+    ``retrieval.build_embedding_store`` for accelerated precompute."""
     axis = rt.data_axis
 
     def local(params, images, query_ids, target_ids):
+        if fast:
+            from ..models.fast_encode import encode_image_fast, encode_text_fast
+
+            img_e = l2_normalize(encode_image_fast(model.arch, params["visual"], images))
+            q_e = l2_normalize(encode_text_fast(model.arch, params["text"], query_ids))
+            t_e = l2_normalize(encode_text_fast(model.arch, params["text"], target_ids))
+            return img_e, q_e, t_e
         img_e = l2_normalize(model.apply({"params": params}, images, method=CLIP.encode_image))
         q_e = l2_normalize(model.apply({"params": params}, query_ids, method=CLIP.encode_text))
         t_e = l2_normalize(model.apply({"params": params}, target_ids, method=CLIP.encode_text))

@@ -280,6 +280,9 @@ class EvalConfig:
     t2t_weight: float = 0.5
     seed: int = 42
     output_dir: str = "experiments"
+    # encoder path for encode/precompute: "flax" (exact), "fast" (fused
+    # bf16 Pallas kernels), or "int8" (fused W8A8 — fastest, ~1% scores)
+    encoder: str = "flax"
 
 
 @dataclass(frozen=True)

@@ -37,6 +37,33 @@ def test_encode_dataset_order_and_shapes(world):
     np.testing.assert_allclose(np.linalg.norm(enc.image, axis=1), 1.0, rtol=1e-4)
 
 
+def test_encode_dataset_fast_matches_flax(world):
+    """The fused-plan encode path reproduces the flax encode (both towers)."""
+    model, params, pipe, rt = world
+    base = E.encode_dataset(model, params, pipe, rt, batch_size=16)
+    fast = E.encode_dataset(model, params, pipe, rt, batch_size=16, use_fast=True)
+    np.testing.assert_allclose(fast.image, base.image, atol=1e-4)
+    np.testing.assert_allclose(fast.query, base.query, atol=1e-4)
+    np.testing.assert_allclose(fast.target, base.target, atol=1e-4)
+    assert fast.uuids == base.uuids
+
+
+def test_encode_dataset_int8_cosine(world):
+    """int8 precompute: embeddings stay within quantization tolerance."""
+    model, params, pipe, rt = world
+    base = E.encode_dataset(model, params, pipe, rt, batch_size=16)
+    q8 = E.encode_dataset(model, params, pipe, rt, batch_size=16, quantize="int8")
+    for a, b in ((q8.image, base.image), (q8.query, base.query), (q8.target, base.target)):
+        cos = np.sum(a * b, -1)  # both l2-normalized
+        assert cos.min() > 0.999, cos.min()
+
+
+def test_run_full_evaluation_rejects_bad_encoder(world):
+    model, params, pipe, rt = world
+    with pytest.raises(ValueError):
+        E.run_full_evaluation(model, params, pipe, rt, encoder="fp16")
+
+
 def test_encode_padding_no_garbage(world):
     """Padded tail rows must not leak into the output (41 % 16 != 0)."""
     model, params, pipe, rt = world

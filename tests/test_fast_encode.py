@@ -307,6 +307,41 @@ def test_encode_text_fast_odd_batch(tiny_model, rng):
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
 
+def test_encode_image_fast_matches_flax(tiny_model, rng):
+    from knowledge_enhanced_multimodal_retrieval_tpu.models.fast_encode import (
+        encode_image_fast,
+        make_vision_plan,
+    )
+
+    model, params = tiny_model
+    imgs = jnp.asarray(rng.standard_normal((3, 32, 32, 3)), jnp.float32)
+    want = np.asarray(model.apply({"params": params}, imgs, method=M.CLIP.encode_image))
+    plan = make_vision_plan(params, dtype=jnp.float32)
+    got = np.asarray(encode_image_fast(TINY, plan, imgs, use_fused=False))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+    got_k = np.asarray(encode_image_fast(TINY, plan, imgs, use_fused=True, interpret=True))
+    np.testing.assert_allclose(got_k, want, atol=1e-4, rtol=1e-4)
+
+
+def test_encode_image_fast_int8_cosine(tiny_model, rng):
+    from knowledge_enhanced_multimodal_retrieval_tpu.models.fast_encode import (
+        encode_image_fast,
+        make_vision_plan,
+    )
+
+    model, params = tiny_model
+    imgs = jnp.asarray(rng.standard_normal((3, 32, 32, 3)), jnp.float32)
+    fp = np.asarray(model.apply({"params": params}, imgs, method=M.CLIP.encode_image))
+    plan = make_vision_plan(params, dtype=jnp.float32, quantize="int8")
+    ref = np.asarray(encode_image_fast(TINY, plan, imgs, use_fused=False))
+    got = np.asarray(encode_image_fast(TINY, plan, imgs, use_fused=True, interpret=True))
+    # kernel path == reference path exactly only at identical grouping;
+    # here both run one tile, so keep the tolerance tight
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)
+    cos = np.sum(ref * fp, -1) / (np.linalg.norm(ref, axis=-1) * np.linalg.norm(fp, axis=-1))
+    assert cos.min() > 0.999, cos
+
+
 def test_encode_text_fast_jits(tiny_model, rng):
     model, params = tiny_model
     ids = _ids(rng, 4, TINY.context_length)
