@@ -196,17 +196,33 @@ def _apply_layers(
                 causal=causal, interpret=interpret,
             )
         elif q8 and use_fused:
-            x = fused_attention_block_q8(
-                x, lp["ln1_scale"], lp["ln1_bias"], lp["wqkv"], lp["wqkv_s"],
-                lp["bqkv"], lp["wo"], lp["wo_s"], lp["bo"],
-                seq_len=s_pad, heads=heads, mask_len=mask_len, tile=tile,
-                causal=causal, interpret=interpret,
-            )
-            x = fused_mlp_block_q8(
-                x, lp["ln2_scale"], lp["ln2_bias"], lp["w1"], lp["w1_s"],
-                lp["b1"], lp["w2"], lp["w2_s"], lp["b2"],
-                tile=mtile, interpret=interpret,
-            )
+            # per-block kernels, each still guarded by the block VMEM cap so
+            # oversized layers (e.g. a converted ViT-H/14) degrade to the
+            # XLA reference instead of failing Mosaic compilation at serve time
+            if _block_weight_bytes(lp, "attn") <= _BLOCK_WEIGHT_CAP:
+                x = fused_attention_block_q8(
+                    x, lp["ln1_scale"], lp["ln1_bias"], lp["wqkv"], lp["wqkv_s"],
+                    lp["bqkv"], lp["wo"], lp["wo_s"], lp["bo"],
+                    seq_len=s_pad, heads=heads, mask_len=mask_len, tile=tile,
+                    causal=causal, interpret=interpret,
+                )
+            else:
+                x = attention_block_q8_reference(
+                    x, lp["ln1_scale"], lp["ln1_bias"], lp["wqkv"], lp["wqkv_s"],
+                    lp["bqkv"], lp["wo"], lp["wo_s"], lp["bo"],
+                    seq_len=s_pad, heads=heads, mask_len=mask_len, causal=causal,
+                )
+            if _block_weight_bytes(lp, "mlp") <= _BLOCK_WEIGHT_CAP:
+                x = fused_mlp_block_q8(
+                    x, lp["ln2_scale"], lp["ln2_bias"], lp["w1"], lp["w1_s"],
+                    lp["b1"], lp["w2"], lp["w2_s"], lp["b2"],
+                    tile=mtile, interpret=interpret,
+                )
+            else:
+                x = mlp_block_q8_reference(
+                    x, lp["ln2_scale"], lp["ln2_bias"], lp["w1"], lp["w1_s"],
+                    lp["b1"], lp["w2"], lp["w2_s"], lp["b2"],
+                )
         elif q8:
             x = attention_block_q8_reference(
                 x, lp["ln1_scale"], lp["ln1_bias"], lp["wqkv"], lp["wqkv_s"],

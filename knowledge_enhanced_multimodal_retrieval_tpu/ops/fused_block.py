@@ -306,25 +306,94 @@ def _q8_matmul(h: jax.Array, wq, ws) -> jax.Array:
     return acc.astype(jnp.float32) * r * ws
 
 
-def _attention_block_q8_kernel(
-    x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref, bqkv_ref, wo_ref, so_ref, bo_ref,
-    o_ref,
-    *, tile: int, seq_len: int, mask_len: int, heads: int, eps: float, causal: bool,
+def _attn_half_q8(
+    x, g, c, wqkv_q, wqkv_s, bqkv, wo_q, wo_s, bo,
+    *, tile, seq_len, mask_len, heads, eps, causal,
 ):
-    width = x_ref.shape[1]
-    x = x_ref[:]
+    """LN -> int8 qkv-proj -> attention -> int8 out-proj -> residual.
+
+    The ONE implementation of the q8 attention half, shared by the block
+    kernel, the whole-layer kernel, and the XLA reference: quantized paths
+    amplify ulp-level op-order differences into whole rounding steps, so
+    keeping kernels and oracle in sync requires a single body."""
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, -1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mu), -1, keepdims=True)
-    h = ((xf - mu) * jax.lax.rsqrt(var + eps)) * g_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32)
-    qkv = _q8_matmul(h, wqkv_ref[:], sqkv_ref[:]) + bqkv_ref[:].astype(jnp.float32)
+    h = ((xf - mu) * jax.lax.rsqrt(var + eps)) * g.astype(jnp.float32) + c.astype(jnp.float32)
+    qkv = _q8_matmul(h, wqkv_q, wqkv_s) + bqkv.astype(jnp.float32)
     qkv = qkv.astype(x.dtype)
     attn = _attention_interior(
         qkv, tile=tile, seq_len=seq_len, mask_len=mask_len, heads=heads,
         causal=causal, out_dtype=x.dtype,
     )
-    out = _q8_matmul(attn.astype(jnp.float32), wo_ref[:], so_ref[:]) + bo_ref[:].astype(jnp.float32)
-    o_ref[:] = x + out.astype(x.dtype)
+    out = _q8_matmul(attn.astype(jnp.float32), wo_q, wo_s) + bo.astype(jnp.float32)
+    return x + out.astype(x.dtype)
+
+
+def _mlp_chunk_views(w1_q, w1_s, b1, w2_q, n_chunks):
+    """Split the MLP operands into per-chunk views along the FF axis.
+
+    Kernels call this on *refs* (Mosaic loads each window with a clean
+    layout — slicing an already-loaded row vector yields an offset layout
+    it cannot broadcast); the XLA reference calls it on values."""
+    ff = w1_q.shape[1]
+    ck = ff // n_chunks
+    return [
+        (
+            w1_q[:, i * ck:(i + 1) * ck],
+            w1_s[:, i * ck:(i + 1) * ck],
+            b1[:, i * ck:(i + 1) * ck],
+            w2_q[i * ck:(i + 1) * ck, :],
+        )
+        for i in range(n_chunks)
+    ]
+
+
+def _mlp_half_q8(x, g, c, chunks, w2_s, b2, *, eps, acc_ref=None):
+    """LN -> int8 c_fc -> QuickGELU -> int8 c_proj -> residual, FF-chunked
+    with per-chunk activation requantization. The ONE implementation of the
+    q8 MLP half (see :func:`_attn_half_q8` for why). ``chunks`` comes from
+    :func:`_mlp_chunk_views`; kernels pass their f32 VMEM scratch as
+    ``acc_ref`` (relieves register pressure at row tile 512), the XLA
+    reference accumulates in a value."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, -1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), -1, keepdims=True)
+    h = ((xf - mu) * jax.lax.rsqrt(var + eps)) * g.astype(jnp.float32) + c.astype(jnp.float32)
+    hq, hr = _quantize_rows(h)
+    if acc_ref is not None:
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+    acc = None
+    for w1_c, s1_c, b1_c, w2_c in chunks:
+        f = jax.lax.dot_general(
+            hq, w1_c, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * hr * s1_c
+        f = f + b1_c.astype(jnp.float32)
+        f = f * jax.nn.sigmoid(1.702 * f)  # QuickGELU, f32
+        fq, fr = _quantize_rows(f)
+        part = jax.lax.dot_general(
+            fq, w2_c, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * fr * w2_s
+        if acc_ref is not None:
+            acc_ref[:] += part
+        else:
+            acc = part if acc is None else acc + part
+    if acc_ref is not None:
+        acc = acc_ref[:]
+    return x + (acc + b2.astype(jnp.float32)).astype(x.dtype)
+
+
+def _attention_block_q8_kernel(
+    x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref, bqkv_ref, wo_ref, so_ref, bo_ref,
+    o_ref,
+    *, tile: int, seq_len: int, mask_len: int, heads: int, eps: float, causal: bool,
+):
+    o_ref[:] = _attn_half_q8(
+        x_ref[:], g_ref[:], b_ref[:], wqkv_ref[:], sqkv_ref[:], bqkv_ref[:],
+        wo_ref[:], so_ref[:], bo_ref[:],
+        tile=tile, seq_len=seq_len, mask_len=mask_len, heads=heads, eps=eps,
+        causal=causal,
+    )
 
 
 def fused_attention_block_q8(
@@ -390,28 +459,14 @@ def _mlp_block_q8_kernel(
     o_ref, acc_ref,
     *, n_chunks: int, eps: float,
 ):
-    ff = w1_ref.shape[1]
-    ck = ff // n_chunks
-    x = x_ref[:]
-    xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, -1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mu), -1, keepdims=True)
-    h = ((xf - mu) * jax.lax.rsqrt(var + eps)) * g_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32)
-    hq, hr = _quantize_rows(h)
-    acc_ref[:] = jnp.zeros_like(acc_ref)
-    for c in range(n_chunks):
-        f = jax.lax.dot_general(
-            hq, w1_ref[:, c * ck:(c + 1) * ck], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32) * hr * s1_ref[:, c * ck:(c + 1) * ck]
-        f = f + b1_ref[:, c * ck:(c + 1) * ck].astype(jnp.float32)
-        f = f * jax.nn.sigmoid(1.702 * f)  # QuickGELU, f32
-        fq, fr = _quantize_rows(f)
-        acc_ref[:] += jax.lax.dot_general(
-            fq, w2_ref[c * ck:(c + 1) * ck, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32) * fr * s2_ref[:]
-    o_ref[:] = x + (acc_ref[:] + b2_ref[:].astype(jnp.float32)).astype(x.dtype)
+    chunks = [
+        (w1_c[:], s1_c[:], b1_c[:], w2_c[:])
+        for w1_c, s1_c, b1_c, w2_c in _mlp_chunk_views(w1_ref, s1_ref, b1_ref, w2_ref, n_chunks)
+    ]
+    o_ref[:] = _mlp_half_q8(
+        x_ref[:], g_ref[:], b_ref[:], chunks, s2_ref[:], b2_ref[:],
+        eps=eps, acc_ref=acc_ref,
+    )
 
 
 def fused_mlp_block_q8(
@@ -474,45 +529,20 @@ def _layer_q8_kernel(
     *, tile: int, seq_len: int, mask_len: int, heads: int, n_chunks: int,
     eps: float, causal: bool,
 ):
-    width = x_ref.shape[1]
-    x = x_ref[:]
-
-    # --- attention half (identical math to _attention_block_q8_kernel) ---
-    xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, -1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mu), -1, keepdims=True)
-    h = ((xf - mu) * jax.lax.rsqrt(var + eps)) * g1_ref[:].astype(jnp.float32) + c1_ref[:].astype(jnp.float32)
-    qkv = _q8_matmul(h, wqkv_ref[:], sqkv_ref[:]) + bqkv_ref[:].astype(jnp.float32)
-    qkv = qkv.astype(x.dtype)
-    attn = _attention_interior(
-        qkv, tile=tile, seq_len=seq_len, mask_len=mask_len, heads=heads,
-        causal=causal, out_dtype=x.dtype,
+    y = _attn_half_q8(
+        x_ref[:], g1_ref[:], c1_ref[:], wqkv_ref[:], sqkv_ref[:], bqkv_ref[:],
+        wo_ref[:], so_ref[:], bo_ref[:],
+        tile=tile, seq_len=seq_len, mask_len=mask_len, heads=heads, eps=eps,
+        causal=causal,
     )
-    out = _q8_matmul(attn.astype(jnp.float32), wo_ref[:], so_ref[:]) + bo_ref[:].astype(jnp.float32)
-    y = x + out.astype(x.dtype)
-
-    # --- MLP half (identical math to _mlp_block_q8_kernel), VMEM-resident ---
-    ff = w1_ref.shape[1]
-    ck = ff // n_chunks
-    yf = y.astype(jnp.float32)
-    mu2 = jnp.mean(yf, -1, keepdims=True)
-    var2 = jnp.mean(jnp.square(yf - mu2), -1, keepdims=True)
-    h2 = ((yf - mu2) * jax.lax.rsqrt(var2 + eps)) * g2_ref[:].astype(jnp.float32) + c2_ref[:].astype(jnp.float32)
-    hq, hr = _quantize_rows(h2)
-    acc_ref[:] = jnp.zeros_like(acc_ref)
-    for c in range(n_chunks):
-        f = jax.lax.dot_general(
-            hq, w1_ref[:, c * ck:(c + 1) * ck], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32) * hr * s1_ref[:, c * ck:(c + 1) * ck]
-        f = f + b1_ref[:, c * ck:(c + 1) * ck].astype(jnp.float32)
-        f = f * jax.nn.sigmoid(1.702 * f)
-        fq, fr = _quantize_rows(f)
-        acc_ref[:] += jax.lax.dot_general(
-            fq, w2_ref[c * ck:(c + 1) * ck, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32) * fr * s2_ref[:]
-    o_ref[:] = y + (acc_ref[:] + b2_ref[:].astype(jnp.float32)).astype(x.dtype)
+    chunks = [
+        (w1_c[:], s1_c[:], b1_c[:], w2_c[:])
+        for w1_c, s1_c, b1_c, w2_c in _mlp_chunk_views(w1_ref, s1_ref, b1_ref, w2_ref, n_chunks)
+    ]
+    o_ref[:] = _mlp_half_q8(
+        y, g2_ref[:], c2_ref[:], chunks, s2_ref[:], b2_ref[:],
+        eps=eps, acc_ref=acc_ref,
+    )
 
 
 def fused_layer_q8(
@@ -602,54 +632,31 @@ def attention_block_q8_reference(
     x, ln_scale, ln_bias, wqkv_q, wqkv_s, bqkv, wo_q, wo_s, bo,
     *, seq_len, heads, mask_len=None, eps: float = 1e-5, causal: bool = True,
 ):
-    """XLA oracle with identical int8 math AND op order (row-contiguous
-    sequences). Shares ``_attention_interior`` with the kernels on purpose:
-    quantized paths amplify ulp-level order differences into whole rounding
-    steps, so the exactness oracle must match op order; independence from
-    the kernels is covered by the fp-proximity and flax-cosine tests."""
-    width = wqkv_q.shape[0]
+    """XLA oracle — literally the same ``_attn_half_q8`` the kernels run.
+    Independence from the kernels is covered by the fp-proximity and
+    flax-cosine tests."""
     mask_len = seq_len if mask_len is None else mask_len
-    xf = x.astype(jnp.float32)
-    mu = xf.mean(-1, keepdims=True)
-    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
-    h = ((xf - mu) * jax.lax.rsqrt(var + eps)) * ln_scale + ln_bias
-    qkv = (_q8_matmul(h, wqkv_q, wqkv_s) + bqkv).astype(x.dtype)
-    a = _attention_interior(
-        qkv, tile=x.shape[0], seq_len=seq_len, mask_len=mask_len, heads=heads,
-        causal=causal, out_dtype=x.dtype,
+    row2 = lambda a: a.reshape(1, -1)
+    return _attn_half_q8(
+        x, ln_scale, ln_bias, wqkv_q, wqkv_s, row2(bqkv), wo_q, wo_s, row2(bo),
+        tile=x.shape[0], seq_len=seq_len, mask_len=mask_len, heads=heads,
+        eps=eps, causal=causal,
     )
-    out = _q8_matmul(a.astype(jnp.float32), wo_q, wo_s) + bo
-    return x + out.astype(x.dtype)
 
 
 def mlp_block_q8_reference(
     x, ln_scale, ln_bias, w1_q, w1_s, b1, w2_q, w2_s, b2,
     *, n_chunks: Optional[int] = None, eps: float = 1e-5
 ):
-    """Matches the kernel bit-for-bit, including its per-FF-chunk activation
-    requantization (the chunk count changes the dynamic scales slightly)."""
+    """XLA oracle — the same ``_mlp_half_q8`` the kernels run (including
+    per-FF-chunk requantization; the chunk count changes the dynamic scales
+    slightly). Exact kernel equality still requires matching the kernel's
+    row grouping — cross-tile f32 ulps can flip int8 roundings."""
     ff = w1_q.shape[1]
     n_chunks = default_mlp_chunks(ff) if n_chunks is None else n_chunks
-    ck = ff // n_chunks
-    xf = x.astype(jnp.float32)
-    mu = xf.mean(-1, keepdims=True)
-    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
-    h = ((xf - mu) * jax.lax.rsqrt(var + eps)) * ln_scale + ln_bias
-    hq, hr = _quantize_rows(h)
-    acc = b2.astype(jnp.float32)
-    for c in range(n_chunks):
-        f = jax.lax.dot_general(
-            hq, w1_q[:, c * ck:(c + 1) * ck], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32) * hr * w1_s[:, c * ck:(c + 1) * ck]
-        f = f + b1[c * ck:(c + 1) * ck]
-        f = f * jax.nn.sigmoid(1.702 * f)
-        fq, fr = _quantize_rows(f)
-        acc = acc + jax.lax.dot_general(
-            fq, w2_q[c * ck:(c + 1) * ck, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32) * fr * w2_s
-    return x + acc.astype(x.dtype)
+    row2 = lambda a: a.reshape(1, -1)
+    chunks = _mlp_chunk_views(w1_q, w1_s, row2(b1), w2_q, n_chunks)
+    return _mlp_half_q8(x, ln_scale, ln_bias, chunks, w2_s, row2(b2), eps=eps)
 
 
 # ---------------------------------------------------------------------------
