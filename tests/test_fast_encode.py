@@ -342,6 +342,24 @@ def test_encode_image_fast_int8_cosine(tiny_model, rng):
     assert cos.min() > 0.999, cos
 
 
+def test_apply_layers_q8_vmem_fallback(tiny_model, rng, monkeypatch):
+    """Layers whose weights exceed the VMEM caps must fall back to the XLA
+    reference blocks (same math) instead of attempting fused kernels."""
+    import knowledge_enhanced_multimodal_retrieval_tpu.models.fast_encode as FE
+
+    model, params = tiny_model
+    ids = _ids(rng, 4, TINY.context_length)
+    plan = make_text_plan(params, dtype=jnp.float32, quantize="int8")
+    want = np.asarray(encode_text_fast(TINY, plan, ids, use_fused=False))
+    # force every cap below any real layer: all fused kernels are ineligible,
+    # so use_fused=True must route to reference blocks — if it tried a
+    # kernel, interpret=False on CPU would raise
+    monkeypatch.setattr(FE, "_LAYER_Q8_WEIGHT_CAP", 0)
+    monkeypatch.setattr(FE, "_BLOCK_WEIGHT_CAP", 0)
+    got = np.asarray(encode_text_fast(TINY, plan, ids, use_fused=True, interpret=False))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_encode_text_fast_jits(tiny_model, rng):
     model, params = tiny_model
     ids = _ids(rng, 4, TINY.context_length)

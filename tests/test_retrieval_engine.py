@@ -116,6 +116,25 @@ def test_clip_retrieval_quantize_requires_fused_encoder(world):
         CLIPRetrieval(model, params, tok, store, use_fused_encoder=False, quantize="int8")
 
 
+def test_clip_retrieval_sharded_with_fused_encoder(world):
+    """Fused/int8 encoders compose with the mesh-sharded corpus path."""
+    model, params, tok, store, rt = world
+    dense = CLIPRetrieval(model, params, tok, store, top_k=7)
+    fast = CLIPRetrieval(
+        model, params, tok, store, top_k=7, rt=rt, shard_corpus=True,
+        use_fused_encoder=True,
+    )
+    q8 = CLIPRetrieval(
+        model, params, tok, store, top_k=7, rt=rt, shard_corpus=True,
+        use_fused_encoder=True, quantize="int8",
+    )
+    a = dense.retrieval("hello cat")
+    b = fast.retrieval("hello cat")
+    assert [x["uuid"] for x in a] == [x["uuid"] for x in b]
+    c = q8.retrieval("hello cat")
+    assert a[0]["uuid"] == c[0]["uuid"]
+
+
 def test_clip_retrieval_sharded_matches_dense(world):
     model, params, tok, store, rt = world
     dense = CLIPRetrieval(model, params, tok, store, top_k=7)
