@@ -15,7 +15,10 @@ from .fused_block import (  # noqa: F401
 from .image_ops import CLIP_MEAN, CLIP_STD, preprocess_batch, preprocess_image  # noqa: F401
 from .short_attention import short_attention  # noqa: F401
 from .similarity import (  # noqa: F401
+    dequantize_corpus,
     fused_similarity_topk,
+    fused_similarity_topk_q8,
+    quantize_corpus,
     sharded_similarity_topk,
     similarity_topk_segmented,
     similarity_topk_xla,

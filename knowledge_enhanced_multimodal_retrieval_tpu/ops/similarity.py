@@ -94,6 +94,29 @@ def similarity_topk_segmented(
 
 
 # ---------------------------------------------------------------------------
+# int8 corpus packing
+# ---------------------------------------------------------------------------
+
+
+def quantize_corpus(emb: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric per-row int8: ``emb ~= q * scale``.
+
+    Halves the corpus HBM footprint AND the top-k kernel's streaming
+    traffic (the kernel is bandwidth-bound); per-row scales make the
+    dequantization exact up to one rounding step per element. Returns
+    ``(q int8 [N, D], scale f32 [N, 1])``.
+    """
+    emb = jnp.asarray(emb, jnp.float32)
+    scale = jnp.max(jnp.abs(emb), axis=1, keepdims=True) / 127.0
+    scale = jnp.maximum(scale, 1e-12)
+    return jnp.round(emb / scale).astype(jnp.int8), scale
+
+
+def dequantize_corpus(q: jax.Array, scale: jax.Array, dtype=jnp.float32) -> jax.Array:
+    return (q.astype(jnp.float32) * scale).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
 # Pallas fused kernel
 # ---------------------------------------------------------------------------
 
@@ -143,13 +166,17 @@ def _fused_kernel(
         vals_scr[:] = jnp.full_like(vals_scr, _NEG_INF)
         idx_scr[:] = jnp.zeros_like(idx_scr)
 
-    qi = q_img_ref[:].astype(jnp.float32)
-    qt = q_txt_ref[:].astype(jnp.float32)
-    img = img_ref[:].astype(jnp.float32)
-    txt = txt_ref[:].astype(jnp.float32)
+    # dot at the STORED precision with f32 accumulation: bf16 x bf16 -> f32
+    # MXU products are exact for bf16 inputs, so skipping the f32 upcast
+    # changes nothing numerically and lets the compiler pick the fast path
+    # (measured neutral on the relay chip — it folded the upcast already)
+    qi = q_img_ref[:]
+    qt = q_txt_ref[:]
+    img = img_ref[:]
+    txt = txt_ref[:]
     t2i = jax.lax.dot_general(qi, img, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     t2t = jax.lax.dot_general(qt, txt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    scores = alpha * t2i + (1.0 - alpha) * t2t  # [Q, T]
+    scores = alpha * t2i + (1.0 - alpha) * t2t  # [Q, T] f32
 
     qn = scores.shape[0]
     local_col = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 1)
@@ -164,6 +191,149 @@ def _fused_kernel(
     def _write():
         vals_ref[:] = vals_scr[:]
         idx_ref[:] = idx_scr[:]
+
+
+def _fused_kernel_q8(
+    q_img_ref,  # [Q, D] bf16
+    q_txt_ref,  # [Q, D] bf16
+    img_ref,  # [T, D] int8 corpus image tile
+    img_s_ref,  # [1, T] f32 per-row scales (pre-transposed: scales multiply
+    txt_ref,  # [T, D] int8 corpus text tile       score COLUMNS post-matmul)
+    txt_s_ref,  # [1, T] f32
+    vals_ref,
+    idx_ref,
+    vals_scr,
+    idx_scr,
+    *,
+    alpha: float,
+    k: int,
+    tile_n: int,
+    corpus_n: int,
+):
+    """int8-corpus variant of :func:`_fused_kernel`: tiles stream from HBM
+    at half the bytes. int8 -> bf16 conversion is EXACT (|v| <= 127 fits the
+    bf16 mantissa), the dot runs at bf16 MXU rate with f32 accumulation, and
+    the per-row scale is applied to the f32 score columns afterwards — so
+    the only precision loss vs fp is the original int8 rounding."""
+    j = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+
+    @pl.when(j == 0)
+    def _init():
+        vals_scr[:] = jnp.full_like(vals_scr, _NEG_INF)
+        idx_scr[:] = jnp.zeros_like(idx_scr)
+
+    qi = q_img_ref[:]
+    qt = q_txt_ref[:]
+    img = img_ref[:].astype(qi.dtype)
+    txt = txt_ref[:].astype(qt.dtype)
+    t2i = jax.lax.dot_general(qi, img, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    t2t = jax.lax.dot_general(qt, txt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    scores = alpha * (t2i * img_s_ref[:]) + (1.0 - alpha) * (t2t * txt_s_ref[:])
+
+    qn = scores.shape[0]
+    local_col = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 1)
+    global_idx = local_col + j * tile_n
+    scores = jnp.where(global_idx < corpus_n, scores, _NEG_INF)
+
+    new_vals, new_idx = _merge_topk(vals_scr[:], idx_scr[:], scores, global_idx, k)
+    vals_scr[:] = new_vals
+    idx_scr[:] = new_idx
+
+    @pl.when(j == n_tiles - 1)
+    def _write():
+        vals_ref[:] = vals_scr[:]
+        idx_ref[:] = idx_scr[:]
+
+
+def fused_similarity_topk_q8(
+    queries_img: jax.Array,
+    img_q: jax.Array,
+    img_scale: jax.Array,
+    txt_q: jax.Array,
+    txt_scale: jax.Array,
+    k: int,
+    alpha: float = 0.5,
+    queries_txt: Optional[jax.Array] = None,
+    tile_n: int = 1024,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused blend + top-k over an int8-packed corpus (:func:`quantize_corpus`).
+
+    Same selection semantics as :func:`fused_similarity_topk`; scores carry
+    one quantization rounding step per corpus element (ranks stable to ~1e-2
+    score tolerance). Big k (>128) falls back to the segmented XLA path on
+    the dequantized corpus.
+    """
+    if interpret is None:
+        from .dispatch import on_tpu
+
+        interpret = not on_tpu()
+    if queries_txt is None:
+        queries_txt = queries_img
+    qn, d = queries_img.shape
+    n = img_q.shape[0]
+    k = min(k, n)
+    if k > 128:
+        if queries_txt is not queries_img:
+            raise NotImplementedError("k > 128 with distinct query towers")
+        return similarity_topk_segmented(
+            queries_img, dequantize_corpus(img_q, img_scale), dequantize_corpus(txt_q, txt_scale), k, alpha
+        )
+
+    tile_n = min(tile_n, max(128, 1 << (n - 1).bit_length()))
+    max_elems = 256 * 1024
+    if qn * tile_n > max_elems:
+        tile_n = max(128, (max_elems // qn) // 128 * 128)
+    pad_n = (-n) % tile_n
+    img_p = jnp.pad(img_q, ((0, pad_n), (0, 0)))
+    txt_p = jnp.pad(txt_q, ((0, pad_n), (0, 0)))
+    # scales ride as [1, N] rows so the kernel multiplies score COLUMNS
+    img_s = jnp.pad(jnp.asarray(img_scale, jnp.float32).reshape(1, -1), ((0, 0), (0, pad_n)))
+    txt_s = jnp.pad(jnp.asarray(txt_scale, jnp.float32).reshape(1, -1), ((0, 0), (0, pad_n)))
+    n_tiles = img_p.shape[0] // tile_n
+
+    pad_q = (-qn) % 8
+    if pad_q:
+        queries_img = jnp.pad(queries_img, ((0, pad_q), (0, 0)))
+        queries_txt = jnp.pad(queries_txt, ((0, pad_q), (0, 0)))
+    qn_p = qn + pad_q
+
+    kernel = functools.partial(_fused_kernel_q8, alpha=float(alpha), k=k, tile_n=tile_n, corpus_n=n)
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((qn_p, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qn_p, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((qn_p, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qn_p, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((qn_p, k), jnp.float32),
+            jax.ShapeDtypeStruct((qn_p, k), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((qn_p, k), jnp.float32),
+            pltpu.VMEM((qn_p, k), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * qn * d * n,
+            bytes_accessed=2 * n * d + 2 * qn * d * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries_img, queries_txt, img_p, img_s, txt_p, txt_s)
+    return vals[:qn], idx[:qn]
 
 
 def fused_similarity_topk(

@@ -21,7 +21,13 @@ from ..data.tokenizer import CLIPTokenizer, trim_to_bucket
 from ..models.clip import CLIP, l2_normalize
 from ..models.fast_encode import encode_text_fast, make_text_plan
 from ..ops.dispatch import on_tpu
-from ..ops.similarity import fused_similarity_topk, sharded_similarity_topk, similarity_topk_xla
+from ..ops.similarity import (
+    fused_similarity_topk,
+    fused_similarity_topk_q8,
+    sharded_similarity_topk,
+    similarity_topk_xla,
+)
+from ..ops.similarity import quantize_corpus as quantize_corpus_fn
 from ..parallel.mesh import MeshRuntime
 from .embedding_store import EmbeddingStore
 
@@ -42,6 +48,7 @@ class CLIPRetrieval:
         use_pallas: Optional[bool] = None,
         use_fused_encoder: Optional[bool] = None,
         quantize: Optional[str] = None,
+        quantize_corpus: bool = False,
     ):
         self.model = model
         self.params = params
@@ -68,11 +75,23 @@ class CLIPRetrieval:
             else None
         )
 
+        if quantize_corpus and self.shard_corpus:
+            raise NotImplementedError("quantize_corpus with shard_corpus is not supported yet")
+        self.quantize_corpus = quantize_corpus
+
         if self.shard_corpus:
             store = store.padded(rt.num_data)
         self.store = store
         mesh = rt.mesh if self.shard_corpus else None
-        self.corpus_img, self.corpus_txt = store.device_arrays(corpus_dtype, mesh)
+        if quantize_corpus:
+            # int8 per-row packing: half the HBM footprint and half the
+            # top-k streaming traffic (ops.similarity.quantize_corpus)
+            img_f, txt_f = store.device_arrays(jnp.float32, mesh)
+            self.corpus_img, self.corpus_img_scale = quantize_corpus_fn(img_f)
+            self.corpus_txt, self.corpus_txt_scale = quantize_corpus_fn(txt_f)
+        else:
+            self.corpus_img, self.corpus_txt = store.device_arrays(corpus_dtype, mesh)
+            self.corpus_img_scale = self.corpus_txt_scale = None
 
         def _encode_fn(p, ids):
             if self.use_fused_encoder:
@@ -87,6 +106,12 @@ class CLIPRetrieval:
         # which dwarfs the ~1 ms of device compute on a tunneled chip. One
         # compile per (ids-bucket, k, alpha) signature, cached after.
         def _search_program(params, ids, cimg, ctxt, *, k: int, alpha: float):
+            if self.quantize_corpus:
+                q = _encode_fn(params, ids).astype(model.dtype)
+                return fused_similarity_topk_q8(
+                    q, cimg, self.corpus_img_scale, ctxt, self.corpus_txt_scale,
+                    k=k, alpha=alpha,
+                )
             q = _encode_fn(params, ids).astype(cimg.dtype)
             if self.shard_corpus:
                 return sharded_similarity_topk(

@@ -21,7 +21,11 @@ from knowledge_enhanced_multimodal_retrieval_tpu.models.fast_encode import (
     encode_text_fast,
     make_text_plan,
 )
-from knowledge_enhanced_multimodal_retrieval_tpu.ops.similarity import fused_similarity_topk
+from knowledge_enhanced_multimodal_retrieval_tpu.ops.similarity import (
+    fused_similarity_topk,
+    fused_similarity_topk_q8,
+    quantize_corpus,
+)
 
 
 def main() -> None:
@@ -58,12 +62,28 @@ def main() -> None:
         q = l2_normalize(encode_text_fast(model.arch, plan, ids)).astype(cimg.dtype)
         return fused_similarity_topk(q, cimg, ctxt, k=args.k, alpha=0.5)
 
+    cimg_q, cimg_s = quantize_corpus(cimg)
+    ctxt_q, ctxt_s = quantize_corpus(ctxt)
+
+    def full_q8corpus(plan, ids, cimg, ctxt):
+        q = l2_normalize(encode_text_fast(model.arch, plan, ids)).astype(jnp.float32)
+        return fused_similarity_topk_q8(q, cimg_q, cimg_s, ctxt_q, ctxt_s, k=args.k, alpha=0.5)
+
+    def topk_q8_only(plan, ids, cimg, ctxt):
+        q = l2_normalize(
+            jnp.broadcast_to(ids[:, :1].astype(jnp.float32), (ids.shape[0], cimg.shape[1]))
+            + cimg[: ids.shape[0]].astype(jnp.float32)
+        )
+        return fused_similarity_topk_q8(q, cimg_q, cimg_s, ctxt_q, ctxt_s, k=args.k, alpha=0.5)
+
     for name, fn, p in [
         ("encode_only", encode_only, plan),
         ("topk_only", topk_only, plan),
+        ("topk_q8c", topk_q8_only, plan),
         ("full", full, plan),
         ("encode_q8", encode_only, plan_q8),
         ("full_q8", full, plan_q8),
+        ("full_q8_q8c", full_q8corpus, plan_q8),
     ]:
         t = _time(fn, p, ids_variants, cimg, ctxt, iters=args.iters)
         print(f"{name:12s} {t * 1e3:8.3f} ms  ({args.batch / t:9.1f} q/s)")

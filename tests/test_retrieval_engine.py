@@ -110,6 +110,23 @@ def test_clip_retrieval_int8_encoder_ranking(world):
     )
 
 
+def test_clip_retrieval_int8_corpus(world):
+    """Opt-in int8 corpus packing: same top hits, ~half the corpus memory."""
+    model, params, tok, store, rt = world
+    base = CLIPRetrieval(model, params, tok, store, top_k=10)
+    q8c = CLIPRetrieval(model, params, tok, store, top_k=10, quantize_corpus=True)
+    assert q8c.corpus_img.dtype == jnp.int8 and q8c.corpus_img_scale is not None
+    a = base.retrieval("hello cat", alpha=0.5)
+    b = q8c.retrieval("hello cat", alpha=0.5)
+    assert a[0]["uuid"] == b[0]["uuid"]
+    assert len(set(x["uuid"] for x in a) & set(x["uuid"] for x in b)) >= 8
+    np.testing.assert_allclose(
+        [x["score"] for x in a], [x["score"] for x in b], atol=0.02
+    )
+    with pytest.raises(NotImplementedError):
+        CLIPRetrieval(model, params, tok, store, rt=rt, shard_corpus=True, quantize_corpus=True)
+
+
 def test_clip_retrieval_quantize_requires_fused_encoder(world):
     model, params, tok, store, rt = world
     with pytest.raises(ValueError):

@@ -132,3 +132,68 @@ def test_fused_large_query_batch(rng):
     fv, fi = S.fused_similarity_topk(jnp.asarray(q), jnp.asarray(img), jnp.asarray(txt), k=5, interpret=True)
     xv, xi = S.similarity_topk_xla(jnp.asarray(q), jnp.asarray(img), jnp.asarray(txt), 5, 0.5)
     np.testing.assert_array_equal(np.asarray(fi), np.asarray(xi))
+
+
+# ---------------------------------------------------------------------------
+# int8 corpus
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_corpus_roundtrip(rng):
+    emb = rng.standard_normal((64, 32)).astype(np.float32)
+    q, s = S.quantize_corpus(jnp.asarray(emb))
+    assert q.dtype == jnp.int8 and s.shape == (64, 1)
+    back = np.asarray(S.dequantize_corpus(q, s))
+    step = np.asarray(s)
+    assert (np.abs(back - emb) <= step / 2 + 1e-7).all()
+
+
+def test_fused_q8_matches_dequantized_oracle(rng):
+    """The q8 kernel must select exactly what an op-order-matched oracle
+    selects: raw int8 dot, then per-column scale — quantization error lives
+    in the data, not the kernel. (A dequantize-then-dot oracle differs by
+    f32 ulps, which can swap near-tied indices.)"""
+    q, img, txt = _corpus(rng, n=700, q=5)
+    img_q, img_s = S.quantize_corpus(jnp.asarray(img))
+    txt_q, txt_s = S.quantize_corpus(jnp.asarray(txt))
+    fv, fi = S.fused_similarity_topk_q8(
+        jnp.asarray(q), img_q, img_s, txt_q, txt_s, k=9, alpha=0.6, interpret=True
+    )
+    t2i = (q @ np.asarray(img_q, np.float32).T) * np.asarray(img_s).reshape(1, -1)
+    t2t = (q @ np.asarray(txt_q, np.float32).T) * np.asarray(txt_s).reshape(1, -1)
+    scores = (0.6 * t2i + 0.4 * t2t).astype(np.float32)
+    xi = np.argsort(-scores, axis=1)[:, :9]
+    xv = np.take_along_axis(scores, xi, axis=1)
+    np.testing.assert_allclose(np.asarray(fv), xv, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(fi), xi)
+
+
+def test_fused_q8_close_to_exact(rng):
+    """Against the exact fp corpus: scores within quantization tolerance and
+    high top-k overlap (normalized embeddings -> error ~1/127)."""
+    q, img, txt = _corpus(rng, n=500, q=6)
+    img_q, img_s = S.quantize_corpus(jnp.asarray(img))
+    txt_q, txt_s = S.quantize_corpus(jnp.asarray(txt))
+    fv, fi = S.fused_similarity_topk_q8(
+        jnp.asarray(q), img_q, img_s, txt_q, txt_s, k=10, interpret=True
+    )
+    xv, xi = S.similarity_topk_xla(jnp.asarray(q), jnp.asarray(img), jnp.asarray(txt), 10, 0.5)
+    np.testing.assert_allclose(np.asarray(fv), np.asarray(xv), atol=0.02)
+    overlap = [
+        len(set(np.asarray(fi)[i].tolist()) & set(np.asarray(xi)[i].tolist()))
+        for i in range(6)
+    ]
+    assert min(overlap) >= 8, overlap
+
+
+def test_fused_q8_big_k_falls_back(rng):
+    q, img, txt = _corpus(rng, n=600, q=3)
+    img_q, img_s = S.quantize_corpus(jnp.asarray(img))
+    txt_q, txt_s = S.quantize_corpus(jnp.asarray(txt))
+    fv, fi = S.fused_similarity_topk_q8(
+        jnp.asarray(q), img_q, img_s, txt_q, txt_s, k=200, interpret=True
+    )
+    xv, xi = S.similarity_topk_xla(
+        jnp.asarray(q), S.dequantize_corpus(img_q, img_s), S.dequantize_corpus(txt_q, txt_s), 200, 0.5
+    )
+    np.testing.assert_allclose(np.asarray(fv), np.asarray(xv), rtol=1e-5, atol=1e-6)
