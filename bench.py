@@ -186,15 +186,30 @@ def main() -> None:
         q = l2_normalize(encode_text_fast(model.arch, plan, ids)).astype(cimg.dtype)
         return fused_similarity_topk(q, cimg, ctxt, k=args.k, alpha=args.alpha, interpret=False)
 
-    # int8 = opt-in W8A8 dynamic quantization (scores within ~1% of bf16);
-    # every other candidate is exact math
-    QUANTIZED = {"int8-encoder+topk"}
+    # int8* = opt-in W8A8 / int8-corpus quantization (scores within ~1% of
+    # bf16); every other candidate is exact math
+    QUANTIZED = {"int8-encoder+topk", "int8-enc+int8-corpus"}
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
+        from knowledge_enhanced_multimodal_retrieval_tpu.ops.similarity import (
+            fused_similarity_topk_q8,
+            quantize_corpus,
+        )
+
         # fused-block Pallas encoder plans (one-time weight packing)
         plan = make_text_plan(params)
         plan_q8 = make_text_plan(params, quantize="int8")
+        cimg_q, cimg_s = quantize_corpus(corpus_img)
+        ctxt_q, ctxt_s = quantize_corpus(corpus_txt)
+
+        def native_q8_corpus(plan, ids, cimg, ctxt):
+            q = l2_normalize(encode_text_fast(model.arch, plan, ids)).astype(cimg.dtype)
+            return fused_similarity_topk_q8(
+                q, cimg_q, cimg_s, ctxt_q, ctxt_s, k=args.k, alpha=args.alpha
+            )
+
         candidates = [
+            ("int8-enc+int8-corpus", native_q8_corpus, plan_q8),
             ("int8-encoder+topk", native_fused_enc, plan_q8),
             ("fused-encoder+topk", native_fused_enc, plan),
             ("fused-pallas", native, params),
