@@ -28,7 +28,19 @@ def build_engine(cfg, store_path: str) -> RetrievalEngine:
     model, params = build_model_and_params(cfg)
     tokenizer = build_tokenizer(cfg)
     store = EmbeddingStore.load(store_path)
-    clip_r = CLIPRetrieval(model, params, tokenizer, store)
+    # eval.encoder selects the query-encode path: flax (exact module tower),
+    # fast (fused bf16 Pallas kernels, the TPU default), int8 (fastest,
+    # W8A8 — scores within ~1%); eval.quantize_corpus packs the corpus int8
+    # (half the HBM footprint)
+    enc = cfg.eval.encoder
+    if enc not in ("flax", "fast", "int8"):
+        raise ValueError(f"unknown eval.encoder {enc!r}: expected flax|fast|int8")
+    clip_r = CLIPRetrieval(
+        model, params, tokenizer, store,
+        use_fused_encoder=None if enc == "fast" else enc == "int8",
+        quantize="int8" if enc == "int8" else None,
+        quantize_corpus=cfg.eval.quantize_corpus,
+    )
 
     t2s = None
     env = Endpoints.from_env()

@@ -56,12 +56,14 @@ class CLIPRetrieval:
         self.top_k = min(top_k, len(store))
         self.rt = rt
         self.shard_corpus = shard_corpus and rt is not None
-        self.use_pallas = use_pallas
+        # None = auto: the fused Pallas path on TPU (it IS the product path),
+        # the XLA path elsewhere
+        self.use_pallas = on_tpu() if use_pallas is None else use_pallas
         # Fused-block Pallas encoder (models.fast_encode): one-time bf16
         # weight packing + VMEM-resident transformer blocks. ~1.5x lower
         # encode latency than the flax/XLA tower at serving shapes.
         if use_fused_encoder is None:
-            use_fused_encoder = bool(use_pallas) and on_tpu() and not shard_corpus
+            use_fused_encoder = self.use_pallas and on_tpu() and not self.shard_corpus
         if quantize is not None and not use_fused_encoder:
             raise ValueError("quantize requires use_fused_encoder=True")
         self.use_fused_encoder = use_fused_encoder

@@ -280,9 +280,12 @@ class EvalConfig:
     t2t_weight: float = 0.5
     seed: int = 42
     output_dir: str = "experiments"
-    # encoder path for encode/precompute: "flax" (exact), "fast" (fused
-    # bf16 Pallas kernels), or "int8" (fused W8A8 — fastest, ~1% scores)
+    # encoder path for encode/precompute/serve: "flax" (exact), "fast"
+    # (fused bf16 Pallas kernels), or "int8" (fused W8A8 — fastest, ~1%
+    # scores)
     encoder: str = "flax"
+    # pack the serving corpus as per-row int8 (half the HBM footprint)
+    quantize_corpus: bool = False
 
 
 @dataclass(frozen=True)

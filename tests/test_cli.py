@@ -126,3 +126,35 @@ def test_cli_precompute_and_serve_query(tmp_path, devices8, capsys, monkeypatch)
     assert len(payload["results"]) == 20
     scores = [r["score"] for r in payload["results"]]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_cli_serve_encoder_modes(tmp_path, devices8, capsys, monkeypatch):
+    """serve maps eval.encoder/eval.quantize_corpus onto the retriever."""
+    from knowledge_enhanced_multimodal_retrieval_tpu.cli.precompute import main as precompute
+    from knowledge_enhanced_multimodal_retrieval_tpu.cli import serve as serve_mod
+
+    store_path = os.path.join(tmp_path, "store.npz")
+    precompute([
+        "--data.dataset=synthetic:16",
+        "--data.image_size=32",
+        "--data.context_length=16",
+        "--model.name=tiny",
+        "--eval.batch_size=8",
+        "--out", store_path,
+    ])
+    monkeypatch.setattr(
+        "knowledge_enhanced_multimodal_retrieval_tpu.cli.serve.build_tokenizer",
+        lambda cfg: CC._tiny_tokenizer(),
+    )
+    from knowledge_enhanced_multimodal_retrieval_tpu.utils.config import config_from_argv
+
+    cfg = config_from_argv(["--model.name=tiny", "--eval.encoder=int8", "--eval.quantize_corpus=true"])
+    eng = serve_mod.build_engine(cfg, store_path)
+    r = eng.clip_retriever
+    assert r.use_fused_encoder and r.quantize == "int8" and r.quantize_corpus
+    res = eng.retrieve_text_noknowledge("hello cat")
+    assert res and all("uuid" in x for x in res)
+
+    cfg_bad = config_from_argv(["--model.name=tiny", "--eval.encoder=fp16"])
+    with pytest.raises(ValueError):
+        serve_mod.build_engine(cfg_bad, store_path)
