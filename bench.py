@@ -98,7 +98,12 @@ def _time(pipeline, params, ids_variants, cimg, ctxt, iters: int, warmup: int = 
     k2 = max(k1 + 4, iters)
     t1 = _scan_timer(pipeline, params, ids_variants[0], cimg, ctxt, k1)
     t2 = _scan_timer(pipeline, params, ids_variants[0], cimg, ctxt, k2)
-    return max((t2 - t1) / (k2 - k1), 1e-9)
+    slope = (t2 - t1) / (k2 - k1)
+    if slope < 20e-6:
+        # tiny programs (--quick) can put the slope inside timing noise;
+        # fall back to the conservative absolute per-iteration time
+        return t2 / k2
+    return slope
 
 
 def _engine_throughput(model, params, corpus_img, corpus_txt, args) -> float:
