@@ -92,18 +92,24 @@ def _scan_timer(pipeline, params, ids0, cimg, ctxt, k_iters: int) -> float:
     return time.perf_counter() - t0
 
 
-def _time(pipeline, params, ids_variants, cimg, ctxt, iters: int, warmup: int = 0) -> float:
-    """Per-iteration device time via the two-K slope method."""
+def _time_both(pipeline, params, ids_variants, cimg, ctxt, iters: int):
+    """(slope, absolute) per-iteration device times via the two-K method.
+
+    The slope cancels dispatch/fetch overhead (the honest number at real
+    sizes); the absolute ``t2/k2`` includes it but stays meaningful when
+    tiny --quick programs put the slope inside timing noise. Callers must
+    pick ONE metric for all candidates so comparisons stay commensurable.
+    """
     k1 = max(2, iters // 5)
     k2 = max(k1 + 4, iters)
     t1 = _scan_timer(pipeline, params, ids_variants[0], cimg, ctxt, k1)
     t2 = _scan_timer(pipeline, params, ids_variants[0], cimg, ctxt, k2)
-    slope = (t2 - t1) / (k2 - k1)
-    if slope < 20e-6:
-        # tiny programs (--quick) can put the slope inside timing noise;
-        # fall back to the conservative absolute per-iteration time
-        return t2 / k2
-    return slope
+    return (t2 - t1) / (k2 - k1), t2 / k2
+
+
+def _time(pipeline, params, ids_variants, cimg, ctxt, iters: int, warmup: int = 0) -> float:
+    slope, absolute = _time_both(pipeline, params, ids_variants, cimg, ctxt, iters)
+    return slope if slope >= 20e-6 else absolute
 
 
 def _engine_throughput(model, params, corpus_img, corpus_txt, args) -> float:
@@ -207,24 +213,30 @@ def main() -> None:
         cimg_q, cimg_s = quantize_corpus(corpus_img)
         ctxt_q, ctxt_s = quantize_corpus(corpus_txt)
 
+        # int8 corpus rides via the cimg/ctxt args of the timing loop —
+        # never close over big arrays in jit on the relay (413 errors)
         def native_q8_corpus(plan, ids, cimg, ctxt):
-            q = l2_normalize(encode_text_fast(model.arch, plan, ids)).astype(cimg.dtype)
+            q = l2_normalize(encode_text_fast(model.arch, plan, ids)).astype(jnp.bfloat16)
             return fused_similarity_topk_q8(
-                q, cimg_q, cimg_s, ctxt_q, ctxt_s, k=args.k, alpha=args.alpha
+                q, cimg, cimg_s, ctxt, ctxt_s, k=args.k, alpha=args.alpha
             )
 
         candidates = [
-            ("int8-enc+int8-corpus", native_q8_corpus, plan_q8),
-            ("int8-encoder+topk", native_fused_enc, plan_q8),
-            ("fused-encoder+topk", native_fused_enc, plan),
-            ("fused-pallas", native, params),
-            ("xla", native_xla, params),
+            ("int8-enc+int8-corpus", native_q8_corpus, plan_q8, cimg_q, ctxt_q),
+            ("int8-encoder+topk", native_fused_enc, plan_q8, corpus_img, corpus_txt),
+            ("fused-encoder+topk", native_fused_enc, plan, corpus_img, corpus_txt),
+            ("fused-pallas", native, params, corpus_img, corpus_txt),
+            ("xla", native_xla, params, corpus_img, corpus_txt),
         ]
     else:
-        candidates = [("xla", native_xla, params)]
-    times = {}
-    for name, fn, p in candidates:
-        times[name] = _time(fn, p, ids_variants, corpus_img, corpus_txt, iters=args.iters)
+        candidates = [("xla", native_xla, params, corpus_img, corpus_txt)]
+    slopes, absolutes = {}, {}
+    for name, fn, p, ci, ct in candidates:
+        slopes[name], absolutes[name] = _time_both(fn, p, ids_variants, ci, ct, iters=args.iters)
+    # one metric for ALL candidates: slopes normally; if any slope sank
+    # into timing noise (tiny --quick programs), absolute times throughout —
+    # mixing metrics would crown the wrong winner
+    times = absolutes if min(slopes.values()) < 20e-6 else slopes
     best_name = min(times, key=times.get)
     native_time = times[best_name]
     qps = args.batch / native_time

@@ -15,7 +15,7 @@ import os
 import sys
 
 from ..retrieval.embedding_store import build_embedding_store
-from ..utils.config import config_from_argv
+from ..utils.config import config_from_argv, resolve_encoder
 from ..utils.logging_utils import setup_logger
 from .common import build_model_and_params, build_pipeline, build_runtime
 
@@ -33,12 +33,10 @@ def main(argv=None) -> str:
     model, params = build_model_and_params(cfg)
     rt = build_runtime(cfg)
     pipe = build_pipeline(cfg, cfg.data.split_test)
-    if cfg.eval.encoder not in ("flax", "fast", "int8"):
-        raise ValueError(f"unknown eval.encoder {cfg.eval.encoder!r}: expected flax|fast|int8")
+    use_fast, quantize = resolve_encoder(cfg.eval.encoder)
     store = build_embedding_store(
         model, params, pipe, rt, batch_size=cfg.eval.batch_size,
-        use_fast=cfg.eval.encoder in ("fast", "int8"),
-        quantize="int8" if cfg.eval.encoder == "int8" else None,
+        use_fast=use_fast, quantize=quantize,
     )
     os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
     store.save(out)

@@ -19,7 +19,7 @@ import sys
 from ..retrieval.clip_retrieval import CLIPRetrieval
 from ..retrieval.embedding_store import EmbeddingStore
 from ..retrieval.engine import RetrievalEngine
-from ..utils.config import Endpoints, config_from_argv
+from ..utils.config import Endpoints, config_from_argv, resolve_encoder
 from ..utils.logging_utils import setup_logger
 from .common import build_model_and_params, build_tokenizer
 
@@ -29,16 +29,16 @@ def build_engine(cfg, store_path: str) -> RetrievalEngine:
     tokenizer = build_tokenizer(cfg)
     store = EmbeddingStore.load(store_path)
     # eval.encoder selects the query-encode path: flax (exact module tower),
-    # fast (fused bf16 Pallas kernels, the TPU default), int8 (fastest,
-    # W8A8 — scores within ~1%); eval.quantize_corpus packs the corpus int8
-    # (half the HBM footprint)
-    enc = cfg.eval.encoder
-    if enc not in ("flax", "fast", "int8"):
-        raise ValueError(f"unknown eval.encoder {enc!r}: expected flax|fast|int8")
+    # fast (fused bf16 serving towers), int8 (fastest, W8A8 — scores within
+    # ~1%); eval.quantize_corpus packs the corpus int8 (half the HBM
+    # footprint). "fast"/"int8" are honored explicitly even off-TPU (the
+    # serving towers run their XLA reference blocks there), matching the
+    # precompute CLI's behavior for the same flag.
+    use_fast, quantize = resolve_encoder(cfg.eval.encoder)
     clip_r = CLIPRetrieval(
         model, params, tokenizer, store,
-        use_fused_encoder=None if enc == "fast" else enc == "int8",
-        quantize="int8" if enc == "int8" else None,
+        use_fused_encoder=use_fast,
+        quantize=quantize,
         quantize_corpus=cfg.eval.quantize_corpus,
     )
 

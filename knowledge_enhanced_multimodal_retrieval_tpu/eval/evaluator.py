@@ -178,13 +178,12 @@ def run_full_evaluation(
     optional fusion sweep -> optional JSON persistence (``evaluator.py:260-389``).
 
     ``encoder``: "flax" (exact), "fast" (fused bf16), or "int8" (W8A8)."""
-    if encoder not in ("flax", "fast", "int8"):
-        raise ValueError(f"unknown encoder {encoder!r}: expected flax|fast|int8")
+    from ..utils.config import resolve_encoder
+
+    use_fast, quantize = resolve_encoder(encoder)
     rt = rt or MeshRuntime.create()
     encoded = encode_dataset(
-        model, params, pipeline, rt, batch_size,
-        use_fast=encoder in ("fast", "int8"),
-        quantize="int8" if encoder == "int8" else None,
+        model, params, pipeline, rt, batch_size, use_fast=use_fast, quantize=quantize
     )
     report: Dict[str, object] = {
         "num_samples": len(encoded.uuids),

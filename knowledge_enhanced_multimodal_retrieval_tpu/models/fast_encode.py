@@ -132,6 +132,17 @@ def plan_is_quantized(plan: Dict[str, Any]) -> bool:
     return plan["layers"][0]["wqkv"].dtype == jnp.int8
 
 
+def fused_encoder_supported(arch) -> bool:
+    """Whether the serving kernels can run this arch at all.
+
+    The fused blocks tile rows x width onto 8x128 VREGs (``ops.fused_block.
+    _check_common``); widths off the 128-lane grid — tiny test archs,
+    exotic converted checkpoints — must use the flax/XLA towers. Auto
+    encoder selection (``retrieval.CLIPRetrieval``) consults this so an
+    unsupported arch degrades instead of raising at serve time."""
+    return arch.text_width % 128 == 0 and arch.vision_width % 128 == 0
+
+
 def make_encode_plans(params, dtype=jnp.bfloat16, quantize: Optional[str] = None) -> Dict[str, Any]:
     """Both towers' packed plans, keyed like the param tree (visual/text)."""
     return {

@@ -78,6 +78,10 @@ def similarity_topk_segmented(
     elements, so keeping min(k, seg) of them loses nothing.
     """
     scores = blended_scores(queries, img_emb, txt_emb, alpha)  # [Q, N]
+    return _segmented_topk_from_scores(scores, k, segment)
+
+
+def _segmented_topk_from_scores(scores: jax.Array, k: int, segment: int) -> Tuple[jax.Array, jax.Array]:
     qn, n = scores.shape
     k = min(k, n)
     seg = min(segment, n)
@@ -112,8 +116,59 @@ def quantize_corpus(emb: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return jnp.round(emb / scale).astype(jnp.int8), scale
 
 
+def quantize_corpus_host(emb) -> Tuple[jax.Array, jax.Array]:
+    """Host-side (NumPy) variant of :func:`quantize_corpus`.
+
+    Quantizing on host means the full f32 corpus never touches device HBM —
+    only the int8 buffers and scales are uploaded. That matters precisely
+    when int8 packing is the point: a corpus sized to fit as int8 would OOM
+    if staged on device in f32 first.
+    """
+    import numpy as np
+
+    emb = np.asarray(emb, np.float32)
+    scale = np.maximum(np.max(np.abs(emb), axis=1, keepdims=True) / 127.0, 1e-12)
+    q = np.round(emb / scale).astype(np.int8)
+    return jnp.asarray(q), jnp.asarray(scale.astype(np.float32))
+
+
 def dequantize_corpus(q: jax.Array, scale: jax.Array, dtype=jnp.float32) -> jax.Array:
     return (q.astype(jnp.float32) * scale).astype(dtype)
+
+
+def blended_scores_q8(
+    queries: jax.Array,
+    img_q: jax.Array,
+    img_scale: jax.Array,
+    txt_q: jax.Array,
+    txt_scale: jax.Array,
+    alpha: float,
+) -> jax.Array:
+    """[Q, N] blended scores over an int8 corpus, op-order-matched to the
+    Pallas q8 kernel: raw dot at the query dtype (int8 -> bf16 conversion is
+    exact), then per-corpus-row scales applied to the f32 score columns."""
+    img = img_q.astype(queries.dtype)
+    txt = txt_q.astype(queries.dtype)
+    t2i = jnp.dot(queries, img.T, preferred_element_type=jnp.float32)
+    t2t = jnp.dot(queries, txt.T, preferred_element_type=jnp.float32)
+    img_s = jnp.asarray(img_scale, jnp.float32).reshape(1, -1)
+    txt_s = jnp.asarray(txt_scale, jnp.float32).reshape(1, -1)
+    return alpha * (t2i * img_s) + (1.0 - alpha) * (t2t * txt_s)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "alpha"))
+def similarity_topk_xla_q8(
+    queries: jax.Array,
+    img_q: jax.Array,
+    img_scale: jax.Array,
+    txt_q: jax.Array,
+    txt_scale: jax.Array,
+    k: int,
+    alpha: float = 0.5,
+) -> Tuple[jax.Array, jax.Array]:
+    """XLA path over an int8 corpus (CPU serving / use_pallas=False)."""
+    scores = blended_scores_q8(queries, img_q, img_scale, txt_q, txt_scale, alpha)
+    return jax.lax.top_k(scores, k)
 
 
 # ---------------------------------------------------------------------------
@@ -144,20 +199,22 @@ def _merge_topk(run_vals, run_idx, cand_vals, cand_idx, k: int):
 
 
 def _fused_kernel(
-    q_img_ref,  # [Q, D]
-    q_txt_ref,  # [Q, D]
-    img_ref,  # [T, D] corpus image tile
-    txt_ref,  # [T, D] corpus text tile
-    vals_ref,  # [Q, K] out
-    idx_ref,  # [Q, K] out
-    vals_scr,  # [Q, K] scratch
-    idx_scr,  # [Q, K] scratch
-    *,
+    *refs,
     alpha: float,
     k: int,
     tile_n: int,
     corpus_n: int,
+    quantized: bool,
 ):
+    """Streaming blend + running top-k over corpus tiles (one body for the
+    exact and int8-corpus variants; they differ only in the tile dtype and
+    whether per-row scales multiply the score columns)."""
+    if quantized:
+        (q_img_ref, q_txt_ref, img_ref, img_s_ref, txt_ref, txt_s_ref,
+         vals_ref, idx_ref, vals_scr, idx_scr) = refs
+    else:
+        (q_img_ref, q_txt_ref, img_ref, txt_ref,
+         vals_ref, idx_ref, vals_scr, idx_scr) = refs
     j = pl.program_id(0)
     n_tiles = pl.num_programs(0)
 
@@ -166,17 +223,22 @@ def _fused_kernel(
         vals_scr[:] = jnp.full_like(vals_scr, _NEG_INF)
         idx_scr[:] = jnp.zeros_like(idx_scr)
 
-    # dot at the STORED precision with f32 accumulation: bf16 x bf16 -> f32
-    # MXU products are exact for bf16 inputs, so skipping the f32 upcast
-    # changes nothing numerically and lets the compiler pick the fast path
-    # (measured neutral on the relay chip — it folded the upcast already)
+    # dot at the stored/query precision with f32 accumulation: bf16 x bf16
+    # MXU products are exact for bf16 inputs; int8 tiles convert to the
+    # query dtype exactly (|v| <= 127 fits the bf16 mantissa) so the only
+    # loss in the quantized variant is the original int8 rounding
     qi = q_img_ref[:]
     qt = q_txt_ref[:]
-    img = img_ref[:]
-    txt = txt_ref[:]
+    img = img_ref[:].astype(qi.dtype) if quantized else img_ref[:]
+    txt = txt_ref[:].astype(qt.dtype) if quantized else txt_ref[:]
     t2i = jax.lax.dot_general(qi, img, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     t2t = jax.lax.dot_general(qt, txt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    scores = alpha * t2i + (1.0 - alpha) * t2t  # [Q, T] f32
+    if quantized:
+        # per-corpus-row scales ride pre-transposed as [1, T] rows and
+        # multiply the f32 score COLUMNS post-matmul
+        scores = alpha * (t2i * img_s_ref[:]) + (1.0 - alpha) * (t2t * txt_s_ref[:])
+    else:
+        scores = alpha * t2i + (1.0 - alpha) * t2t  # [Q, T] f32
 
     qn = scores.shape[0]
     local_col = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 1)
@@ -193,57 +255,81 @@ def _fused_kernel(
         idx_ref[:] = idx_scr[:]
 
 
-def _fused_kernel_q8(
-    q_img_ref,  # [Q, D] bf16
-    q_txt_ref,  # [Q, D] bf16
-    img_ref,  # [T, D] int8 corpus image tile
-    img_s_ref,  # [1, T] f32 per-row scales (pre-transposed: scales multiply
-    txt_ref,  # [T, D] int8 corpus text tile       score COLUMNS post-matmul)
-    txt_s_ref,  # [1, T] f32
-    vals_ref,
-    idx_ref,
-    vals_scr,
-    idx_scr,
-    *,
-    alpha: float,
-    k: int,
-    tile_n: int,
-    corpus_n: int,
+def _fused_topk_call(
+    queries_img, queries_txt, img, txt, scales, *, k, alpha, tile_n, interpret, corpus_bytes,
 ):
-    """int8-corpus variant of :func:`_fused_kernel`: tiles stream from HBM
-    at half the bytes. int8 -> bf16 conversion is EXACT (|v| <= 127 fits the
-    bf16 mantissa), the dot runs at bf16 MXU rate with f32 accumulation, and
-    the per-row scale is applied to the f32 score columns afterwards — so
-    the only precision loss vs fp is the original int8 rounding."""
-    j = pl.program_id(0)
-    n_tiles = pl.num_programs(0)
+    """Shared scaffolding (tile sizing, padding, specs, pallas_call) for the
+    exact and int8 fused top-k variants."""
+    qn, d = queries_img.shape
+    n = img.shape[0]
+    tile_n = min(tile_n, max(128, 1 << (n - 1).bit_length()))
+    # VMEM budget: the merge works on [Q, K + tile_n] f32+i32 copies; keep the
+    # score block bounded so large query batches still fit (~256k elements)
+    max_elems = 256 * 1024
+    if qn * tile_n > max_elems:
+        tile_n = max(128, (max_elems // qn) // 128 * 128)
+    pad_n = (-n) % tile_n
+    img_p = jnp.pad(img, ((0, pad_n), (0, 0)))
+    txt_p = jnp.pad(txt, ((0, pad_n), (0, 0)))
+    n_tiles = img_p.shape[0] // tile_n
 
-    @pl.when(j == 0)
-    def _init():
-        vals_scr[:] = jnp.full_like(vals_scr, _NEG_INF)
-        idx_scr[:] = jnp.zeros_like(idx_scr)
+    # sublane-align the query block (fp32 min tile is 8 x 128)
+    pad_q = (-qn) % 8
+    if pad_q:
+        queries_img = jnp.pad(queries_img, ((0, pad_q), (0, 0)))
+        queries_txt = jnp.pad(queries_txt, ((0, pad_q), (0, 0)))
+    qn_p = qn + pad_q
 
-    qi = q_img_ref[:]
-    qt = q_txt_ref[:]
-    img = img_ref[:].astype(qi.dtype)
-    txt = txt_ref[:].astype(qt.dtype)
-    t2i = jax.lax.dot_general(qi, img, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    t2t = jax.lax.dot_general(qt, txt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    scores = alpha * (t2i * img_s_ref[:]) + (1.0 - alpha) * (t2t * txt_s_ref[:])
+    quantized = scales is not None
+    corpus_spec = lambda: pl.BlockSpec((tile_n, d), lambda j: (j, 0), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((qn_p, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((qn_p, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [queries_img, queries_txt]
+    if quantized:
+        img_s, txt_s = scales
+        # scales as [1, N] rows so the kernel multiplies score COLUMNS
+        img_s = jnp.pad(jnp.asarray(img_s, jnp.float32).reshape(1, -1), ((0, 0), (0, pad_n)))
+        txt_s = jnp.pad(jnp.asarray(txt_s, jnp.float32).reshape(1, -1), ((0, 0), (0, pad_n)))
+        scale_spec = lambda: pl.BlockSpec((1, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM)
+        in_specs += [corpus_spec(), scale_spec(), corpus_spec(), scale_spec()]
+        operands += [img_p, img_s, txt_p, txt_s]
+    else:
+        in_specs += [corpus_spec(), corpus_spec()]
+        operands += [img_p, txt_p]
 
-    qn = scores.shape[0]
-    local_col = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 1)
-    global_idx = local_col + j * tile_n
-    scores = jnp.where(global_idx < corpus_n, scores, _NEG_INF)
-
-    new_vals, new_idx = _merge_topk(vals_scr[:], idx_scr[:], scores, global_idx, k)
-    vals_scr[:] = new_vals
-    idx_scr[:] = new_idx
-
-    @pl.when(j == n_tiles - 1)
-    def _write():
-        vals_ref[:] = vals_scr[:]
-        idx_ref[:] = idx_scr[:]
+    kernel = functools.partial(
+        _fused_kernel, alpha=float(alpha), k=k, tile_n=tile_n, corpus_n=n,
+        quantized=quantized,
+    )
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((qn_p, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qn_p, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((qn_p, k), jnp.float32),
+            jax.ShapeDtypeStruct((qn_p, k), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((qn_p, k), jnp.float32),
+            pltpu.VMEM((qn_p, k), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * qn * d * n,
+            bytes_accessed=corpus_bytes + 2 * qn * d * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*operands)
+    return vals[:qn], idx[:qn]
 
 
 def fused_similarity_topk_q8(
@@ -262,8 +348,8 @@ def fused_similarity_topk_q8(
 
     Same selection semantics as :func:`fused_similarity_topk`; scores carry
     one quantization rounding step per corpus element (ranks stable to ~1e-2
-    score tolerance). Big k (>128) falls back to the segmented XLA path on
-    the dequantized corpus.
+    score tolerance). Big k (>128) routes through q8-native scores and the
+    segmented exact selection (no full-corpus dequantization buffer).
     """
     if interpret is None:
         from .dispatch import on_tpu
@@ -271,69 +357,18 @@ def fused_similarity_topk_q8(
         interpret = not on_tpu()
     if queries_txt is None:
         queries_txt = queries_img
-    qn, d = queries_img.shape
     n = img_q.shape[0]
     k = min(k, n)
     if k > 128:
         if queries_txt is not queries_img:
             raise NotImplementedError("k > 128 with distinct query towers")
-        return similarity_topk_segmented(
-            queries_img, dequantize_corpus(img_q, img_scale), dequantize_corpus(txt_q, txt_scale), k, alpha
-        )
-
-    tile_n = min(tile_n, max(128, 1 << (n - 1).bit_length()))
-    max_elems = 256 * 1024
-    if qn * tile_n > max_elems:
-        tile_n = max(128, (max_elems // qn) // 128 * 128)
-    pad_n = (-n) % tile_n
-    img_p = jnp.pad(img_q, ((0, pad_n), (0, 0)))
-    txt_p = jnp.pad(txt_q, ((0, pad_n), (0, 0)))
-    # scales ride as [1, N] rows so the kernel multiplies score COLUMNS
-    img_s = jnp.pad(jnp.asarray(img_scale, jnp.float32).reshape(1, -1), ((0, 0), (0, pad_n)))
-    txt_s = jnp.pad(jnp.asarray(txt_scale, jnp.float32).reshape(1, -1), ((0, 0), (0, pad_n)))
-    n_tiles = img_p.shape[0] // tile_n
-
-    pad_q = (-qn) % 8
-    if pad_q:
-        queries_img = jnp.pad(queries_img, ((0, pad_q), (0, 0)))
-        queries_txt = jnp.pad(queries_txt, ((0, pad_q), (0, 0)))
-    qn_p = qn + pad_q
-
-    kernel = functools.partial(_fused_kernel_q8, alpha=float(alpha), k=k, tile_n=tile_n, corpus_n=n)
-    vals, idx = pl.pallas_call(
-        kernel,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((qn_p, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((qn_p, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((qn_p, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((qn_p, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((qn_p, k), jnp.float32),
-            jax.ShapeDtypeStruct((qn_p, k), jnp.int32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((qn_p, k), jnp.float32),
-            pltpu.VMEM((qn_p, k), jnp.int32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * qn * d * n,
-            bytes_accessed=2 * n * d + 2 * qn * d * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(queries_img, queries_txt, img_p, img_s, txt_p, txt_s)
-    return vals[:qn], idx[:qn]
+        scores = blended_scores_q8(queries_img, img_q, img_scale, txt_q, txt_scale, alpha)
+        return _segmented_topk_from_scores(scores, k, segment=4096)
+    return _fused_topk_call(
+        queries_img, queries_txt, img_q, txt_q, (img_scale, txt_scale),
+        k=k, alpha=alpha, tile_n=tile_n, interpret=interpret,
+        corpus_bytes=2 * n * img_q.shape[1],
+    )
 
 
 def fused_similarity_topk(
@@ -359,7 +394,6 @@ def fused_similarity_topk(
         interpret = not on_tpu()
     if queries_txt is None:
         queries_txt = queries_img
-    qn, d = queries_img.shape
     n = img_emb.shape[0]
     k = min(k, n)
     if k > 128:
@@ -368,58 +402,11 @@ def fused_similarity_topk(
         if queries_txt is not queries_img:
             raise NotImplementedError("k > 128 with distinct query towers")
         return similarity_topk_segmented(queries_img, img_emb, txt_emb, k, alpha)
-
-    tile_n = min(tile_n, max(128, 1 << (n - 1).bit_length()))
-    # VMEM budget: the merge works on [Q, K + tile_n] f32+i32 copies; keep the
-    # score block bounded so large query batches still fit (~256k elements)
-    max_elems = 256 * 1024
-    if qn * tile_n > max_elems:
-        tile_n = max(128, (max_elems // qn) // 128 * 128)
-    pad_n = (-n) % tile_n
-    img_p = jnp.pad(img_emb, ((0, pad_n), (0, 0)))
-    txt_p = jnp.pad(txt_emb, ((0, pad_n), (0, 0)))
-    n_tiles = img_p.shape[0] // tile_n
-
-    # sublane-align the query block (fp32 min tile is 8 x 128)
-    pad_q = (-qn) % 8
-    if pad_q:
-        queries_img = jnp.pad(queries_img, ((0, pad_q), (0, 0)))
-        queries_txt = jnp.pad(queries_txt, ((0, pad_q), (0, 0)))
-    qn_p = qn + pad_q
-
-    kernel = functools.partial(_fused_kernel, alpha=float(alpha), k=k, tile_n=tile_n, corpus_n=n)
-    vals, idx = pl.pallas_call(
-        kernel,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((qn_p, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((qn_p, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((qn_p, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((qn_p, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((qn_p, k), jnp.float32),
-            jax.ShapeDtypeStruct((qn_p, k), jnp.int32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((qn_p, k), jnp.float32),
-            pltpu.VMEM((qn_p, k), jnp.int32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * qn * d * n,
-            bytes_accessed=2 * n * d * img_emb.dtype.itemsize + 2 * qn * d * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(queries_img, queries_txt, img_p, txt_p)
-    return vals[:qn], idx[:qn]
+    return _fused_topk_call(
+        queries_img, queries_txt, img_emb, txt_emb, None,
+        k=k, alpha=alpha, tile_n=tile_n, interpret=interpret,
+        corpus_bytes=2 * n * img_emb.shape[1] * img_emb.dtype.itemsize,
+    )
 
 
 # ---------------------------------------------------------------------------

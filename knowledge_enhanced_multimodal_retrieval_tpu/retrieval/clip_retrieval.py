@@ -24,10 +24,11 @@ from ..ops.dispatch import on_tpu
 from ..ops.similarity import (
     fused_similarity_topk,
     fused_similarity_topk_q8,
+    quantize_corpus_host,
     sharded_similarity_topk,
     similarity_topk_xla,
+    similarity_topk_xla_q8,
 )
-from ..ops.similarity import quantize_corpus as quantize_corpus_fn
 from ..parallel.mesh import MeshRuntime
 from .embedding_store import EmbeddingStore
 
@@ -63,7 +64,14 @@ class CLIPRetrieval:
         # weight packing + VMEM-resident transformer blocks. ~1.5x lower
         # encode latency than the flax/XLA tower at serving shapes.
         if use_fused_encoder is None:
-            use_fused_encoder = self.use_pallas and on_tpu() and not self.shard_corpus
+            from ..models.fast_encode import fused_encoder_supported
+
+            # auto also requires an arch the fused kernels can tile (128-lane
+            # widths) — tiny test models degrade to the flax tower
+            use_fused_encoder = (
+                self.use_pallas and on_tpu() and not self.shard_corpus
+                and fused_encoder_supported(model.arch)
+            )
         if quantize is not None and not use_fused_encoder:
             raise ValueError("quantize requires use_fused_encoder=True")
         self.use_fused_encoder = use_fused_encoder
@@ -86,11 +94,11 @@ class CLIPRetrieval:
         self.store = store
         mesh = rt.mesh if self.shard_corpus else None
         if quantize_corpus:
-            # int8 per-row packing: half the HBM footprint and half the
-            # top-k streaming traffic (ops.similarity.quantize_corpus)
-            img_f, txt_f = store.device_arrays(jnp.float32, mesh)
-            self.corpus_img, self.corpus_img_scale = quantize_corpus_fn(img_f)
-            self.corpus_txt, self.corpus_txt_scale = quantize_corpus_fn(txt_f)
+            # int8 per-row packing, quantized ON HOST so the full f32 corpus
+            # never stages in device HBM (a corpus sized to fit as int8
+            # would OOM in f32) — only int8 buffers + scales upload
+            self.corpus_img, self.corpus_img_scale = quantize_corpus_host(store.image)
+            self.corpus_txt, self.corpus_txt_scale = quantize_corpus_host(store.text)
         else:
             self.corpus_img, self.corpus_txt = store.device_arrays(corpus_dtype, mesh)
             self.corpus_img_scale = self.corpus_txt_scale = None
@@ -107,13 +115,14 @@ class CLIPRetrieval:
         # eager op dispatch costs a full host<->device round trip per op,
         # which dwarfs the ~1 ms of device compute on a tunneled chip. One
         # compile per (ids-bucket, k, alpha) signature, cached after.
-        def _search_program(params, ids, cimg, ctxt, *, k: int, alpha: float):
+        # scales ride as ARGUMENTS (never close over arrays in jit on the
+        # relay: constants serialize into the remote-compile request)
+        def _search_program(params, ids, cimg, ctxt, cimg_s, ctxt_s, *, k: int, alpha: float):
             if self.quantize_corpus:
                 q = _encode_fn(params, ids).astype(model.dtype)
-                return fused_similarity_topk_q8(
-                    q, cimg, self.corpus_img_scale, ctxt, self.corpus_txt_scale,
-                    k=k, alpha=alpha,
-                )
+                if self.use_pallas:
+                    return fused_similarity_topk_q8(q, cimg, cimg_s, ctxt, ctxt_s, k=k, alpha=alpha)
+                return similarity_topk_xla_q8(q, cimg, cimg_s, ctxt, ctxt_s, k=k, alpha=alpha)
             q = _encode_fn(params, ids).astype(cimg.dtype)
             if self.shard_corpus:
                 return sharded_similarity_topk(
@@ -148,6 +157,7 @@ class CLIPRetrieval:
         ids = self._tokenize(queries)
         return self._search_program(
             self._enc_params, jnp.asarray(ids), self.corpus_img, self.corpus_txt,
+            self.corpus_img_scale, self.corpus_txt_scale,
             k=k, alpha=float(alpha),
         )
 

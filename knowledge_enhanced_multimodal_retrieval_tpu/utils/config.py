@@ -288,6 +288,17 @@ class EvalConfig:
     quantize_corpus: bool = False
 
 
+def resolve_encoder(encoder: str):
+    """Validate ``eval.encoder`` and map it to ``(use_fast, quantize)``.
+
+    The single source of truth for the encoder whitelist — evaluate,
+    precompute, and serve all route through this so the same flag value
+    behaves identically at every entry point."""
+    if encoder not in ("flax", "fast", "int8"):
+        raise ValueError(f"unknown eval.encoder {encoder!r}: expected flax|fast|int8")
+    return encoder in ("fast", "int8"), "int8" if encoder == "int8" else None
+
+
 @dataclass(frozen=True)
 class FusionConfig:
     """Serving-time CLIP x SPARQL fusion defaults (reference ``src/retrieval.py:79``)."""

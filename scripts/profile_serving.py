@@ -65,27 +65,31 @@ def main() -> None:
     cimg_q, cimg_s = quantize_corpus(cimg)
     ctxt_q, ctxt_s = quantize_corpus(ctxt)
 
+    # queries at the SERVING dtype (bf16) — f32 queries would force the q8
+    # tiles to upcast and the dot to run at half MXU rate, mis-stating the
+    # split; the int8 corpus rides via the cimg/ctxt loop args (never close
+    # over big arrays in jit on the relay)
     def full_q8corpus(plan, ids, cimg, ctxt):
-        q = l2_normalize(encode_text_fast(model.arch, plan, ids)).astype(jnp.float32)
-        return fused_similarity_topk_q8(q, cimg_q, cimg_s, ctxt_q, ctxt_s, k=args.k, alpha=0.5)
+        q = l2_normalize(encode_text_fast(model.arch, plan, ids)).astype(jnp.bfloat16)
+        return fused_similarity_topk_q8(q, cimg, cimg_s, ctxt, ctxt_s, k=args.k, alpha=0.5)
 
     def topk_q8_only(plan, ids, cimg, ctxt):
         q = l2_normalize(
-            jnp.broadcast_to(ids[:, :1].astype(jnp.float32), (ids.shape[0], cimg.shape[1]))
-            + cimg[: ids.shape[0]].astype(jnp.float32)
+            jnp.broadcast_to(ids[:, :1].astype(jnp.bfloat16), (ids.shape[0], cimg.shape[1]))
+            + cimg[: ids.shape[0]].astype(jnp.bfloat16)
         )
-        return fused_similarity_topk_q8(q, cimg_q, cimg_s, ctxt_q, ctxt_s, k=args.k, alpha=0.5)
+        return fused_similarity_topk_q8(q, cimg, cimg_s, ctxt, ctxt_s, k=args.k, alpha=0.5)
 
-    for name, fn, p in [
-        ("encode_only", encode_only, plan),
-        ("topk_only", topk_only, plan),
-        ("topk_q8c", topk_q8_only, plan),
-        ("full", full, plan),
-        ("encode_q8", encode_only, plan_q8),
-        ("full_q8", full, plan_q8),
-        ("full_q8_q8c", full_q8corpus, plan_q8),
+    for name, fn, p, ci, ct in [
+        ("encode_only", encode_only, plan, cimg, ctxt),
+        ("topk_only", topk_only, plan, cimg, ctxt),
+        ("topk_q8c", topk_q8_only, plan, cimg_q, ctxt_q),
+        ("full", full, plan, cimg, ctxt),
+        ("encode_q8", encode_only, plan_q8, cimg, ctxt),
+        ("full_q8", full, plan_q8, cimg, ctxt),
+        ("full_q8_q8c", full_q8corpus, plan_q8, cimg_q, ctxt_q),
     ]:
-        t = _time(fn, p, ids_variants, cimg, ctxt, iters=args.iters)
+        t = _time(fn, p, ids_variants, ci, ct, iters=args.iters)
         print(f"{name:12s} {t * 1e3:8.3f} ms  ({args.batch / t:9.1f} q/s)")
 
 

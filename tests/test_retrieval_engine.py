@@ -127,6 +127,33 @@ def test_clip_retrieval_int8_corpus(world):
         CLIPRetrieval(model, params, tok, store, rt=rt, shard_corpus=True, quantize_corpus=True)
 
 
+def test_clip_retrieval_auto_encoder_respects_arch_support(world, monkeypatch):
+    """On TPU, auto encoder selection must degrade to the flax tower for
+    archs the fused kernels cannot tile (width % 128 != 0) — regression for
+    a real-chip serve-time ValueError on tiny models."""
+    from knowledge_enhanced_multimodal_retrieval_tpu.models.fast_encode import (
+        fused_encoder_supported,
+    )
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval import clip_retrieval as cr
+
+    model, params, tok, store, _ = world
+    assert not fused_encoder_supported(model.arch)  # width 32
+
+    class _L14Arch:
+        text_width = 768
+        vision_width = 1024
+
+    assert fused_encoder_supported(_L14Arch)
+
+    monkeypatch.setattr(cr, "on_tpu", lambda: True)
+    r = CLIPRetrieval(model, params, tok, store, top_k=5)
+    assert not r.use_fused_encoder
+    # and the search program still serves (pallas kernels run in interpret
+    # mode off-TPU via their own dispatch)
+    out = r.retrieval("hello cat")
+    assert len(out) == 5
+
+
 def test_clip_retrieval_quantize_requires_fused_encoder(world):
     model, params, tok, store, rt = world
     with pytest.raises(ValueError):
