@@ -65,6 +65,13 @@ def mha(
       overhead-bound blocks at these lengths);
     - s > 512 -> tiled ``flash_attention``;
     - s <= 128 and CPU -> the XLA reference (lane padding would dominate).
+
+    The stock CLIP archs never exceed 257 tokens (ViT-L/14 vision), so the
+    flash tier is dormant *for them* — it exists because ``CLIPArch`` is
+    user-configurable (``context_length``/``image_resolution`` are free
+    knobs, e.g. 448px/14 -> 1025 tokens) and a trainable tower needs an
+    O(s)-memory attention with a VJP once sequences outgrow VMEM. It stays
+    oracle-tested at s>512 in ``tests/test_flash_attention.py``.
     """
     from .dispatch import on_tpu
 

@@ -6,3 +6,4 @@ from .sharding import (  # noqa: F401
     replicated,
     shard_params,
 )
+from .tp import shard_params_tp, tp_param_pspecs, tp_shardings  # noqa: F401

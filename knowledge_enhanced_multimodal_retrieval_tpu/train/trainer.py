@@ -208,6 +208,73 @@ def make_train_step(
 
 
 # ---------------------------------------------------------------------------
+# Train step (GSPMD over dp x tp meshes)
+# ---------------------------------------------------------------------------
+
+
+def init_state_gspmd(model: CLIP, optimizer, params, rt: MeshRuntime) -> Dict[str, Any]:
+    """Tensor-parallel train state: params placed with Megatron column/row
+    shardings (``parallel.tp``), opt_state initialized under jit with the
+    SAME path-suffix spec rules — optimizer moment trees embed the param tree
+    (``ScaleByAdamState.mu["text"]...["c_fc"]["kernel"]``), so
+    ``tp_param_pspecs`` applies to them verbatim and each Adam moment shards
+    exactly like its parameter."""
+    from jax.sharding import NamedSharding
+
+    from ..parallel.tp import shard_params_tp, tp_param_pspecs
+
+    params = shard_params_tp(params, rt.mesh, rt.model_axis)
+    abstract = jax.eval_shape(optimizer.init, params)
+    opt_shardings = jax.tree_util.tree_map(
+        lambda s: NamedSharding(rt.mesh, s), tp_param_pspecs(abstract, rt.model_axis)
+    )
+    opt_state = jax.jit(optimizer.init, out_shardings=opt_shardings)(params)
+    return {"params": params, "opt_state": opt_state, "step": jnp.zeros((), jnp.int32)}
+
+
+def make_train_step_gspmd(
+    model: CLIP,
+    optimizer: optax.GradientTransformation,
+    cfg: TrainConfig,
+    rt: MeshRuntime,
+) -> Callable:
+    """Train step for a ``(data, model)`` mesh with tensor-parallel params.
+
+    Unlike :func:`make_train_step` (shard_map with explicit ``pmean`` —
+    mirrors the reference's DDP, ``trainer.py:44-49``), this step states NO
+    collectives: params carry tp shardings (``parallel.tp``), the batch is
+    sharded on ``data``, and XLA's SPMD partitioner inserts the attention/MLP
+    all-reduces over the ``model`` axis and the gradient reductions over
+    ``data``. Loss semantics are *global-batch* negatives — numerically the
+    DP step with ``global_negatives=True`` (pinned in ``tests/test_tp.py``).
+    """
+
+    def loss_fn(p, images, query_ids, target_ids):
+        img_e = l2_normalize(model.apply({"params": p}, images, method=CLIP.encode_image))
+        q_e = l2_normalize(model.apply({"params": p}, query_ids, method=CLIP.encode_text))
+        t_e = l2_normalize(model.apply({"params": p}, target_ids, method=CLIP.encode_text))
+        return joint_contrastive_loss(
+            img_e, q_e, t_e,
+            temperature=cfg.temperature,
+            t2i_weight=cfg.t2i_weight,
+            t2t_weight=cfg.t2t_weight,
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, batch):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"], batch["images"], batch["query_ids"], batch["target_ids"]
+        )
+        updates, opt_state = optimizer.update(grads, state["opt_state"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return {"params": params, "opt_state": opt_state, "step": state["step"] + 1}, metrics
+
+    return train_step
+
+
+# ---------------------------------------------------------------------------
 # Encoding (shared by validation and full evals)
 # ---------------------------------------------------------------------------
 
@@ -315,13 +382,27 @@ class CLIPTrainer:
         # own copy: the donated train step invalidates its input buffers, so
         # the trainer must never alias arrays the caller still holds
         params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
-        opt_state = self.optimizer.init(params)
-        self.state = {
-            "params": jax.device_put(params, replicated(self.rt.mesh)),
-            "opt_state": jax.device_put(opt_state, replicated(self.rt.mesh)),
-            "step": jnp.zeros((), jnp.int32),
-        }
-        self.train_step = make_train_step(model, self.optimizer, cfg, self.rt)
+        self.tensor_parallel = self.rt.mesh.shape[self.rt.model_axis] > 1
+        if self.tensor_parallel:
+            # model axis active: Megatron-sharded params + GSPMD step
+            # (parallel/tp.py). Loss is computed on the GLOBAL batch — with
+            # local negatives configured that deviates from reference DDP
+            # semantics, so say so.
+            if not cfg.global_negatives:
+                self.logger.warning(
+                    "tensor parallelism computes global-batch negatives; "
+                    "cfg.global_negatives=False is ignored in tp mode"
+                )
+            self.state = init_state_gspmd(model, self.optimizer, params, self.rt)
+            self.train_step = make_train_step_gspmd(model, self.optimizer, cfg, self.rt)
+        else:
+            opt_state = self.optimizer.init(params)
+            self.state = {
+                "params": jax.device_put(params, replicated(self.rt.mesh)),
+                "opt_state": jax.device_put(opt_state, replicated(self.rt.mesh)),
+                "step": jnp.zeros((), jnp.int32),
+            }
+            self.train_step = make_train_step(model, self.optimizer, cfg, self.rt)
         self.encode_step = make_encode_step(model, self.rt)
         self.stopper = EarlyStopper(cfg.early_stop_patience)
         self.start_epoch = 0
@@ -332,7 +413,15 @@ class CLIPTrainer:
 
     def _resume(self) -> None:
         state, meta = ckpt.load_checkpoint(self.cfg.checkpoint_dir, "latest", self.state)
-        self.state = jax.device_put(state, replicated(self.rt.mesh))
+        if self.tensor_parallel:
+            # re-place with the tp shardings (tp_param_pspecs keys off path
+            # suffixes, so it applies to the whole state tree: params,
+            # optimizer moments, and the step scalar alike)
+            from ..parallel.tp import tp_shardings
+
+            self.state = jax.device_put(state, tp_shardings(state, self.rt.mesh, self.rt.model_axis))
+        else:
+            self.state = jax.device_put(state, replicated(self.rt.mesh))
         self.start_epoch = int(meta.get("epoch", -1)) + 1
         self.stopper.best = float(meta.get("best_metric", -float("inf")))
         self.stopper.best_epoch = int(meta.get("best_epoch", -1))

@@ -33,3 +33,5 @@ def test_dryrun_multichip_fresh_process_no_env_help():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "dryrun_multichip(8): ok" in proc.stdout
+    # the dp x tp GSPMD step must run too (parallel/tp.py shardings)
+    assert "dp4 x tp2 ok" in proc.stdout
