@@ -20,6 +20,7 @@ from .similarity import (  # noqa: F401
     fused_similarity_topk_q8,
     quantize_corpus,
     sharded_similarity_topk,
+    sharded_similarity_topk_q8,
     similarity_topk_segmented,
     similarity_topk_xla,
 )

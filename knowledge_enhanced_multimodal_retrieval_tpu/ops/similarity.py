@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from jax import shard_map
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
 
@@ -116,20 +116,28 @@ def quantize_corpus(emb: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return jnp.round(emb / scale).astype(jnp.int8), scale
 
 
-def quantize_corpus_host(emb) -> Tuple[jax.Array, jax.Array]:
+def quantize_corpus_host(
+    emb, mesh: Optional[Mesh] = None, axis: str = "data"
+) -> Tuple[jax.Array, jax.Array]:
     """Host-side (NumPy) variant of :func:`quantize_corpus`.
 
     Quantizing on host means the full f32 corpus never touches device HBM —
     only the int8 buffers and scales are uploaded. That matters precisely
     when int8 packing is the point: a corpus sized to fit as int8 would OOM
-    if staged on device in f32 first.
+    if staged on device in f32 first. With ``mesh``, the int8 buffers and
+    scales upload directly row-sharded over ``axis`` (each device receives
+    only its corpus shard).
     """
     import numpy as np
 
     emb = np.asarray(emb, np.float32)
     scale = np.maximum(np.max(np.abs(emb), axis=1, keepdims=True) / 127.0, 1e-12)
     q = np.round(emb / scale).astype(np.int8)
-    return jnp.asarray(q), jnp.asarray(scale.astype(np.float32))
+    scale = scale.astype(np.float32)
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P(axis, None))
+        return jax.device_put(q, sharding), jax.device_put(scale, sharding)
+    return jnp.asarray(q), jnp.asarray(scale)
 
 
 def dequantize_corpus(q: jax.Array, scale: jax.Array, dtype=jnp.float32) -> jax.Array:
@@ -461,3 +469,55 @@ def sharded_similarity_topk(
         check_vma=False,
     )
     return jax.jit(fn)(queries, img_emb, txt_emb)
+
+
+def sharded_similarity_topk_q8(
+    queries: jax.Array,
+    img_q: jax.Array,
+    img_scale: jax.Array,
+    txt_q: jax.Array,
+    txt_scale: jax.Array,
+    k: int,
+    alpha: float,
+    mesh: Mesh,
+    axis: str = "data",
+    use_pallas: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """:func:`sharded_similarity_topk` over an int8-packed corpus: each
+    device holds only its int8 shard (+ per-row scales), so corpus capacity
+    scales 2x per chip AND linearly with the mesh. Same merge: local top-k,
+    all_gather the [Q, k] winners, final replicated top-k."""
+    n_shards = mesh.shape[axis]
+    shard_n = img_q.shape[0] // n_shards
+    k = min(k, img_q.shape[0])
+    k_local = min(k, shard_n)
+
+    def local(q, img, img_s, txt, txt_s):
+        if use_pallas or (use_pallas is None and jax.default_backend() == "tpu"):
+            # fused handles k_local > 128 internally (q8-native segmented)
+            vals, idx = fused_similarity_topk_q8(
+                q, img, img_s, txt, txt_s, k=k_local, alpha=alpha
+            )
+        else:
+            vals, idx = similarity_topk_xla_q8(
+                q, img, img_s, txt, txt_s, k=k_local, alpha=alpha
+            )
+        offset = jax.lax.axis_index(axis).astype(jnp.int32) * shard_n
+        idx = idx + offset
+        all_vals = jax.lax.all_gather(vals, axis)
+        all_idx = jax.lax.all_gather(idx, axis)
+        qn = q.shape[0]
+        flat_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(qn, -1)
+        flat_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(qn, -1)
+        best_vals, pos = jax.lax.top_k(flat_vals, k)
+        best_idx = jnp.take_along_axis(flat_idx, pos, axis=1)
+        return best_vals, best_idx
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis, None), P(axis, None), P(axis, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)(queries, img_q, img_scale, txt_q, txt_scale)

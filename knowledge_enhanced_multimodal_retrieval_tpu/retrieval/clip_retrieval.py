@@ -26,6 +26,7 @@ from ..ops.similarity import (
     fused_similarity_topk_q8,
     quantize_corpus_host,
     sharded_similarity_topk,
+    sharded_similarity_topk_q8,
     similarity_topk_xla,
     similarity_topk_xla_q8,
 )
@@ -85,8 +86,6 @@ class CLIPRetrieval:
             else None
         )
 
-        if quantize_corpus and self.shard_corpus:
-            raise NotImplementedError("quantize_corpus with shard_corpus is not supported yet")
         self.quantize_corpus = quantize_corpus
 
         if self.shard_corpus:
@@ -96,9 +95,10 @@ class CLIPRetrieval:
         if quantize_corpus:
             # int8 per-row packing, quantized ON HOST so the full f32 corpus
             # never stages in device HBM (a corpus sized to fit as int8
-            # would OOM in f32) — only int8 buffers + scales upload
-            self.corpus_img, self.corpus_img_scale = quantize_corpus_host(store.image)
-            self.corpus_txt, self.corpus_txt_scale = quantize_corpus_host(store.text)
+            # would OOM in f32) — only int8 buffers + scales upload, row-
+            # sharded over the mesh when the corpus is sharded
+            self.corpus_img, self.corpus_img_scale = quantize_corpus_host(store.image, mesh)
+            self.corpus_txt, self.corpus_txt_scale = quantize_corpus_host(store.text, mesh)
         else:
             self.corpus_img, self.corpus_txt = store.device_arrays(corpus_dtype, mesh)
             self.corpus_img_scale = self.corpus_txt_scale = None
@@ -120,6 +120,11 @@ class CLIPRetrieval:
         def _search_program(params, ids, cimg, ctxt, cimg_s, ctxt_s, *, k: int, alpha: float):
             if self.quantize_corpus:
                 q = _encode_fn(params, ids).astype(model.dtype)
+                if self.shard_corpus:
+                    return sharded_similarity_topk_q8(
+                        q, cimg, cimg_s, ctxt, ctxt_s, k=k, alpha=alpha,
+                        mesh=self.rt.mesh, use_pallas=self.use_pallas,
+                    )
                 if self.use_pallas:
                     return fused_similarity_topk_q8(q, cimg, cimg_s, ctxt, ctxt_s, k=k, alpha=alpha)
                 return similarity_topk_xla_q8(q, cimg, cimg_s, ctxt, ctxt_s, k=k, alpha=alpha)

@@ -123,8 +123,6 @@ def test_clip_retrieval_int8_corpus(world):
     np.testing.assert_allclose(
         [x["score"] for x in a], [x["score"] for x in b], atol=0.02
     )
-    with pytest.raises(NotImplementedError):
-        CLIPRetrieval(model, params, tok, store, rt=rt, shard_corpus=True, quantize_corpus=True)
 
 
 def test_clip_retrieval_auto_encoder_respects_arch_support(world, monkeypatch):
@@ -183,6 +181,21 @@ def test_clip_retrieval_sharded_matches_dense(world):
     model, params, tok, store, rt = world
     dense = CLIPRetrieval(model, params, tok, store, top_k=7)
     sharded = CLIPRetrieval(model, params, tok, store, top_k=7, rt=rt, shard_corpus=True)
+    a = dense.retrieval("hello cat", alpha=0.5)
+    b = sharded.retrieval("hello cat", alpha=0.5)
+    assert [x["uuid"] for x in a] == [x["uuid"] for x in b]
+    np.testing.assert_allclose([x["score"] for x in a], [x["score"] for x in b], atol=1e-4)
+
+
+def test_clip_retrieval_sharded_q8_corpus_matches_dense_q8(world):
+    """shard_corpus + quantize_corpus: int8 shards per device, same results
+    as the dense int8 path (identical quantization, sharded merge)."""
+    model, params, tok, store, rt = world
+    dense = CLIPRetrieval(model, params, tok, store, top_k=7, quantize_corpus=True)
+    sharded = CLIPRetrieval(
+        model, params, tok, store, top_k=7, rt=rt, shard_corpus=True, quantize_corpus=True
+    )
+    assert not sharded.corpus_img.sharding.is_fully_replicated
     a = dense.retrieval("hello cat", alpha=0.5)
     b = sharded.retrieval("hello cat", alpha=0.5)
     assert [x["uuid"] for x in a] == [x["uuid"] for x in b]

@@ -112,6 +112,35 @@ def test_sharded_matches_dense(rng, devices8):
     np.testing.assert_array_equal(np.asarray(si), np.asarray(xi))
 
 
+def test_sharded_q8_matches_dense_q8(rng, devices8):
+    """Sharded int8-corpus top-k == the dense XLA q8 path (same op order)."""
+    rt = MeshRuntime.create()
+    q, img, txt = _corpus(rng, n=512, q=6)
+    img_q, img_s = S.quantize_corpus_host(img)
+    txt_q, txt_s = S.quantize_corpus_host(txt)
+    sv, si = S.sharded_similarity_topk_q8(
+        jnp.asarray(q), img_q, img_s, txt_q, txt_s, k=9, alpha=0.7, mesh=rt.mesh
+    )
+    xv, xi = S.similarity_topk_xla_q8(jnp.asarray(q), img_q, img_s, txt_q, txt_s, 9, 0.7)
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(xv), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(xi))
+
+
+def test_sharded_q8_big_k(rng, devices8):
+    """k > shard contribution and > 128: q8-native segmented local path."""
+    rt = MeshRuntime.create()
+    q, img, txt = _corpus(rng, n=2048, q=4)
+    img_q, img_s = S.quantize_corpus_host(img, rt.mesh)
+    txt_q, txt_s = S.quantize_corpus_host(txt, rt.mesh)
+    assert not img_q.sharding.is_fully_replicated  # rows really sharded
+    sv, si = S.sharded_similarity_topk_q8(
+        jnp.asarray(q), img_q, img_s, txt_q, txt_s, k=200, alpha=0.7, mesh=rt.mesh
+    )
+    xv, xi = S.similarity_topk_xla_q8(jnp.asarray(q), img_q, img_s, txt_q, txt_s, 200, 0.7)
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(xv), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(xi))
+
+
 def test_topk_values_sorted_desc(rng):
     q, img, txt = _corpus(rng, n=200, q=2)
     fv, _ = S.fused_similarity_topk(jnp.asarray(q), jnp.asarray(img), jnp.asarray(txt), k=8, interpret=True)
