@@ -35,11 +35,18 @@ def build_engine(cfg, store_path: str) -> RetrievalEngine:
     # serving towers run their XLA reference blocks there), matching the
     # precompute CLI's behavior for the same flag.
     use_fast, quantize = resolve_encoder(cfg.eval.encoder)
+    rt = None
+    if cfg.eval.shard_corpus:
+        from .common import build_runtime
+
+        rt = build_runtime(cfg)
     clip_r = CLIPRetrieval(
         model, params, tokenizer, store,
         use_fused_encoder=use_fast,
         quantize=quantize,
         quantize_corpus=cfg.eval.quantize_corpus,
+        rt=rt,
+        shard_corpus=cfg.eval.shard_corpus,
     )
 
     t2s = None

@@ -286,6 +286,9 @@ class EvalConfig:
     encoder: str = "flax"
     # pack the serving corpus as per-row int8 (half the HBM footprint)
     quantize_corpus: bool = False
+    # shard the serving corpus over the mesh data axis (capacity scales
+    # linearly with device count; composes with quantize_corpus)
+    shard_corpus: bool = False
 
 
 def resolve_encoder(encoder: str):
