@@ -157,6 +157,33 @@ def _engine_throughput(model, params, corpus_img, corpus_txt, args) -> float:
     return sync_qps, pipe_qps
 
 
+def _vision_throughput(model, params, args) -> float:
+    """Images/sec through the int8 fast vision tower (batch 64)."""
+    from knowledge_enhanced_multimodal_retrieval_tpu.models.fast_encode import (
+        encode_image_fast,
+        make_vision_plan,
+    )
+
+    plan = make_vision_plan(params, quantize="int8")
+    arch = model.arch
+    rng = np.random.default_rng(3)
+    vb = 64
+    images = [
+        jnp.asarray(
+            rng.standard_normal((vb, arch.image_resolution, arch.image_resolution, 3)),
+            jnp.float32,
+        )
+    ]
+    dummy = jnp.zeros((8, 8), jnp.bfloat16)
+
+    def pipeline(plan, imgs, cimg, ctxt):
+        e = encode_image_fast(arch, plan, imgs)
+        return e[:, :16], (e[:, :16] * 100).astype(jnp.int32)
+
+    t = _time(pipeline, plan, images, dummy, dummy, iters=max(4, args.iters // 5))
+    return round(vb / t, 1)
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--corpus", type=int, default=43_000)
@@ -271,6 +298,14 @@ def main() -> None:
     # fetches [Q, k] to host, so wall timing is honest here.
     engine_sync_qps, engine_pipe_qps = _engine_throughput(model, params, corpus_img, corpus_txt, args)
 
+    # --- vision-tower encode throughput (corpus precompute rate) -------------
+    vision_img_s = None
+    if not args.quick:
+        try:
+            vision_img_s = _vision_throughput(model, params, args)
+        except Exception:
+            pass  # vision rate is auxiliary; never fail the headline bench
+
     result = {
         "metric": f"fused T2I+T2T queries/sec/chip ({args.model}, corpus={args.corpus}, batch={args.batch}, k={args.k})",
         "value": round(qps, 1),
@@ -290,6 +325,9 @@ def main() -> None:
             "reference_design_qps": round(ref_qps, 1),
             "engine_api_qps": round(engine_sync_qps, 1),
             "engine_pipelined_qps": round(engine_pipe_qps, 1),
+            # image encode rate (int8 fast path, batch 64) — the corpus
+            # precompute throughput; None under --quick or on failure
+            "vision_img_per_s_int8": vision_img_s,
         },
     }
     print(json.dumps(result))

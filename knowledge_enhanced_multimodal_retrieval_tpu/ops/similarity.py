@@ -447,17 +447,7 @@ def sharded_similarity_topk(
             vals, idx = similarity_topk_segmented(q, img, txt, k=k_local, alpha=alpha)
         else:
             vals, idx = similarity_topk_xla(q, img, txt, k=k_local, alpha=alpha)
-        offset = jax.lax.axis_index(axis).astype(jnp.int32) * shard_n
-        idx = idx + offset
-        # gather all shards' winners: [n_shards, Q, k] -> merge
-        all_vals = jax.lax.all_gather(vals, axis)
-        all_idx = jax.lax.all_gather(idx, axis)
-        qn = q.shape[0]
-        flat_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(qn, -1)
-        flat_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(qn, -1)
-        best_vals, pos = jax.lax.top_k(flat_vals, k)
-        best_idx = jnp.take_along_axis(flat_idx, pos, axis=1)
-        return best_vals, best_idx
+        return _merge_shard_winners(vals, idx, axis, shard_n, k)
 
     fn = shard_map(
         local,
@@ -469,6 +459,22 @@ def sharded_similarity_topk(
         check_vma=False,
     )
     return jax.jit(fn)(queries, img_emb, txt_emb)
+
+
+def _merge_shard_winners(vals, idx, axis: str, shard_n: int, k: int):
+    """Global merge of per-shard top-k winners (inside shard_map): localize
+    indices to global rows, gather every shard's [Q, k] candidates, and take
+    the final top-k. Only [Q, k] per device crosses ICI."""
+    offset = jax.lax.axis_index(axis).astype(jnp.int32) * shard_n
+    idx = idx + offset
+    all_vals = jax.lax.all_gather(vals, axis)  # [n_shards, Q, k]
+    all_idx = jax.lax.all_gather(idx, axis)
+    qn = vals.shape[0]
+    flat_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(qn, -1)
+    flat_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(qn, -1)
+    best_vals, pos = jax.lax.top_k(flat_vals, k)
+    best_idx = jnp.take_along_axis(flat_idx, pos, axis=1)
+    return best_vals, best_idx
 
 
 def sharded_similarity_topk_q8(
@@ -502,16 +508,7 @@ def sharded_similarity_topk_q8(
             vals, idx = similarity_topk_xla_q8(
                 q, img, img_s, txt, txt_s, k=k_local, alpha=alpha
             )
-        offset = jax.lax.axis_index(axis).astype(jnp.int32) * shard_n
-        idx = idx + offset
-        all_vals = jax.lax.all_gather(vals, axis)
-        all_idx = jax.lax.all_gather(idx, axis)
-        qn = q.shape[0]
-        flat_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(qn, -1)
-        flat_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(qn, -1)
-        best_vals, pos = jax.lax.top_k(flat_vals, k)
-        best_idx = jnp.take_along_axis(flat_idx, pos, axis=1)
-        return best_vals, best_idx
+        return _merge_shard_winners(vals, idx, axis, shard_n, k)
 
     fn = shard_map(
         local,

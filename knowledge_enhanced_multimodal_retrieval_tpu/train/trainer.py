@@ -212,7 +212,7 @@ def make_train_step(
 # ---------------------------------------------------------------------------
 
 
-def init_state_gspmd(model: CLIP, optimizer, params, rt: MeshRuntime) -> Dict[str, Any]:
+def init_state_gspmd(optimizer, params, rt: MeshRuntime) -> Dict[str, Any]:
     """Tensor-parallel train state: params placed with Megatron column/row
     shardings (``parallel.tp``), opt_state initialized under jit with the
     SAME path-suffix spec rules — optimizer moment trees embed the param tree
@@ -236,9 +236,12 @@ def make_train_step_gspmd(
     model: CLIP,
     optimizer: optax.GradientTransformation,
     cfg: TrainConfig,
-    rt: MeshRuntime,
 ) -> Callable:
     """Train step for a ``(data, model)`` mesh with tensor-parallel params.
+
+    Takes no mesh argument on purpose: the step derives everything from the
+    ARRAY shardings (state placed by :func:`init_state_gspmd`, batch placed
+    by ``host_local_batch_to_global``) — there are no collectives to name.
 
     Unlike :func:`make_train_step` (shard_map with explicit ``pmean`` —
     mirrors the reference's DDP, ``trainer.py:44-49``), this step states NO
@@ -311,6 +314,24 @@ def make_encode_step(model: CLIP, rt: MeshRuntime, fast: bool = False) -> Callab
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def make_encode_step_gspmd(model: CLIP) -> Callable:
+    """Encode step for tensor-parallel params: plain jit, no shard_map.
+
+    The shard_map variant pins params to ``P()`` (replicated), which would
+    all-gather the whole tp-sharded tree every call and run each encode
+    redundantly on every model-axis device. Here params keep their tp
+    shardings and the batch its data sharding; XLA partitions the towers the
+    same way as the train step."""
+
+    def f(params, images, query_ids, target_ids):
+        img_e = l2_normalize(model.apply({"params": params}, images, method=CLIP.encode_image))
+        q_e = l2_normalize(model.apply({"params": params}, query_ids, method=CLIP.encode_text))
+        t_e = l2_normalize(model.apply({"params": params}, target_ids, method=CLIP.encode_text))
+        return img_e, q_e, t_e
+
+    return jax.jit(f)
 
 
 # ---------------------------------------------------------------------------
@@ -393,8 +414,8 @@ class CLIPTrainer:
                     "tensor parallelism computes global-batch negatives; "
                     "cfg.global_negatives=False is ignored in tp mode"
                 )
-            self.state = init_state_gspmd(model, self.optimizer, params, self.rt)
-            self.train_step = make_train_step_gspmd(model, self.optimizer, cfg, self.rt)
+            self.state = init_state_gspmd(self.optimizer, params, self.rt)
+            self.train_step = make_train_step_gspmd(model, self.optimizer, cfg)
         else:
             opt_state = self.optimizer.init(params)
             self.state = {
@@ -403,7 +424,12 @@ class CLIPTrainer:
                 "step": jnp.zeros((), jnp.int32),
             }
             self.train_step = make_train_step(model, self.optimizer, cfg, self.rt)
-        self.encode_step = make_encode_step(model, self.rt)
+        # tp: GSPMD encode keeps params tp-sharded (the shard_map step would
+        # all-gather the whole tree to every device each validation batch)
+        self.encode_step = (
+            make_encode_step_gspmd(model) if self.tensor_parallel
+            else make_encode_step(model, self.rt)
+        )
         self.stopper = EarlyStopper(cfg.early_stop_patience)
         self.start_epoch = 0
         if cfg.resume and ckpt.checkpoint_exists(cfg.checkpoint_dir, "latest"):

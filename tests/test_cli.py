@@ -159,13 +159,17 @@ def test_cli_serve_encoder_modes(tmp_path, devices8, capsys, monkeypatch):
     with pytest.raises(ValueError):
         serve_mod.build_engine(cfg_bad, store_path)
 
-    # sharded int8 corpus over the 8-device mesh, through the CLI config
-    cfg_sh = config_from_argv(
-        ["--model.name=tiny", "--eval.quantize_corpus=true", "--eval.shard_corpus=true"]
-    )
-    eng_sh = serve_mod.build_engine(cfg_sh, store_path)
-    r_sh = eng_sh.clip_retriever
-    assert r_sh.shard_corpus and r_sh.quantize_corpus
-    assert not r_sh.corpus_img.sharding.is_fully_replicated
-    res = eng_sh.retrieve_text_noknowledge("hello cat")
-    assert res and all("uuid" in x for x in res)
+    # sharded int8 corpus over the 8-device mesh, through the CLI config —
+    # both with the flax encoder and with the fused int8 encoder (pallas
+    # encode replicated outside the shard_map'd corpus top-k)
+    for enc in ("flax", "int8"):
+        cfg_sh = config_from_argv([
+            "--model.name=tiny", f"--eval.encoder={enc}",
+            "--eval.quantize_corpus=true", "--eval.shard_corpus=true",
+        ])
+        eng_sh = serve_mod.build_engine(cfg_sh, store_path)
+        r_sh = eng_sh.clip_retriever
+        assert r_sh.shard_corpus and r_sh.quantize_corpus
+        assert not r_sh.corpus_img.sharding.is_fully_replicated
+        res = eng_sh.retrieve_text_noknowledge("hello cat")
+        assert res and all("uuid" in x for x in res)

@@ -109,8 +109,8 @@ def test_gspmd_step_matches_dp_global_negatives(devices8):
     model2, params2 = _model_and_params()
     rt_tp = MeshRuntime.create(MeshConfig(data_parallel=4, model_parallel=2))
     opt2 = make_optimizer(cfg, steps_per_epoch=1, params=params2)
-    state_tp = init_state_gspmd(model2, opt2, params2, rt_tp)
-    step_tp = make_train_step_gspmd(model2, opt2, cfg, rt_tp)
+    state_tp = init_state_gspmd(opt2, params2, rt_tp)
+    step_tp = make_train_step_gspmd(model2, opt2, cfg)
     batch_tp = host_local_batch_to_global(batch_np, rt_tp.mesh, rt_tp.data_axis)
     state_tp, metrics_tp = step_tp(state_tp, batch_tp)
 
@@ -160,7 +160,7 @@ def test_gspmd_opt_state_inherits_param_sharding(devices8):
     rt = MeshRuntime.create(MeshConfig(data_parallel=2, model_parallel=4))
     cfg = TrainConfig(batch_size=8, epochs=1)
     opt = make_optimizer(cfg, steps_per_epoch=1, params=params)
-    state = init_state_gspmd(model, opt, params, rt)
+    state = init_state_gspmd(opt, params, rt)
     pk = state["params"]["text"]["transformer"]["resblocks_0"]["mlp"]["c_fc"]["kernel"]
 
     found = []
