@@ -61,15 +61,27 @@ def resize_shortest_edge(img, size: int):
     return img.resize((new_w, new_h), resample=Image.BICUBIC)
 
 
-def preprocess_pil(image, size: int = 224, mode: str = "openai") -> np.ndarray:
+def preprocess_pil(image, size: int = 224, mode: str = "openai", use_native=None) -> np.ndarray:
     """CLIP preprocess via PIL: returns [size, size, 3] float32 (normalized).
 
     ``mode`` selects torchvision (``"openai"``) vs ``CLIPImageProcessor``
     (``"hf"``) center-crop rounding — see module docstring.
+
+    ``use_native=None`` auto-uses the C++ engine (``native/image.cpp``) when
+    available for the compute half (resize/crop/normalize, bit-exact with
+    the PIL path and GIL-free); decode + RGB conversion stay with PIL.
     """
     if mode not in ("openai", "hf"):
         raise ValueError(f"unknown preprocess mode {mode!r}; use 'openai' or 'hf'")
     img = _to_pil(image).convert("RGB")
+    if use_native or use_native is None:
+        from ..native.image_wrapper import clip_preprocess_native
+
+        out = clip_preprocess_native(np.asarray(img), size, mode, CLIP_MEAN, CLIP_STD)
+        if out is not None:
+            return out
+        if use_native:
+            raise RuntimeError("native image engine requested but unavailable")
     img = resize_shortest_edge(img, size)
     new_w, new_h = img.size
     if mode == "openai":  # torchvision CenterCrop: round-half-even offsets

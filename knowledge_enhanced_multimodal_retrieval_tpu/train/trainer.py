@@ -142,6 +142,41 @@ def _tree_add(a, b):
     return jax.tree_util.tree_map(jnp.add, a, b)
 
 
+def device_prefetch(batches, place_fn: Callable, depth: int = 1):
+    """Iterate ``place_fn(batch)`` with host->device placement one step ahead.
+
+    On a tunneled chip the upload is an HTTP round trip (GIL-released
+    network IO), so a single background thread genuinely overlaps the next
+    batch's transfer with the current step's compute — the classic input-
+    pipeline double buffer, without tf.data. Exceptions from the worker
+    (including the underlying data source) re-raise at the consumer.
+    """
+    import queue as queue_mod
+    import threading
+
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=max(1, depth))
+    sentinel = object()
+    errors = []
+
+    def worker():
+        try:
+            for b in batches:
+                q.put(place_fn(b))
+        except BaseException as e:  # propagate, don't kill silently
+            errors.append(e)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=worker, daemon=True, name="kemr-prefetch").start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if errors:
+                raise errors[0]
+            return
+        yield item
+
+
 # ---------------------------------------------------------------------------
 # Train step (shard_map over the data axis)
 # ---------------------------------------------------------------------------
@@ -520,10 +555,11 @@ class CLIPTrainer:
             # device so the step loop never blocks on a host fetch
             metric_sums = None
             n_steps = 0
-            for batch in self.train_data.epoch_batches(
+            batches = self.train_data.epoch_batches(
                 cfg.batch_size, epoch=epoch, shuffle=True, seed=cfg.seed, drop_last=True
-            ):
-                self.state, metrics = self.train_step(self.state, self._device_batch(batch))
+            )
+            for db in device_prefetch(batches, self._device_batch):
+                self.state, metrics = self.train_step(self.state, db)
                 metric_sums = metrics if metric_sums is None else _tree_add(metric_sums, metrics)
                 n_steps += 1
                 if n_steps % cfg.log_every == 0:
@@ -576,5 +612,6 @@ class CLIPTrainer:
             "epochs_run": len(history),
             "history": history,
         }
+        ckpt.wait_for_checkpoints()  # flush async epoch saves before returning
         self.metrics_writer.finalize(final)
         return final

@@ -232,6 +232,42 @@ def test_epoch_metrics_are_means_not_last_step(setup, devices8, tmp_path):
     assert logged != pytest.approx(per_step[-1], rel=1e-7)
 
 
+def test_device_prefetch_order_and_errors():
+    """device_prefetch preserves order and re-raises worker exceptions."""
+    out = list(T.device_prefetch(iter(range(7)), lambda x: x * 10, depth=2))
+    assert out == [0, 10, 20, 30, 40, 50, 60]
+
+    def bad_source():
+        yield 1
+        raise RuntimeError("boom")
+
+    it = T.device_prefetch(bad_source(), lambda x: x)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="boom"):
+        list(it)
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """save_checkpoint returns before commit; wait_for_checkpoints flushes,
+    and load after an async save restores the exact state."""
+    from knowledge_enhanced_multimodal_retrieval_tpu.train import checkpoint as C
+
+    state = {"params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+             "step": np.int32(3)}
+    C.save_checkpoint(str(tmp_path), "latest", state, {"epoch": 1})
+    C.wait_for_checkpoints()
+    assert C.checkpoint_exists(str(tmp_path), "latest")
+    restored, meta = C.load_checkpoint(str(tmp_path), "latest", state)
+    np.testing.assert_array_equal(restored["params"]["w"], state["params"]["w"])
+    assert meta["epoch"] == 1
+    # a second async save + immediate load must serialize correctly
+    state2 = {"params": {"w": state["params"]["w"] * 2}, "step": np.int32(4)}
+    C.save_checkpoint(str(tmp_path), "latest", state2, {"epoch": 2})
+    restored2, meta2 = C.load_checkpoint(str(tmp_path), "latest", state2)
+    np.testing.assert_array_equal(restored2["params"]["w"], state2["params"]["w"])
+    assert meta2["epoch"] == 2
+
+
 def test_early_stopper():
     s = T.EarlyStopper(patience=2)
     assert s.update(1.0, 0) is True
