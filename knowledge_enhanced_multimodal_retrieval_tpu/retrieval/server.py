@@ -1,0 +1,132 @@
+"""Micro-batching request aggregator for serving.
+
+The device search program reaches its ~30k q/s rate only when queries ride
+in batches (one jitted program per batch, one relay round trip); a naive
+query-per-call server pays the full dispatch latency PER QUERY. The
+reference has no serving daemon at all — ``src/retrieval.py:79`` is a
+per-query library call. :class:`MicroBatcher` gives concurrent callers the
+batched path: requests are collected for up to ``max_wait_ms`` (or until
+``max_batch``), dispatched as ONE batch, and each caller's future resolves
+with its own results.
+
+Usage::
+
+    batcher = MicroBatcher(engine.retrieve_text_noknowledge_batch)
+    fut = batcher.submit("a red vase")       # from any thread
+    results = fut.result()
+    # or blocking: batcher.retrieve("a red vase")
+"""
+
+from __future__ import annotations
+
+import queue as queue_mod
+import threading
+import time
+from concurrent.futures import Future
+from typing import Callable, List, Optional, Sequence
+
+
+class MicroBatcher:
+    """Aggregates concurrent single-query requests into device batches.
+
+    ``batch_fn``: ``Sequence[str] -> List[List[dict]]`` — any batched
+    retrieval entry point (``RetrievalEngine.retrieve_text_batch``,
+    ``retrieve_text_noknowledge_batch``, ``CLIPRetrieval.retrieval_batch``).
+    Per-request knobs (alpha, k) are fixed per batcher instance — bind them
+    into ``batch_fn`` with ``functools.partial``; mixing them per request
+    would force one compiled program per distinct signature inside a batch.
+    """
+
+    def __init__(
+        self,
+        batch_fn: Callable[[Sequence[str]], List[List[dict]]],
+        max_batch: int = 256,
+        max_wait_ms: float = 2.0,
+    ):
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self._batch_fn = batch_fn
+        self._max_batch = max_batch
+        self._max_wait_s = max_wait_ms / 1e3
+        self._queue: "queue_mod.Queue" = queue_mod.Queue()
+        self._closed = False
+        self._batches = 0  # dispatched batches (observability/tests)
+        self._served = 0  # total queries served
+        self._worker = threading.Thread(target=self._run, daemon=True, name="kemr-microbatch")
+        self._worker.start()
+
+    # -- client API -----------------------------------------------------------
+
+    def submit(self, query: str) -> Future:
+        """Enqueue one query; the Future resolves to its result list."""
+        if self._closed:
+            raise RuntimeError("MicroBatcher is closed")
+        fut: Future = Future()
+        self._queue.put((query, fut))
+        return fut
+
+    def retrieve(self, query: str, timeout: Optional[float] = None) -> List[dict]:
+        """Blocking convenience wrapper around :meth:`submit`."""
+        return self.submit(query).result(timeout=timeout)
+
+    @property
+    def stats(self) -> dict:
+        return {"batches": self._batches, "served": self._served}
+
+    def close(self) -> None:
+        """Stop accepting work, drain what's queued, join the worker."""
+        if self._closed:
+            return
+        self._closed = True
+        self._queue.put(None)  # wake the worker
+        self._worker.join()
+
+    def __enter__(self) -> "MicroBatcher":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # -- worker ---------------------------------------------------------------
+
+    def _next_batch(self) -> Optional[list]:
+        """Block for the first request, then drain until max_batch/deadline."""
+        first = self._queue.get()
+        if first is None:
+            return None
+        items = [first]
+        deadline = time.monotonic() + self._max_wait_s
+        while len(items) < self._max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                item = self._queue.get(timeout=remaining)
+            except queue_mod.Empty:
+                break
+            if item is None:
+                self._queue.put(None)  # re-post the shutdown signal
+                break
+            items.append(item)
+        return items
+
+    def _run(self) -> None:
+        while True:
+            items = self._next_batch()
+            if items is None:
+                return
+            queries = [q for q, _ in items]
+            try:
+                results = self._batch_fn(queries)
+                if len(results) != len(queries):
+                    raise RuntimeError(
+                        f"batch_fn returned {len(results)} results for {len(queries)} queries"
+                    )
+            except BaseException as e:
+                for _, fut in items:
+                    fut.set_exception(e)
+                continue
+            self._batches += 1
+            self._served += len(items)
+            for (_, fut), res in zip(items, results):
+                fut.set_result(res)

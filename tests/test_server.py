@@ -1,0 +1,101 @@
+"""MicroBatcher tests (retrieval/server.py): request aggregation, ordering,
+error propagation, shutdown — plus an end-to-end pass over a real engine."""
+
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from knowledge_enhanced_multimodal_retrieval_tpu.retrieval import MicroBatcher
+
+
+def test_batches_aggregate_concurrent_requests():
+    calls = []
+
+    def batch_fn(queries):
+        calls.append(list(queries))
+        return [[{"uuid": q}] for q in queries]
+
+    with MicroBatcher(batch_fn, max_batch=64, max_wait_ms=50.0) as mb:
+        futs = [mb.submit(f"q{i}") for i in range(20)]
+        results = [f.result(timeout=10) for f in futs]
+    assert [r[0]["uuid"] for r in results] == [f"q{i}" for i in range(20)]
+    # 20 near-simultaneous submits must NOT become 20 device calls
+    assert mb.stats["served"] == 20
+    assert mb.stats["batches"] == len(calls) < 20
+
+
+def test_max_batch_splits():
+    sizes = []
+
+    def batch_fn(queries):
+        sizes.append(len(queries))
+        return [[] for _ in queries]
+
+    with MicroBatcher(batch_fn, max_batch=4, max_wait_ms=200.0) as mb:
+        futs = [mb.submit(str(i)) for i in range(10)]
+        for f in futs:
+            f.result(timeout=10)
+    assert max(sizes) <= 4 and sum(sizes) == 10
+
+
+def test_error_propagates_to_all_waiters():
+    def batch_fn(queries):
+        raise ValueError("backend down")
+
+    with MicroBatcher(batch_fn, max_batch=8, max_wait_ms=20.0) as mb:
+        futs = [mb.submit(str(i)) for i in range(3)]
+        for f in futs:
+            with pytest.raises(ValueError, match="backend down"):
+                f.result(timeout=10)
+    # the worker survives an erroring batch (next submit before close worked)
+
+
+def test_close_rejects_new_work():
+    mb = MicroBatcher(lambda qs: [[] for _ in qs])
+    mb.close()
+    with pytest.raises(RuntimeError):
+        mb.submit("x")
+
+
+def test_threaded_callers_end_to_end(devices8):
+    """Concurrent callers through a real engine: fewer device batches than
+    queries, every caller gets its own correct top hit."""
+    from knowledge_enhanced_multimodal_retrieval_tpu.data.tokenizer import CLIPTokenizer
+    from knowledge_enhanced_multimodal_retrieval_tpu.models import clip as M
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval import (
+        CLIPRetrieval,
+        EmbeddingStore,
+        RetrievalEngine,
+    )
+
+    tok = CLIPTokenizer([("c", "a"), ("ca", "t</w>"), ("h", "e"), ("he", "l")])
+    arch = M.CLIPArch(16, 32, 1, 32, 16, 16, tok.vocab_size, 32, 2, 1, vision_heads=2)
+    model = M.CLIP(arch, dtype=jnp.float32)
+    params = M.init_params(model, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    norm = lambda x: (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
+    store = EmbeddingStore(
+        image=norm(rng.standard_normal((50, 16))),
+        text=norm(rng.standard_normal((50, 16))),
+        uuids=[f"u{i}" for i in range(50)],
+    )
+    engine = RetrievalEngine(CLIPRetrieval(model, params, tok, store, top_k=5))
+    expected = engine.retrieve_text_noknowledge("hello cat")[0]["uuid"]
+
+    with MicroBatcher(engine.retrieve_text_noknowledge_batch, max_batch=16, max_wait_ms=30.0) as mb:
+        out = []
+
+        def caller():
+            out.append(mb.retrieve("hello cat", timeout=60)[0]["uuid"])
+
+        threads = [threading.Thread(target=caller) for _ in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    assert out == [expected] * 12
+    assert mb.stats["batches"] < 12
