@@ -42,12 +42,19 @@ class MicroBatcher:
         batch_fn: Callable[[Sequence[str]], List[List[dict]]],
         max_batch: int = 256,
         max_wait_ms: float = 2.0,
+        pad_to_bucket: bool = True,
     ):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self._batch_fn = batch_fn
         self._max_batch = max_batch
         self._max_wait_s = max_wait_ms / 1e3
+        # jit backends compile one program PER BATCH SHAPE — without
+        # bucketing, every distinct micro-batch size (13, 27, 41...) is a
+        # fresh multi-second compile and the server stalls for minutes
+        # (measured on the relay chip). Pad the query list to the next
+        # power of two (echoing the last query) and slice results back.
+        self._pad_to_bucket = pad_to_bucket
         self._queue: "queue_mod.Queue" = queue_mod.Queue()
         self._closed = False
         self._batches = 0  # dispatched batches (observability/tests)
@@ -116,12 +123,17 @@ class MicroBatcher:
             if items is None:
                 return
             queries = [q for q, _ in items]
+            n = len(queries)
+            if self._pad_to_bucket and n < self._max_batch:
+                bucket = 1 << (n - 1).bit_length()  # next power of two
+                queries = queries + [queries[-1]] * (min(bucket, self._max_batch) - n)
             try:
                 results = self._batch_fn(queries)
                 if len(results) != len(queries):
                     raise RuntimeError(
                         f"batch_fn returned {len(results)} results for {len(queries)} queries"
                     )
+                results = results[:n]
             except BaseException as e:
                 for _, fut in items:
                     fut.set_exception(e)

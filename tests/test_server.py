@@ -28,6 +28,23 @@ def test_batches_aggregate_concurrent_requests():
     assert mb.stats["batches"] == len(calls) < 20
 
 
+def test_pad_to_bucket_shapes():
+    """Dispatched batch sizes are powers of two (one compile per bucket on
+    jit backends), results sliced back to the real request count."""
+    sizes = []
+
+    def batch_fn(queries):
+        sizes.append(len(queries))
+        return [[{"uuid": q}] for q in queries]
+
+    with MicroBatcher(batch_fn, max_batch=64, max_wait_ms=40.0) as mb:
+        futs = [mb.submit(f"q{i}") for i in range(11)]
+        out = [f.result(timeout=10)[0]["uuid"] for f in futs]
+    assert out == [f"q{i}" for i in range(11)]
+    assert all(s & (s - 1) == 0 for s in sizes), sizes  # powers of two
+    assert mb.stats["served"] == 11
+
+
 def test_max_batch_splits():
     sizes = []
 
