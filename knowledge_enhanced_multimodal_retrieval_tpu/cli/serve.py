@@ -61,17 +61,19 @@ def build_engine(cfg, store_path: str) -> RetrievalEngine:
 
 def main(argv=None) -> None:
     args = list(sys.argv[1:] if argv is None else argv)
-    store_path, query = "data/embeddings/store.npz", None
+    store_path, query, http_port = "data/embeddings/store.npz", None, None
     batch_mode = "--batch" in args
     if batch_mode:
         args.remove("--batch")
-    for flag in ("--store", "--query"):
+    for flag in ("--store", "--query", "--http"):
         if flag in args:
             i = args.index(flag)
             value = args[i + 1]
             del args[i : i + 2]
             if flag == "--store":
                 store_path = value
+            elif flag == "--http":
+                http_port = int(value)
             else:
                 query = value
     cfg = config_from_argv(args)
@@ -79,6 +81,22 @@ def main(argv=None) -> None:
     engine = build_engine(cfg, store_path)
     mode = "knowledge-enhanced" if engine.t2s_retriever else "CLIP-only (no KG endpoints configured)"
     logger.info("engine ready: %s", mode)
+
+    if http_port is not None:
+        # HTTP daemon: concurrent clients aggregate through the MicroBatcher
+        from ..retrieval.http_server import RetrievalHTTPServer
+
+        batch_fn = (
+            engine.retrieve_text_batch if engine.t2s_retriever
+            else engine.retrieve_text_noknowledge_batch
+        )
+        server = RetrievalHTTPServer(batch_fn, port=http_port)
+        logger.info("serving HTTP on %s:%d (/search, /healthz)", *server.address)
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            server.close()
+        return
 
     def answer(q: str) -> None:
         results = engine.retrieve_text(q) if engine.t2s_retriever else engine.retrieve_text_noknowledge(q)

@@ -78,6 +78,54 @@ def test_close_rejects_new_work():
         mb.submit("x")
 
 
+def test_http_server_endpoints():
+    """GET/POST /search + /healthz over a fake backend, concurrent clients."""
+    import json
+    from urllib.request import Request, urlopen
+
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval import RetrievalHTTPServer
+
+    def batch_fn(queries):
+        return [[{"uuid": f"hit-{q}", "score": 1.0}] for q in queries]
+
+    with RetrievalHTTPServer(batch_fn, port=0, max_wait_ms=10.0) as srv:
+        host, port = srv.address
+        base = f"http://{host}:{port}"
+        health = json.load(urlopen(f"{base}/healthz", timeout=10))
+        assert health["ok"] is True
+
+        out = json.load(urlopen(f"{base}/search?q=vase&n=5", timeout=10))
+        assert out["results"][0]["uuid"] == "hit-vase"
+
+        req = Request(
+            f"{base}/search",
+            data=json.dumps({"queries": ["a", "b", "c"]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        out = json.load(urlopen(req, timeout=10))
+        assert [r[0]["uuid"] for r in out["results"]] == ["hit-a", "hit-b", "hit-c"]
+
+        # concurrent GETs aggregate through the batcher
+        hits = []
+
+        def client(i):
+            hits.append(json.load(urlopen(f"{base}/search?q=q{i}", timeout=30))["results"][0]["uuid"])
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert sorted(hits) == sorted(f"hit-q{i}" for i in range(8))
+
+        # error surface: missing q
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urlopen(f"{base}/search", timeout=10)
+        assert ei.value.code == 400
+
+
 def test_threaded_callers_end_to_end(devices8):
     """Concurrent callers through a real engine: fewer device batches than
     queries, every caller gets its own correct top hit."""
