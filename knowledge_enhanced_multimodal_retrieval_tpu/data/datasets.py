@@ -140,20 +140,36 @@ class DataPipeline:
         shuffle: bool = True,
         seed: int = 42,
         drop_last: bool = True,
+        num_shards: int = 1,
+        shard_index: int = 0,
     ) -> Iterator[Batch]:
         """Iterate batches for one epoch.
 
         Deterministic per (seed, epoch) permutation — the functional
         equivalent of ``DistributedSampler.set_epoch`` (``trainer.py:154-156``).
         ``drop_last=True`` keeps batch shapes static for jit.
+
+        ``num_shards``/``shard_index`` complete the ``DistributedSampler``
+        parity for multi-process runs: ``batch_size`` stays the GLOBAL batch
+        and each process loads only its contiguous ``batch_size/num_shards``
+        slice of every batch (the permutation is identical on all processes,
+        so the slices partition each global batch exactly).
         """
+        if batch_size % num_shards:
+            raise ValueError(f"batch_size={batch_size} not divisible by num_shards={num_shards}")
+        if not 0 <= shard_index < num_shards:
+            raise ValueError(f"shard_index {shard_index} out of range for {num_shards} shards")
+        local = batch_size // num_shards
         n = len(self.source)
         order = list(range(n))
         if shuffle:
             random.Random(seed * 1_000_003 + epoch).shuffle(order)
         stop = n - (n % batch_size) if drop_last else n
         for start in range(0, stop, batch_size):
-            yield self.make_batch(order[start : start + batch_size])
+            idxs = order[start : start + batch_size]
+            if num_shards > 1:
+                idxs = idxs[shard_index * local : (shard_index + 1) * local]
+            yield self.make_batch(idxs)
 
     def num_batches(self, batch_size: int, drop_last: bool = True) -> int:
         n = len(self.source)

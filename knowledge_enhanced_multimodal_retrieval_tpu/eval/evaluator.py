@@ -26,6 +26,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Dict, List, Mapping, Optional, Sequence, Tuple
 
+import jax
 import numpy as np
 
 from ..data.datasets import DataPipeline
@@ -76,12 +77,20 @@ def encode_dataset(
     shard = rt.num_data
     # every device batch must divide the data axis; one static shape for jit
     eff_batch = -(-batch_size // shard) * shard
+    pc, pi = jax.process_count(), jax.process_index()
     for batch in pipeline.epoch_batches(batch_size, shuffle=False, drop_last=False):
         n = batch.images.shape[0]
         pad = eff_batch - n
         images = np.pad(batch.images, ((0, pad), (0, 0), (0, 0), (0, 0)))
         query_ids = np.pad(batch.query_ids, ((0, pad), (0, 0)))
         target_ids = np.pad(batch.target_ids, ((0, pad), (0, 0)))
+        if pc > 1:
+            # multi-host: each process contributes its contiguous slice of
+            # the identical padded global batch (gathered outputs come back
+            # replicated and in global order — make_encode_step docstring)
+            local = eff_batch // pc
+            sl = slice(pi * local, (pi + 1) * local)
+            images, query_ids, target_ids = images[sl], query_ids[sl], target_ids[sl]
         db = host_local_batch_to_global(
             {"images": images, "query_ids": query_ids, "target_ids": target_ids}, rt.mesh, rt.data_axis
         )

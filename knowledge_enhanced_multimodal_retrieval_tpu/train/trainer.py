@@ -323,7 +323,15 @@ def make_encode_step(model: CLIP, rt: MeshRuntime, fast: bool = False) -> Callab
     ``fast=True`` returns a step that takes encode *plans* (see
     ``models.fast_encode.make_encode_plans``) instead of raw params and runs
     the fused/quantized serving towers — used by ``eval.encode_dataset`` and
-    ``retrieval.build_embedding_store`` for accelerated precompute."""
+    ``retrieval.build_embedding_store`` for accelerated precompute.
+
+    Outputs are REPLICATED (each shard's rows all_gathered over the data
+    axis): on multi-host meshes a ``P(axis)`` output is not fully
+    addressable, so callers fetching embeddings to host (validation, eval,
+    store building) would fail on every process — and coordinator-only
+    fetching of a collective program deadlocks the others. Replicated
+    outputs make the fetch identical on every process. Single-host behavior
+    is unchanged (same global array, one extra ICI gather)."""
     axis = rt.data_axis
 
     def local(params, images, query_ids, target_ids):
@@ -333,17 +341,18 @@ def make_encode_step(model: CLIP, rt: MeshRuntime, fast: bool = False) -> Callab
             img_e = l2_normalize(encode_image_fast(model.arch, params["visual"], images))
             q_e = l2_normalize(encode_text_fast(model.arch, params["text"], query_ids))
             t_e = l2_normalize(encode_text_fast(model.arch, params["text"], target_ids))
-            return img_e, q_e, t_e
-        img_e = l2_normalize(model.apply({"params": params}, images, method=CLIP.encode_image))
-        q_e = l2_normalize(model.apply({"params": params}, query_ids, method=CLIP.encode_text))
-        t_e = l2_normalize(model.apply({"params": params}, target_ids, method=CLIP.encode_text))
-        return img_e, q_e, t_e
+        else:
+            img_e = l2_normalize(model.apply({"params": params}, images, method=CLIP.encode_image))
+            q_e = l2_normalize(model.apply({"params": params}, query_ids, method=CLIP.encode_text))
+            t_e = l2_normalize(model.apply({"params": params}, target_ids, method=CLIP.encode_text))
+        gather = lambda e: jax.lax.all_gather(e, axis, axis=0, tiled=True)
+        return gather(img_e), gather(q_e), gather(t_e)
 
     sharded = shard_map(
         local,
         mesh=rt.mesh,
         in_specs=(P(), P(axis), P(axis), P(axis)),
-        out_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(), P(), P()),
         # pallas_call outputs carry no varying-axis metadata; the vma check
         # rejects them inside shard_map even though the sharding is correct
         check_vma=False,
@@ -351,20 +360,25 @@ def make_encode_step(model: CLIP, rt: MeshRuntime, fast: bool = False) -> Callab
     return jax.jit(sharded)
 
 
-def make_encode_step_gspmd(model: CLIP) -> Callable:
+def make_encode_step_gspmd(model: CLIP, rt: MeshRuntime) -> Callable:
     """Encode step for tensor-parallel params: plain jit, no shard_map.
 
     The shard_map variant pins params to ``P()`` (replicated), which would
     all-gather the whole tp-sharded tree every call and run each encode
     redundantly on every model-axis device. Here params keep their tp
     shardings and the batch its data sharding; XLA partitions the towers the
-    same way as the train step."""
+    same way as the train step. Outputs are constrained replicated for the
+    same multi-host-fetch reason as :func:`make_encode_step`."""
+    from jax.sharding import NamedSharding
+
+    rep = NamedSharding(rt.mesh, P())
 
     def f(params, images, query_ids, target_ids):
         img_e = l2_normalize(model.apply({"params": params}, images, method=CLIP.encode_image))
         q_e = l2_normalize(model.apply({"params": params}, query_ids, method=CLIP.encode_text))
         t_e = l2_normalize(model.apply({"params": params}, target_ids, method=CLIP.encode_text))
-        return img_e, q_e, t_e
+        con = lambda e: jax.lax.with_sharding_constraint(e, rep)
+        return con(img_e), con(q_e), con(t_e)
 
     return jax.jit(f)
 
@@ -462,7 +476,7 @@ class CLIPTrainer:
         # tp: GSPMD encode keeps params tp-sharded (the shard_map step would
         # all-gather the whole tree to every device each validation batch)
         self.encode_step = (
-            make_encode_step_gspmd(model) if self.tensor_parallel
+            make_encode_step_gspmd(model, self.rt) if self.tensor_parallel
             else make_encode_step(model, self.rt)
         )
         self.stopper = EarlyStopper(cfg.early_stop_patience)
@@ -518,6 +532,7 @@ class CLIPTrainer:
             return {}
         embs = {"img": [], "q": [], "t": []}
         global_bs = self.cfg.batch_size
+        pc, pi = jax.process_count(), jax.process_index()
         for batch in self.val_data.epoch_batches(global_bs, shuffle=False, drop_last=False):
             n = batch.images.shape[0]
             pad = global_bs - n
@@ -526,6 +541,13 @@ class CLIPTrainer:
                 images = np.pad(images, ((0, pad), (0, 0), (0, 0), (0, 0)))
                 query_ids = np.pad(query_ids, ((0, pad), (0, 0)))
                 target_ids = np.pad(target_ids, ((0, pad), (0, 0)))
+            if pc > 1:
+                # every process builds the identical padded GLOBAL batch and
+                # contributes its contiguous slice; gathered encode outputs
+                # then come back in global order on every process
+                local = global_bs // pc
+                sl = slice(pi * local, (pi + 1) * local)
+                images, query_ids, target_ids = images[sl], query_ids[sl], target_ids[sl]
             db = host_local_batch_to_global(
                 {"images": images, "query_ids": query_ids, "target_ids": target_ids},
                 self.rt.mesh,
@@ -556,7 +578,8 @@ class CLIPTrainer:
             metric_sums = None
             n_steps = 0
             batches = self.train_data.epoch_batches(
-                cfg.batch_size, epoch=epoch, shuffle=True, seed=cfg.seed, drop_last=True
+                cfg.batch_size, epoch=epoch, shuffle=True, seed=cfg.seed, drop_last=True,
+                num_shards=jax.process_count(), shard_index=jax.process_index(),
             )
             for db in device_prefetch(batches, self._device_batch):
                 self.state, metrics = self.train_step(self.state, db)
@@ -572,7 +595,11 @@ class CLIPTrainer:
             )
             epoch_time = time.perf_counter() - t0
 
-            val_metrics = self.validate() if is_coordinator() else {}
+            # EVERY process validates: the encode step is a collective
+            # program, so coordinator-only execution would deadlock the other
+            # processes on a multi-host mesh; replicated encode outputs make
+            # the metrics (and thus the stop decision) identical everywhere.
+            val_metrics = self.validate()
             monitor = {
                 "avg_mrr": average_mrr(val_metrics, tasks=VAL_TASKS),
                 "t2i_mrr": val_metrics.get("T2I_MRR", 0.0),

@@ -71,3 +71,24 @@ def test_word_truncation_applied():
     batch = pipe.make_batch([0])
     # truncate=True semantics: last token forced to EOT
     assert batch.query_ids[0, -1] == pipe.tokenizer.eot_token
+
+
+def test_process_sharded_batches_partition_global():
+    """num_shards/shard_index (DistributedSampler parity): the shards' local
+    batches exactly partition each global batch, in order."""
+    pipe = _pipeline(n=24)
+    global_batches = [b.uuids for b in pipe.epoch_batches(8, epoch=1, seed=7)]
+    shard_batches = [
+        [b.uuids for b in pipe.epoch_batches(8, epoch=1, seed=7, num_shards=2, shard_index=k)]
+        for k in (0, 1)
+    ]
+    assert all(len(b) == 4 for batches in shard_batches for b in batches)
+    recombined = [a + b for a, b in zip(*shard_batches)]
+    assert recombined == global_batches
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        next(iter(pipe.epoch_batches(9, num_shards=2)))
+    with pytest.raises(ValueError):
+        next(iter(pipe.epoch_batches(8, num_shards=2, shard_index=2)))

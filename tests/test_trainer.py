@@ -232,6 +232,31 @@ def test_epoch_metrics_are_means_not_last_step(setup, devices8, tmp_path):
     assert logged != pytest.approx(per_step[-1], rel=1e-7)
 
 
+def test_encode_step_outputs_replicated(setup, devices8):
+    """Encode outputs must be replicated (multi-host: P(axis) outputs are
+    not fully addressable, and coordinator-only fetch would deadlock)."""
+    model, params, pipe = setup
+    from knowledge_enhanced_multimodal_retrieval_tpu.parallel import MeshRuntime
+    from knowledge_enhanced_multimodal_retrieval_tpu.parallel.sharding import (
+        host_local_batch_to_global,
+    )
+
+    rt = MeshRuntime.create()
+    step = T.make_encode_step(model, rt)
+    batch = pipe.make_batch(list(range(8)))
+    db = host_local_batch_to_global(
+        {"images": batch.images, "query_ids": batch.query_ids, "target_ids": batch.target_ids},
+        rt.mesh,
+    )
+    img_e, q_e, t_e = step(params, db["images"], db["query_ids"], db["target_ids"])
+    for e in (img_e, q_e, t_e):
+        assert e.sharding.is_fully_replicated
+        assert e.shape[0] == 8  # gathered global rows, original order
+    # gathered order matches the per-row (unsharded) encode
+    ref = M.encode_text(model, params, jnp.asarray(batch.query_ids))
+    np.testing.assert_allclose(np.asarray(q_e), np.asarray(ref), atol=1e-5)
+
+
 def test_device_prefetch_order_and_errors():
     """device_prefetch preserves order and re-raises worker exceptions."""
     out = list(T.device_prefetch(iter(range(7)), lambda x: x * 10, depth=2))
