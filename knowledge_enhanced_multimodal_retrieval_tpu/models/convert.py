@@ -196,6 +196,183 @@ def load_clip_params(path: str) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# Flax params -> torch layouts (export; exact inverses of the importers)
+# ---------------------------------------------------------------------------
+#
+# The reference ecosystem is torch-shaped: its fine-tuned weights live as
+# OpenAI-layout ``.pt`` files (``src/clip/model/clip_model.py:78-121``) and
+# its published model as an HF ``CLIPModel`` (``evaluator_hf.py:276-284``).
+# These exporters let a model fine-tuned HERE be dropped back into either
+# stack — ``flax_to_hf(...)`` loads into ``transformers.CLIPModel`` with
+# ``strict`` key/shape checking, and ``flax_to_openai(...)`` round-trips
+# through ``openai_to_flax`` bit-exactly (tests/test_clip_model.py).
+
+
+def _n_blocks(transformer: Mapping) -> int:
+    return 1 + max(int(k.split("_")[-1]) for k in transformer if k.startswith("resblocks_"))
+
+
+def _f32(x: Any) -> np.ndarray:
+    return np.asarray(x, np.float32)
+
+
+def _block_to_openai(block: Mapping, prefix: str, out: Dict[str, np.ndarray]) -> None:
+    out[f"{prefix}.ln_1.weight"] = _f32(block["ln_1"]["ln"]["scale"])
+    out[f"{prefix}.ln_1.bias"] = _f32(block["ln_1"]["ln"]["bias"])
+    out[f"{prefix}.ln_2.weight"] = _f32(block["ln_2"]["ln"]["scale"])
+    out[f"{prefix}.ln_2.bias"] = _f32(block["ln_2"]["ln"]["bias"])
+    attn, mlp = block["attn"], block["mlp"]
+    out[f"{prefix}.attn.in_proj_weight"] = _f32(attn["in_proj"]["kernel"]).T
+    out[f"{prefix}.attn.in_proj_bias"] = _f32(attn["in_proj"]["bias"])
+    out[f"{prefix}.attn.out_proj.weight"] = _f32(attn["out_proj"]["kernel"]).T
+    out[f"{prefix}.attn.out_proj.bias"] = _f32(attn["out_proj"]["bias"])
+    out[f"{prefix}.mlp.c_fc.weight"] = _f32(mlp["c_fc"]["kernel"]).T
+    out[f"{prefix}.mlp.c_fc.bias"] = _f32(mlp["c_fc"]["bias"])
+    out[f"{prefix}.mlp.c_proj.weight"] = _f32(mlp["c_proj"]["kernel"]).T
+    out[f"{prefix}.mlp.c_proj.bias"] = _f32(mlp["c_proj"]["bias"])
+
+
+def flax_to_openai(params: Mapping) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`openai_to_flax` — OpenAI ``clip`` state-dict keys."""
+    visual, text = params["visual"], params["text"]
+    out: Dict[str, np.ndarray] = {
+        "visual.conv1.weight": _f32(visual["conv1"]["kernel"]).transpose(3, 2, 0, 1),
+        "visual.class_embedding": _f32(visual["class_embedding"]),
+        "visual.positional_embedding": _f32(visual["positional_embedding"]),
+        "visual.ln_pre.weight": _f32(visual["ln_pre"]["ln"]["scale"]),
+        "visual.ln_pre.bias": _f32(visual["ln_pre"]["ln"]["bias"]),
+        "visual.ln_post.weight": _f32(visual["ln_post"]["ln"]["scale"]),
+        "visual.ln_post.bias": _f32(visual["ln_post"]["ln"]["bias"]),
+        "visual.proj": _f32(visual["proj"]),
+        "token_embedding.weight": _f32(text["token_embedding"]["embedding"]),
+        "positional_embedding": _f32(text["positional_embedding"]),
+        "ln_final.weight": _f32(text["ln_final"]["ln"]["scale"]),
+        "ln_final.bias": _f32(text["ln_final"]["ln"]["bias"]),
+        "text_projection": _f32(text["text_projection"]),
+        "logit_scale": _f32(params["logit_scale"]).reshape(()),
+    }
+    for i in range(_n_blocks(visual["transformer"])):
+        _block_to_openai(visual["transformer"][f"resblocks_{i}"], f"visual.transformer.resblocks.{i}", out)
+    for i in range(_n_blocks(text["transformer"])):
+        _block_to_openai(text["transformer"][f"resblocks_{i}"], f"transformer.resblocks.{i}", out)
+    return out
+
+
+def _block_to_hf(block: Mapping, prefix: str, out: Dict[str, np.ndarray]) -> None:
+    out[f"{prefix}.layer_norm1.weight"] = _f32(block["ln_1"]["ln"]["scale"])
+    out[f"{prefix}.layer_norm1.bias"] = _f32(block["ln_1"]["ln"]["bias"])
+    out[f"{prefix}.layer_norm2.weight"] = _f32(block["ln_2"]["ln"]["scale"])
+    out[f"{prefix}.layer_norm2.bias"] = _f32(block["ln_2"]["ln"]["bias"])
+    attn, mlp = block["attn"], block["mlp"]
+    kernel, bias = _f32(attn["in_proj"]["kernel"]), _f32(attn["in_proj"]["bias"])
+    width = kernel.shape[0]
+    for j, name in enumerate(("q_proj", "k_proj", "v_proj")):
+        out[f"{prefix}.self_attn.{name}.weight"] = kernel[:, j * width : (j + 1) * width].T
+        out[f"{prefix}.self_attn.{name}.bias"] = bias[j * width : (j + 1) * width]
+    out[f"{prefix}.self_attn.out_proj.weight"] = _f32(attn["out_proj"]["kernel"]).T
+    out[f"{prefix}.self_attn.out_proj.bias"] = _f32(attn["out_proj"]["bias"])
+    out[f"{prefix}.mlp.fc1.weight"] = _f32(mlp["c_fc"]["kernel"]).T
+    out[f"{prefix}.mlp.fc1.bias"] = _f32(mlp["c_fc"]["bias"])
+    out[f"{prefix}.mlp.fc2.weight"] = _f32(mlp["c_proj"]["kernel"]).T
+    out[f"{prefix}.mlp.fc2.bias"] = _f32(mlp["c_proj"]["bias"])
+
+
+def flax_to_hf(params: Mapping) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`hf_to_flax` — HF ``CLIPModel`` state-dict keys.
+
+    (``pre_layrnorm`` is transformers' actual key spelling, not a typo here.)
+    """
+    visual, text = params["visual"], params["text"]
+    out: Dict[str, np.ndarray] = {
+        "vision_model.embeddings.patch_embedding.weight": _f32(visual["conv1"]["kernel"]).transpose(3, 2, 0, 1),
+        "vision_model.embeddings.class_embedding": _f32(visual["class_embedding"]),
+        "vision_model.embeddings.position_embedding.weight": _f32(visual["positional_embedding"]),
+        "vision_model.pre_layrnorm.weight": _f32(visual["ln_pre"]["ln"]["scale"]),
+        "vision_model.pre_layrnorm.bias": _f32(visual["ln_pre"]["ln"]["bias"]),
+        "vision_model.post_layernorm.weight": _f32(visual["ln_post"]["ln"]["scale"]),
+        "vision_model.post_layernorm.bias": _f32(visual["ln_post"]["ln"]["bias"]),
+        "visual_projection.weight": _f32(visual["proj"]).T,
+        "text_model.embeddings.token_embedding.weight": _f32(text["token_embedding"]["embedding"]),
+        "text_model.embeddings.position_embedding.weight": _f32(text["positional_embedding"]),
+        "text_model.final_layer_norm.weight": _f32(text["ln_final"]["ln"]["scale"]),
+        "text_model.final_layer_norm.bias": _f32(text["ln_final"]["ln"]["bias"]),
+        "text_projection.weight": _f32(text["text_projection"]).T,
+        "logit_scale": _f32(params["logit_scale"]).reshape(()),
+    }
+    for i in range(_n_blocks(visual["transformer"])):
+        _block_to_hf(visual["transformer"][f"resblocks_{i}"], f"vision_model.encoder.layers.{i}", out)
+    for i in range(_n_blocks(text["transformer"])):
+        _block_to_hf(text["transformer"][f"resblocks_{i}"], f"text_model.encoder.layers.{i}", out)
+    return out
+
+
+def save_openai_pt(params: Mapping, path: str) -> None:
+    """Write an OpenAI-layout ``.pt`` loadable by the reference's
+    ``load_clip_model(checkpoint_path=...)`` (``clip_model.py:47-71``)."""
+    import torch
+
+    # .copy(): leaves may be non-writable views (jax exports, transposes) and
+    # torch.from_numpy refuses those
+    torch.save(
+        {k: torch.from_numpy(np.ascontiguousarray(v).copy()) for k, v in flax_to_openai(params).items()},
+        path,
+    )
+
+
+def hf_clip_config(arch) -> "Any":
+    """``transformers.CLIPConfig`` matching a :class:`models.clip.CLIPArch`.
+
+    ``hidden_act='quick_gelu'`` and ``eos_token_id=2`` (transformers' marker
+    for the legacy argmax-EOT pooling path) reproduce OpenAI-CLIP semantics,
+    which is what the flax model implements."""
+    import transformers
+
+    return transformers.CLIPConfig(
+        projection_dim=arch.embed_dim,
+        text_config={
+            "hidden_size": arch.text_width,
+            "intermediate_size": arch.text_width * 4,
+            "num_hidden_layers": arch.text_layers,
+            "num_attention_heads": arch.text_heads,
+            "max_position_embeddings": arch.context_length,
+            "vocab_size": arch.vocab_size,
+            "hidden_act": "quick_gelu",
+            "eos_token_id": 2,
+        },
+        vision_config={
+            "hidden_size": arch.vision_width,
+            "intermediate_size": arch.vision_width * 4,
+            "num_hidden_layers": arch.vision_layers,
+            "num_attention_heads": arch.heads_vision,
+            "image_size": arch.image_resolution,
+            "patch_size": arch.vision_patch_size,
+            "hidden_act": "quick_gelu",
+        },
+    )
+
+
+def export_hf_checkpoint(params: Mapping, arch, out_dir: str) -> str:
+    """Write an HF ``CLIPModel`` directory; ``from_pretrained(out_dir)`` works
+    offline — the publishable-artifact format of the reference's
+    ``xuemduan/reevaluate-clip`` (``evaluator_hf.py:276-284``).
+
+    Keys and shapes are verified strictly: the only tolerated mismatches are
+    transformers' non-persistent ``position_ids`` buffers (absent from our
+    export, present in some transformers versions)."""
+    import torch
+    import transformers
+
+    model = transformers.CLIPModel(hf_clip_config(arch))
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v).copy()) for k, v in flax_to_hf(params).items()}
+    missing, unexpected = model.load_state_dict(sd, strict=False)
+    bad_missing = [k for k in missing if not k.endswith("position_ids")]
+    if bad_missing or unexpected:
+        raise ValueError(f"HF export key mismatch: missing={bad_missing} unexpected={list(unexpected)}")
+    model.save_pretrained(out_dir)
+    return out_dir
+
+
+# ---------------------------------------------------------------------------
 # Flat npz persistence for converted params
 # ---------------------------------------------------------------------------
 

@@ -89,3 +89,17 @@ def load_checkpoint(
 
 def checkpoint_exists(base_dir: str, role: str) -> bool:
     return os.path.isdir(_dir(base_dir, role))
+
+
+def load_params_only(base_dir: str, role: str) -> Any:
+    """Restore just the ``params`` subtree of a training checkpoint.
+
+    Targetless restore (structure read from the checkpoint itself) so callers
+    that only want weights — export, serving — don't need to reconstruct the
+    optimizer state's pytree. Host numpy leaves."""
+    path = _dir(base_dir, role)
+    wait_for_checkpoints()
+    state = _checkpointer().restore(path)
+    if "params" not in state:
+        raise ValueError(f"{path} is not a training checkpoint (no 'params' subtree)")
+    return jax.tree_util.tree_map(np.asarray, state["params"])

@@ -173,3 +173,43 @@ def test_cli_serve_encoder_modes(tmp_path, devices8, capsys, monkeypatch):
         assert not r_sh.corpus_img.sharding.is_fully_replicated
         res = eng_sh.retrieve_text_noknowledge("hello cat")
         assert res and all("uuid" in x for x in res)
+
+
+def test_cli_export_roundtrip(tmp_path, devices8):
+    """export CLI: npz -> OpenAI .pt relayout, and Orbax train checkpoint ->
+    publishable HF directory (loadable offline via from_pretrained)."""
+    import jax
+    import numpy as np
+
+    from knowledge_enhanced_multimodal_retrieval_tpu.cli.export import main as export
+    from knowledge_enhanced_multimodal_retrieval_tpu.models import clip as M
+    from knowledge_enhanced_multimodal_retrieval_tpu.models import convert as CV
+    from knowledge_enhanced_multimodal_retrieval_tpu.train.checkpoint import save_checkpoint
+
+    model = M.build_model("tiny", dtype="float32")
+    params = jax.tree_util.tree_map(
+        np.asarray, M.init_params(model, jax.random.PRNGKey(0))
+    )
+
+    # npz -> openai .pt, reimport losslessly
+    npz = os.path.join(tmp_path, "w.npz")
+    CV.save_params_npz(params, npz)
+    pt = export([f"--model.checkpoint={npz}", "--format", "openai", "--out", f"{tmp_path}/w.pt"])
+    back = CV.flatten_params(CV.torch_to_flax(CV.load_torch_state_dict(pt)))
+    flat = CV.flatten_params(params)
+    assert flat.keys() == back.keys()
+    for k in flat:
+        np.testing.assert_array_equal(np.asarray(flat[k], np.float32), back[k], err_msg=k)
+
+    # orbax train checkpoint -> HF directory
+    pytest.importorskip("transformers")
+    import transformers
+
+    ckpt_dir = os.path.join(tmp_path, "ckpt")
+    save_checkpoint(ckpt_dir, "best", {"params": params, "step": np.int32(1)}, {}, wait=True)
+    out = export([
+        "--model.name=tiny", "--train-dir", ckpt_dir, "--role", "best",
+        "--format", "hf", "--out", f"{tmp_path}/hf_dir",
+    ])
+    hf = transformers.CLIPModel.from_pretrained(out)
+    assert hf.config.projection_dim == 16

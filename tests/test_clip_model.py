@@ -262,3 +262,67 @@ def test_wrapped_state_dict_layouts(hf_tiny):
     ):
         sd = CV.normalize_state_dict(wrap)
         assert sd.keys() == base.keys()
+
+
+# ---------------------------------------------------------------------------
+# Export: flax -> torch layouts (inverse converters + HF publishability)
+# ---------------------------------------------------------------------------
+
+
+def _assert_trees_equal(a, b):
+    fa, fb = CV.flatten_params(a), CV.flatten_params(b)
+    assert fa.keys() == fb.keys()
+    for k in fa:
+        np.testing.assert_array_equal(np.asarray(fa[k], np.float32), fb[k], err_msg=k)
+
+
+def test_flax_to_openai_roundtrip(tiny_model_params):
+    _, params = tiny_model_params
+    np_params = jax.tree_util.tree_map(np.asarray, params)
+    sd = CV.flax_to_openai(np_params)
+    assert CV.detect_format(sd) == "openai"
+    _assert_trees_equal(np_params, CV.openai_to_flax(sd))
+
+
+def test_flax_to_hf_roundtrip(tiny_model_params):
+    _, params = tiny_model_params
+    np_params = jax.tree_util.tree_map(np.asarray, params)
+    sd = CV.flax_to_hf(np_params)
+    assert CV.detect_format(sd) == "hf"
+    _assert_trees_equal(np_params, CV.hf_to_flax(sd))
+
+
+def test_save_openai_pt_reimports(tiny_model_params, tmp_path):
+    """The exported .pt goes back through the file-level importer losslessly
+    (i.e. the reference's load_clip_model(checkpoint_path=...) would see
+    exactly these weights)."""
+    pytest.importorskip("torch")
+    _, params = tiny_model_params
+    np_params = jax.tree_util.tree_map(np.asarray, params)
+    path = str(tmp_path / "exported.pt")
+    CV.save_openai_pt(np_params, path)
+    _assert_trees_equal(np_params, CV.torch_to_flax(CV.load_torch_state_dict(path)))
+
+
+def test_export_hf_checkpoint_bit_exact(hf_tiny, tmp_path):
+    """HF weights -> flax -> exported HF dir -> from_pretrained: the round
+    trip is bit-exact, so a model fine-tuned here is publishable exactly like
+    the reference's xuemduan/reevaluate-clip (evaluator_hf.py:276-284)."""
+    transformers = pytest.importorskip("transformers")
+    hf_model, torch = hf_tiny
+    params = CV.hf_to_flax(CV.normalize_state_dict(hf_model.state_dict()))
+    out = CV.export_hf_checkpoint(params, TINY, str(tmp_path / "hf_export"))
+    reloaded = transformers.CLIPModel.from_pretrained(out).eval()
+
+    images, ids = _inputs()
+    pix = torch.tensor(np.asarray(images)).permute(0, 3, 1, 2)
+    tids = torch.tensor(np.asarray(ids))
+    with torch.no_grad():
+        np.testing.assert_array_equal(
+            hf_model.get_image_features(pixel_values=pix).numpy(),
+            reloaded.get_image_features(pixel_values=pix).numpy(),
+        )
+        np.testing.assert_array_equal(
+            hf_model.get_text_features(input_ids=tids).numpy(),
+            reloaded.get_text_features(input_ids=tids).numpy(),
+        )
