@@ -66,3 +66,25 @@ def _tiny_tokenizer() -> CLIPTokenizer:
 
 def build_runtime(cfg: Config) -> MeshRuntime:
     return MeshRuntime.create(cfg.mesh)
+
+
+def pop_flag(args, flag: str, default=None):
+    """Remove ``--flag value`` or ``--flag=value`` from ``args``; return value.
+
+    Entry-point flags (paths, formats) share a command line with dotted
+    config overrides, which always use ``=`` form — so both spellings must
+    work or ``--format=openai`` silently keeps the default and then fails
+    later inside config parsing with an unrelated error.
+    """
+    prefix = flag + "="
+    for i, tok in enumerate(args):
+        if tok == flag:
+            if i + 1 >= len(args):
+                raise ValueError(f"{flag} requires a value")
+            val = args[i + 1]
+            del args[i : i + 2]
+            return val
+        if tok.startswith(prefix):
+            del args[i]
+            return tok[len(prefix):]
+    return default

@@ -26,25 +26,17 @@ from ..models.convert import export_hf_checkpoint, load_clip_params, save_openai
 from ..train.checkpoint import load_params_only
 from ..utils.config import config_from_argv
 from ..utils.logging_utils import setup_logger
+from .common import pop_flag
 
 FORMATS = ("hf", "openai", "npz")
 
 
-def _pop(args, flag, default=None):
-    if flag in args:
-        i = args.index(flag)
-        val = args[i + 1]
-        del args[i : i + 2]
-        return val
-    return default
-
-
 def main(argv=None) -> str:
     args = list(sys.argv[1:] if argv is None else argv)
-    out = _pop(args, "--out")
-    fmt = _pop(args, "--format", "hf")
-    train_dir = _pop(args, "--train-dir")
-    role = _pop(args, "--role", "best")
+    out = pop_flag(args, "--out")
+    fmt = pop_flag(args, "--format", "hf")
+    train_dir = pop_flag(args, "--train-dir")
+    role = pop_flag(args, "--role", "best")
     if fmt not in FORMATS:
         raise ValueError(f"--format must be one of {FORMATS}, got {fmt!r}")
     if not out:

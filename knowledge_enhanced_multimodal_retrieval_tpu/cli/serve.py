@@ -21,7 +21,7 @@ from ..retrieval.embedding_store import EmbeddingStore
 from ..retrieval.engine import RetrievalEngine
 from ..utils.config import Endpoints, config_from_argv, resolve_encoder
 from ..utils.logging_utils import setup_logger
-from .common import build_model_and_params, build_tokenizer
+from .common import build_model_and_params, build_tokenizer, pop_flag
 
 
 def build_engine(cfg, store_path: str) -> RetrievalEngine:
@@ -61,21 +61,14 @@ def build_engine(cfg, store_path: str) -> RetrievalEngine:
 
 def main(argv=None) -> None:
     args = list(sys.argv[1:] if argv is None else argv)
-    store_path, query, http_port = "data/embeddings/store.npz", None, None
     batch_mode = "--batch" in args
     if batch_mode:
         args.remove("--batch")
-    for flag in ("--store", "--query", "--http"):
-        if flag in args:
-            i = args.index(flag)
-            value = args[i + 1]
-            del args[i : i + 2]
-            if flag == "--store":
-                store_path = value
-            elif flag == "--http":
-                http_port = int(value)
-            else:
-                query = value
+    store_path = pop_flag(args, "--store", "data/embeddings/store.npz")
+    query = pop_flag(args, "--query")
+    http_port = pop_flag(args, "--http")
+    if http_port is not None:
+        http_port = int(http_port)
     cfg = config_from_argv(args)
     logger = setup_logger("kemr_tpu.cli.serve")
     engine = build_engine(cfg, store_path)

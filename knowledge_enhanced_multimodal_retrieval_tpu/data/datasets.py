@@ -159,7 +159,6 @@ class DataPipeline:
             raise ValueError(f"batch_size={batch_size} not divisible by num_shards={num_shards}")
         if not 0 <= shard_index < num_shards:
             raise ValueError(f"shard_index {shard_index} out of range for {num_shards} shards")
-        local = batch_size // num_shards
         n = len(self.source)
         order = list(range(n))
         if shuffle:
@@ -168,7 +167,16 @@ class DataPipeline:
         for start in range(0, stop, batch_size):
             idxs = order[start : start + batch_size]
             if num_shards > 1:
-                idxs = idxs[shard_index * local : (shard_index + 1) * local]
+                if len(idxs) % num_shards:
+                    # Tail batch (drop_last=False): recycle leading indices
+                    # so every shard gets an equal, non-empty slice —
+                    # DistributedSampler's padding semantics. Without this
+                    # the fixed-offset slice below goes ragged (some shards
+                    # empty) and jit batch shapes diverge across processes.
+                    target = -(-len(idxs) // num_shards) * num_shards
+                    idxs = (idxs * (target // len(idxs) + 1))[:target]
+                local_b = len(idxs) // num_shards
+                idxs = idxs[shard_index * local_b : (shard_index + 1) * local_b]
             yield self.make_batch(idxs)
 
     def num_batches(self, batch_size: int, drop_last: bool = True) -> int:

@@ -116,8 +116,14 @@ class RetrievalEngine:
         else:
             import concurrent.futures as cf
 
+            # Dedupe before the network fan-out: the MicroBatcher pads
+            # batches by echoing the last query (bucketed jit shapes), and
+            # real traffic repeats popular queries — each distinct query
+            # costs an LLM + SPARQL round trip, so pay it once per batch.
+            unique = list(dict.fromkeys(queries))
             with cf.ThreadPoolExecutor(max_workers=max_workers) as pool:
-                t2s_lists = list(pool.map(self.t2s_retriever.retrieval, queries))
+                per_unique = dict(zip(unique, pool.map(self.t2s_retriever.retrieval, unique)))
+            t2s_lists = [per_unique[q] for q in queries]
         out: List[List[Dict]] = []
         for clip_results, t2s_results in zip(clip_lists, t2s_lists):
             fused = self._fuse_clip_sparql_linear(clip_results, t2s_results, alpha=alpha, beta=beta)

@@ -23,6 +23,17 @@ from urllib.parse import parse_qs, urlparse
 from .server import MicroBatcher
 
 
+def _parse_n(raw):
+    """Validate a top-n parameter: positive int, else ``(None, error)``."""
+    try:
+        n = int(raw)
+    except (TypeError, ValueError):
+        return None, f"n must be an integer, got {raw!r}"
+    if n < 1:
+        return None, f"n must be >= 1, got {n}"
+    return n, None
+
+
 class RetrievalHTTPServer:
     """HTTP front-end; construct, then :meth:`serve_forever` (or use as a
     context manager around background serving via :meth:`start`)."""
@@ -62,7 +73,10 @@ class RetrievalHTTPServer:
                     if not q:
                         self._send(400, {"error": "missing q parameter"})
                         return
-                    n = int((params.get("n") or [default_n])[0])
+                    n, err = _parse_n((params.get("n") or [default_n])[0])
+                    if err:
+                        self._send(400, {"error": err})
+                        return
                     try:
                         results = batcher.retrieve(q)
                     except Exception as e:  # backend failure -> 502
@@ -83,7 +97,10 @@ class RetrievalHTTPServer:
                 except Exception as e:
                     self._send(400, {"error": f"bad JSON body: {e}"})
                     return
-                n = int(payload.get("n", default_n))
+                n, err = _parse_n(payload.get("n", default_n))
+                if err:
+                    self._send(400, {"error": err})
+                    return
                 try:
                     if "queries" in payload:
                         futs = [batcher.submit(q) for q in payload["queries"]]
@@ -99,16 +116,19 @@ class RetrievalHTTPServer:
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._thread: Optional[threading.Thread] = None
+        self._serving = False
 
     @property
     def address(self) -> tuple:
         return self._httpd.server_address
 
     def serve_forever(self) -> None:
+        self._serving = True
         self._httpd.serve_forever()
 
     def start(self) -> "RetrievalHTTPServer":
         """Serve on a background thread (for tests / embedding)."""
+        self._serving = True
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True, name="kemr-http"
         )
@@ -116,7 +136,10 @@ class RetrievalHTTPServer:
         return self
 
     def close(self) -> None:
-        self._httpd.shutdown()
+        # shutdown() blocks on an event only serve_forever() ever sets —
+        # calling it on a server that never served would deadlock forever.
+        if self._serving:
+            self._httpd.shutdown()
         self._httpd.server_close()
         if self._thread is not None:
             self._thread.join()

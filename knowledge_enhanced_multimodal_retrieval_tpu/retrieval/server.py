@@ -57,6 +57,7 @@ class MicroBatcher:
         self._pad_to_bucket = pad_to_bucket
         self._queue: "queue_mod.Queue" = queue_mod.Queue()
         self._closed = False
+        self._lock = threading.Lock()  # orders submit() vs close()'s sentinel
         self._batches = 0  # dispatched batches (observability/tests)
         self._served = 0  # total queries served
         self._worker = threading.Thread(target=self._run, daemon=True, name="kemr-microbatch")
@@ -66,10 +67,14 @@ class MicroBatcher:
 
     def submit(self, query: str) -> Future:
         """Enqueue one query; the Future resolves to its result list."""
-        if self._closed:
-            raise RuntimeError("MicroBatcher is closed")
         fut: Future = Future()
-        self._queue.put((query, fut))
+        # The closed-check and the put must be atomic vs close(): otherwise a
+        # request can land BEHIND the shutdown sentinel and its future would
+        # never resolve (the caller blocks forever).
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self._queue.put((query, fut))
         return fut
 
     def retrieve(self, query: str, timeout: Optional[float] = None) -> List[dict]:
@@ -82,11 +87,21 @@ class MicroBatcher:
 
     def close(self) -> None:
         """Stop accepting work, drain what's queued, join the worker."""
-        if self._closed:
-            return
-        self._closed = True
-        self._queue.put(None)  # wake the worker
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(None)  # wake the worker
         self._worker.join()
+        # Fail any future that slipped in behind the sentinel (none can,
+        # post-lock, but drain defensively) so no caller blocks forever.
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue_mod.Empty:
+                break
+            if item is not None and item[1].set_running_or_notify_cancel():
+                item[1].set_exception(RuntimeError("MicroBatcher is closed"))
 
     def __enter__(self) -> "MicroBatcher":
         return self
@@ -122,6 +137,12 @@ class MicroBatcher:
             items = self._next_batch()
             if items is None:
                 return
+            # Claim each future; a caller that already cancelled (client gave
+            # up) is dropped here — resolving a cancelled Future would raise
+            # InvalidStateError and kill this worker thread for good.
+            items = [it for it in items if it[1].set_running_or_notify_cancel()]
+            if not items:
+                continue
             queries = [q for q, _ in items]
             n = len(queries)
             if self._pad_to_bucket and n < self._max_batch:

@@ -10,8 +10,10 @@ scheduler state + best-metric bookkeeping (``trainer.py:260-288``,
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
+import threading
 from typing import Any, Dict, Tuple
 
 import jax
@@ -38,9 +40,17 @@ def _checkpointer() -> ocp.StandardCheckpointer:
 
 
 def wait_for_checkpoints() -> None:
-    """Block until every pending async save has committed."""
+    """Block until every pending async save (data AND meta sidecar) commits."""
     if _CKPTR is not None:
         _CKPTR.wait_until_finished()
+    while True:
+        with _META_LOCK:
+            pending = [t for t in _META_THREADS if t.is_alive()]
+            _META_THREADS[:] = pending
+        if not pending:
+            return
+        for t in pending:
+            t.join()
 
 
 def save_checkpoint(
@@ -65,10 +75,42 @@ def save_checkpoint(
     ckptr = _checkpointer()
     ckptr.wait_until_finished()  # serialize against a still-running save
     ckptr.save(path, jax.tree_util.tree_map(np.asarray, state), force=True)
-    with open(path + ".meta.json", "w") as f:
-        json.dump(metadata, f, indent=2)
-    if wait:
+    _commit_meta_after_save(ckptr, path, metadata, wait=wait)
+
+
+# Meta sidecars must land AFTER their async data commit — writing them
+# eagerly would, on a crash mid-save, leave meta.json describing a
+# checkpoint that never committed (or pair new epoch/best-metric metadata
+# with the PREVIOUS weights on resume). Latest-wins sequencing guards
+# against out-of-order commit threads when the same role saves repeatedly.
+_META_SEQ = itertools.count()
+_META_LATEST: Dict[str, int] = {}
+_META_LOCK = threading.Lock()
+_META_THREADS: list = []
+
+
+def _commit_meta_after_save(ckptr, path: str, metadata: Dict[str, Any], wait: bool) -> None:
+    seq = next(_META_SEQ)
+    meta_text = json.dumps(metadata, indent=2)
+
+    def _commit() -> None:
         ckptr.wait_until_finished()
+        with _META_LOCK:
+            if _META_LATEST.get(path, -1) > seq:
+                return  # a newer save's meta already committed
+            _META_LATEST[path] = seq
+            tmp = f"{path}.meta.json.tmp-{seq}"
+            with open(tmp, "w") as f:
+                f.write(meta_text)
+            os.replace(tmp, path + ".meta.json")
+
+    if wait:
+        _commit()
+    else:
+        t = threading.Thread(target=_commit, daemon=True, name="kemr-ckpt-meta")
+        with _META_LOCK:
+            _META_THREADS.append(t)
+        t.start()
 
 
 def load_checkpoint(

@@ -157,24 +157,46 @@ def device_prefetch(batches, place_fn: Callable, depth: int = 1):
     q: "queue_mod.Queue" = queue_mod.Queue(maxsize=max(1, depth))
     sentinel = object()
     errors = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # Bounded-timeout put so an abandoned consumer (train_step raised,
+        # generator GC'd) can't strand this thread — and its staged device
+        # batch — on a full queue forever.
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
 
     def worker():
         try:
             for b in batches:
-                q.put(place_fn(b))
+                if stop.is_set() or not _put(place_fn(b)):
+                    return
         except BaseException as e:  # propagate, don't kill silently
             errors.append(e)
         finally:
-            q.put(sentinel)
+            _put(sentinel)
 
     threading.Thread(target=worker, daemon=True, name="kemr-prefetch").start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if errors:
-                raise errors[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if errors:
+                    raise errors[0]
+                return
+            yield item
+    finally:
+        stop.set()  # unblock the worker on early exit (break/close/error)
+        while True:
+            try:
+                q.get_nowait()
+            except queue_mod.Empty:
+                break
 
 
 # ---------------------------------------------------------------------------

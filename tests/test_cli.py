@@ -213,3 +213,35 @@ def test_cli_export_roundtrip(tmp_path, devices8):
     ])
     hf = transformers.CLIPModel.from_pretrained(out)
     assert hf.config.projection_dim == 16
+
+
+def test_pop_flag_both_spellings():
+    """Entry-point flags accept --flag value AND --flag=value (config
+    overrides use '=' everywhere; the flags must too)."""
+    from knowledge_enhanced_multimodal_retrieval_tpu.cli.common import pop_flag
+
+    args = ["--format=openai", "--model.name=tiny", "--out", "x.pt"]
+    assert pop_flag(args, "--format", "hf") == "openai"
+    assert pop_flag(args, "--out") == "x.pt"
+    assert pop_flag(args, "--missing", "dflt") == "dflt"
+    assert args == ["--model.name=tiny"]
+    with pytest.raises(ValueError):
+        pop_flag(["--out"], "--out")
+
+
+def test_cli_export_equals_form(tmp_path, devices8):
+    """--format=openai (the '=' spelling) must be honored, not silently
+    ignored in favor of the default."""
+    import jax
+    import numpy as np
+
+    from knowledge_enhanced_multimodal_retrieval_tpu.cli.export import main as export
+    from knowledge_enhanced_multimodal_retrieval_tpu.models import clip as M
+    from knowledge_enhanced_multimodal_retrieval_tpu.models import convert as CV
+
+    model = M.build_model("tiny", dtype="float32")
+    params = jax.tree_util.tree_map(np.asarray, M.init_params(model, jax.random.PRNGKey(0)))
+    npz = os.path.join(tmp_path, "w.npz")
+    CV.save_params_npz(params, npz)
+    pt = export([f"--model.checkpoint={npz}", "--format=openai", f"--out={tmp_path}/w.pt"])
+    assert pt.endswith("w.pt") and os.path.exists(pt)

@@ -92,3 +92,30 @@ def test_process_sharded_batches_partition_global():
         next(iter(pipe.epoch_batches(9, num_shards=2)))
     with pytest.raises(ValueError):
         next(iter(pipe.epoch_batches(8, num_shards=2, shard_index=2)))
+
+
+def test_sharded_tail_batch_pads_equally():
+    """drop_last=False + num_shards>1: the tail batch pads DistributedSampler-
+    style (recycled leading indices) so every shard gets an equal, non-empty
+    slice instead of ragged/empty batches."""
+    pipe = _pipeline(n=26)  # 26 = 3*8 + tail of 2
+    shard_batches = [
+        list(pipe.epoch_batches(8, epoch=0, seed=3, drop_last=False, num_shards=2, shard_index=k))
+        for k in (0, 1)
+    ]
+    for batches in shard_batches:
+        assert len(batches) == 4
+        assert all(len(b.uuids) == 4 for b in batches[:-1])
+        assert len(batches[-1].uuids) == 1  # ceil(2/2) = 1 each
+    # the two tail slices together cover the 2 real tail records
+    tail_uuids = set(shard_batches[0][-1].uuids) | set(shard_batches[1][-1].uuids)
+    assert len(tail_uuids) == 2
+
+
+def test_sharded_tail_smaller_than_shards():
+    """1 leftover record, 4 shards: indices recycle so no shard is empty."""
+    pipe = _pipeline(n=9)
+    for k in range(4):
+        batches = list(pipe.epoch_batches(8, drop_last=False, num_shards=4, shard_index=k))
+        assert len(batches) == 2
+        assert len(batches[-1].uuids) == 1

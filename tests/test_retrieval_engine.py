@@ -308,3 +308,22 @@ def test_engine_without_t2s_retriever(world):
     clip_r = CLIPRetrieval(model, params, tok, store, top_k=5)
     engine = RetrievalEngine(clip_r, t2s_retriever=None)
     assert len(engine.retrieve_text("hello", threshold=-10)) == 5
+
+
+def test_engine_batch_t2s_dedupes_padded_queries(world):
+    """The knowledge fan-out is network/LLM-bound: duplicate queries in a
+    batch (incl. MicroBatcher pad echoes) must hit the t2s retriever once."""
+    engine = _mk_engine(world, "uuid-000025")
+    calls = []
+    inner = engine.t2s_retriever.retrieval
+
+    class CountingT2S:
+        def retrieval(self, q):
+            calls.append(q)
+            return inner(q)
+
+    engine.t2s_retriever = CountingT2S()
+    queries = ["hello cat", "hel ca", "hel ca", "hel ca"]  # pad-style echoes
+    batched = engine.retrieve_text_batch(queries)
+    assert sorted(calls) == ["hel ca", "hello cat"]
+    assert batched[1] == batched[2] == batched[3]

@@ -164,3 +164,79 @@ def test_threaded_callers_end_to_end(devices8):
             t.join()
     assert out == [expected] * 12
     assert mb.stats["batches"] < 12
+
+
+def test_cancelled_future_does_not_kill_worker():
+    """A caller cancelling its future must not crash the worker thread
+    (resolving a cancelled Future raises InvalidStateError)."""
+    release = threading.Event()
+
+    def batch_fn(queries):
+        release.wait(5)
+        return [[{"uuid": q}] for q in queries]
+
+    with MicroBatcher(batch_fn, max_batch=4, max_wait_ms=1.0) as mb:
+        f1 = mb.submit("a")
+        cancelled = f1.cancel()  # pending future: cancellable
+        release.set()
+        # the worker must survive and serve subsequent requests
+        f2 = mb.submit("b")
+        assert f2.result(timeout=10) == [{"uuid": "b"}]
+    if cancelled:
+        assert f1.cancelled()
+
+
+def test_close_drains_stranded_futures():
+    """No submit() may strand its caller forever across a close() race —
+    the future either resolves, errors, or close() fails it."""
+    def batch_fn(queries):
+        return [[] for _ in queries]
+
+    mb = MicroBatcher(batch_fn, max_batch=4, max_wait_ms=1.0)
+    futs = [mb.submit(str(i)) for i in range(8)]
+    mb.close()
+    for f in futs:
+        # must terminate promptly one way or another
+        try:
+            f.result(timeout=5)
+        except Exception:
+            pass
+        assert f.done()
+
+
+def test_http_bad_n_returns_400():
+    import json as json_mod
+    from urllib.request import urlopen
+    from urllib.error import HTTPError
+
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval.http_server import RetrievalHTTPServer
+
+    def batch_fn(queries):
+        return [[{"uuid": "u", "score": 1.0}] for _ in queries]
+
+    with RetrievalHTTPServer(batch_fn, port=0, max_wait_ms=1.0) as srv:
+        host, port = srv.address
+        with pytest.raises(HTTPError) as ei:
+            urlopen(f"http://{host}:{port}/search?q=x&n=abc")
+        assert ei.value.code == 400
+        with pytest.raises(HTTPError) as ei:
+            urlopen(f"http://{host}:{port}/search?q=x&n=-2")
+        assert ei.value.code == 400
+        # valid n still works
+        body = json_mod.loads(urlopen(f"http://{host}:{port}/search?q=x&n=1").read())
+        assert body["results"] == [{"uuid": "u", "score": 1.0}]
+
+
+def test_http_close_without_start_does_not_deadlock():
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval.http_server import RetrievalHTTPServer
+
+    srv = RetrievalHTTPServer(lambda qs: [[] for _ in qs], port=0, max_wait_ms=1.0)
+    done = threading.Event()
+
+    def _close():
+        srv.close()
+        done.set()
+
+    t = threading.Thread(target=_close, daemon=True)
+    t.start()
+    assert done.wait(5), "close() on a never-started server deadlocked"

@@ -1,4 +1,5 @@
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -329,3 +330,51 @@ def test_batch_size_must_divide_mesh(setup, devices8, tmp_path):
     cfg = _cfg(str(tmp_path), batch_size=12)  # 12 % 8 != 0
     with pytest.raises(ValueError, match="divisible"):
         T.CLIPTrainer(model, params, pipe, None, cfg, out_dir=str(tmp_path))
+
+
+def test_device_prefetch_abandoned_consumer_stops_worker():
+    """Abandoning the generator mid-iteration (train_step raised) must not
+    strand the prefetch worker on a full queue forever."""
+    import threading as _th
+
+    produced = []
+
+    def slow_source():
+        for i in range(100):
+            produced.append(i)
+            yield i
+
+    gen = T.device_prefetch(slow_source(), lambda x: x, depth=1)
+    assert next(gen) == 0
+    gen.close()  # GeneratorExit -> finally must signal the worker to stop
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        if not any(t.name == "kemr-prefetch" and t.is_alive() for t in _th.enumerate()):
+            break
+        time.sleep(0.05)
+    else:
+        raise AssertionError("prefetch worker still alive after consumer closed")
+    assert len(produced) < 100  # it did not churn through the whole source
+
+
+def test_checkpoint_meta_commits_after_data(tmp_path):
+    """The meta sidecar lands only after the async data commit (a crash must
+    never leave meta.json describing an uncommitted checkpoint), and
+    wait_for_checkpoints flushes the meta thread too."""
+    from knowledge_enhanced_multimodal_retrieval_tpu.train import checkpoint as C
+
+    state = {"params": {"w": np.ones((4, 4), np.float32)}, "step": np.int32(1)}
+    C.save_checkpoint(str(tmp_path), "best", state, {"epoch": 7, "best": 0.5})
+    C.wait_for_checkpoints()
+    meta_path = C._dir(str(tmp_path), "best") + ".meta.json"
+    import json as json_mod
+
+    assert C.checkpoint_exists(str(tmp_path), "best")
+    assert json_mod.load(open(meta_path))["epoch"] == 7
+    # repeated saves: latest meta wins, consistent with the final data
+    for e in (8, 9):
+        state = {"params": {"w": np.full((4, 4), float(e), np.float32)}, "step": np.int32(e)}
+        C.save_checkpoint(str(tmp_path), "best", state, {"epoch": e, "best": 0.1 * e})
+    restored, meta = C.load_checkpoint(str(tmp_path), "best", state)
+    assert meta["epoch"] == 9
+    np.testing.assert_array_equal(restored["params"]["w"], np.full((4, 4), 9.0, np.float32))
