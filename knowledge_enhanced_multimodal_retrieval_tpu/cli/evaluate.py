@@ -22,16 +22,12 @@ import sys
 from ..eval.evaluator import run_full_evaluation
 from ..utils.config import config_from_argv
 from ..utils.logging_utils import setup_logger
-from .common import build_model_and_params, build_pipeline, build_runtime
+from .common import build_model_and_params, build_pipeline, build_runtime, pop_flag
 
 
 def main(argv=None) -> dict:
     args = list(sys.argv[1:] if argv is None else argv)
-    t2s_path = None
-    if "--t2s_results" in args:
-        i = args.index("--t2s_results")
-        t2s_path = args[i + 1]
-        del args[i : i + 2]
+    t2s_path = pop_flag(args, "--t2s_results")
     cfg = config_from_argv(args)
     logger = setup_logger("kemr_tpu.cli.evaluate")
 
