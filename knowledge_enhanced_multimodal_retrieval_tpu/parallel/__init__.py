@@ -7,3 +7,4 @@ from .sharding import (  # noqa: F401
     shard_params,
 )
 from .tp import shard_params_tp, tp_param_pspecs, tp_shardings  # noqa: F401
+from .pp import pipeline_apply, stack_stages, stage_sharding  # noqa: F401
