@@ -69,6 +69,9 @@ def main(argv=None) -> None:
     http_port = pop_flag(args, "--http")
     if http_port is not None:
         http_port = int(http_port)
+    # 0 = queue without bound; >0 = load-shed (HTTP 503) past that many
+    # pending requests, keeping tail latency bounded under overload
+    max_pending = int(pop_flag(args, "--max-pending", "0"))
     cfg = config_from_argv(args)
     logger = setup_logger("kemr_tpu.cli.serve")
     engine = build_engine(cfg, store_path)
@@ -83,7 +86,7 @@ def main(argv=None) -> None:
             engine.retrieve_text_batch if engine.t2s_retriever
             else engine.retrieve_text_noknowledge_batch
         )
-        server = RetrievalHTTPServer(batch_fn, port=http_port)
+        server = RetrievalHTTPServer(batch_fn, port=http_port, max_pending=max_pending)
         logger.info("serving HTTP on %s:%d (/search, /healthz)", *server.address)
         try:
             server.serve_forever()

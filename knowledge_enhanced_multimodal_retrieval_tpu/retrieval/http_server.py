@@ -20,7 +20,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, List, Optional, Sequence
 from urllib.parse import parse_qs, urlparse
 
-from .server import MicroBatcher
+from .server import MicroBatcher, Overloaded
 
 
 def _parse_n(raw):
@@ -46,8 +46,11 @@ class RetrievalHTTPServer:
         max_batch: int = 256,
         max_wait_ms: float = 2.0,
         default_n: int = 20,
+        max_pending: int = 0,
     ):
-        self.batcher = MicroBatcher(batch_fn, max_batch=max_batch, max_wait_ms=max_wait_ms)
+        self.batcher = MicroBatcher(
+            batch_fn, max_batch=max_batch, max_wait_ms=max_wait_ms, max_pending=max_pending
+        )
         batcher = self.batcher
 
         class Handler(BaseHTTPRequestHandler):
@@ -79,6 +82,9 @@ class RetrievalHTTPServer:
                         return
                     try:
                         results = batcher.retrieve(q)
+                    except Overloaded as e:  # load shed -> 503, retryable
+                        self._send(503, {"error": str(e)})
+                        return
                     except Exception as e:  # backend failure -> 502
                         self._send(502, {"error": str(e)})
                         return
@@ -111,6 +117,8 @@ class RetrievalHTTPServer:
                         self._send(200, {"query": payload["query"], "results": results[:n]})
                     else:
                         self._send(400, {"error": "body needs 'query' or 'queries'"})
+                except Overloaded as e:
+                    self._send(503, {"error": str(e)})
                 except Exception as e:
                     self._send(502, {"error": str(e)})
 

@@ -26,6 +26,11 @@ from concurrent.futures import Future
 from typing import Callable, List, Optional, Sequence
 
 
+class Overloaded(RuntimeError):
+    """Raised by :meth:`MicroBatcher.submit` when load-shedding
+    (``max_pending`` reached); HTTP maps it to 503."""
+
+
 class MicroBatcher:
     """Aggregates concurrent single-query requests into device batches.
 
@@ -43,12 +48,18 @@ class MicroBatcher:
         max_batch: int = 256,
         max_wait_ms: float = 2.0,
         pad_to_bucket: bool = True,
+        max_pending: int = 0,
     ):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self._batch_fn = batch_fn
         self._max_batch = max_batch
         self._max_wait_s = max_wait_ms / 1e3
+        # Backpressure: with max_pending > 0, submit() raises Overloaded once
+        # that many requests are queued/in flight instead of letting latency
+        # grow without bound (load-shed at admission, not after queueing).
+        self._max_pending = max_pending
+        self._pending = 0
         # jit backends compile one program PER BATCH SHAPE — without
         # bucketing, every distinct micro-batch size (13, 27, 41...) is a
         # fresh multi-second compile and the server stalls for minutes
@@ -60,6 +71,10 @@ class MicroBatcher:
         self._lock = threading.Lock()  # orders submit() vs close()'s sentinel
         self._batches = 0  # dispatched batches (observability/tests)
         self._served = 0  # total queries served
+        self._rejected = 0  # load-shed submissions
+        # ring of recent end-to-end request latencies (submit -> resolve), s
+        self._latencies: List[float] = []
+        self._lat_cap = 2048
         self._worker = threading.Thread(target=self._run, daemon=True, name="kemr-microbatch")
         self._worker.start()
 
@@ -74,7 +89,13 @@ class MicroBatcher:
         with self._lock:
             if self._closed:
                 raise RuntimeError("MicroBatcher is closed")
-            self._queue.put((query, fut))
+            if self._max_pending and self._pending >= self._max_pending:
+                self._rejected += 1
+                raise Overloaded(
+                    f"{self._pending} requests pending (limit {self._max_pending})"
+                )
+            self._pending += 1
+            self._queue.put((query, fut, time.monotonic()))
         return fut
 
     def retrieve(self, query: str, timeout: Optional[float] = None) -> List[dict]:
@@ -83,7 +104,23 @@ class MicroBatcher:
 
     @property
     def stats(self) -> dict:
-        return {"batches": self._batches, "served": self._served}
+        out = {
+            "batches": self._batches,
+            "served": self._served,
+            "rejected": self._rejected,
+            "pending": self._pending,
+        }
+        with self._lock:
+            lats = sorted(self._latencies)
+        if lats:
+            q = lambda p: lats[min(len(lats) - 1, int(p * len(lats)))]  # noqa: E731
+            out["latency_ms"] = {
+                "p50": round(q(0.50) * 1e3, 3),
+                "p95": round(q(0.95) * 1e3, 3),
+                "p99": round(q(0.99) * 1e3, 3),
+                "n": len(lats),
+            }
+        return out
 
     def close(self) -> None:
         """Stop accepting work, drain what's queued, join the worker."""
@@ -100,8 +137,10 @@ class MicroBatcher:
                 item = self._queue.get_nowait()
             except queue_mod.Empty:
                 break
-            if item is not None and item[1].set_running_or_notify_cancel():
-                item[1].set_exception(RuntimeError("MicroBatcher is closed"))
+            if item is not None:
+                if item[1].set_running_or_notify_cancel():
+                    item[1].set_exception(RuntimeError("MicroBatcher is closed"))
+                self._finish()
 
     def __enter__(self) -> "MicroBatcher":
         return self
@@ -132,18 +171,32 @@ class MicroBatcher:
             items.append(item)
         return items
 
+    def _finish(self, t0: Optional[float] = None) -> None:
+        """One request left the system; record its end-to-end latency."""
+        with self._lock:
+            self._pending -= 1
+            if t0 is not None:
+                self._latencies.append(time.monotonic() - t0)
+                if len(self._latencies) > self._lat_cap:
+                    del self._latencies[: len(self._latencies) - self._lat_cap]
+
     def _run(self) -> None:
         while True:
-            items = self._next_batch()
-            if items is None:
+            batch = self._next_batch()
+            if batch is None:
                 return
             # Claim each future; a caller that already cancelled (client gave
             # up) is dropped here — resolving a cancelled Future would raise
             # InvalidStateError and kill this worker thread for good.
-            items = [it for it in items if it[1].set_running_or_notify_cancel()]
+            items = []
+            for it in batch:
+                if it[1].set_running_or_notify_cancel():
+                    items.append(it)
+                else:
+                    self._finish()
             if not items:
                 continue
-            queries = [q for q, _ in items]
+            queries = [q for q, _, _ in items]
             n = len(queries)
             if self._pad_to_bucket and n < self._max_batch:
                 bucket = 1 << (n - 1).bit_length()  # next power of two
@@ -156,10 +209,12 @@ class MicroBatcher:
                     )
                 results = results[:n]
             except BaseException as e:
-                for _, fut in items:
+                for _, fut, t0 in items:
                     fut.set_exception(e)
+                    self._finish(t0)
                 continue
             self._batches += 1
             self._served += len(items)
-            for (_, fut), res in zip(items, results):
+            for (_, fut, t0), res in zip(items, results):
                 fut.set_result(res)
+                self._finish(t0)

@@ -240,3 +240,68 @@ def test_http_close_without_start_does_not_deadlock():
     t = threading.Thread(target=_close, daemon=True)
     t.start()
     assert done.wait(5), "close() on a never-started server deadlocked"
+
+
+def test_latency_stats_and_backpressure():
+    """stats reports p50/p95/p99 request latency; max_pending load-sheds
+    with Overloaded instead of queueing without bound."""
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval import Overloaded
+
+    release = threading.Event()
+
+    def batch_fn(queries):
+        release.wait(10)
+        return [[{"uuid": q}] for q in queries]
+
+    mb = MicroBatcher(batch_fn, max_batch=2, max_wait_ms=1.0, max_pending=3)
+    futs = [mb.submit(str(i)) for i in range(3)]  # fills the pending budget
+    with pytest.raises(Overloaded):
+        mb.submit("overflow")
+    assert mb.stats["rejected"] == 1
+    assert mb.stats["pending"] == 3
+    release.set()
+    for f in futs:
+        f.result(timeout=10)
+    stats = mb.stats
+    assert stats["pending"] == 0
+    assert stats["latency_ms"]["n"] == 3
+    assert stats["latency_ms"]["p50"] <= stats["latency_ms"]["p99"]
+    # budget freed: submissions accepted again
+    assert mb.retrieve("again", timeout=10) == [{"uuid": "again"}]
+    mb.close()
+
+
+def test_http_backpressure_returns_503():
+    import json as json_mod
+    from urllib.error import HTTPError
+    from urllib.request import urlopen
+
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval.http_server import RetrievalHTTPServer
+
+    release = threading.Event()
+
+    def batch_fn(queries):
+        release.wait(10)
+        return [[] for _ in queries]
+
+    with RetrievalHTTPServer(batch_fn, port=0, max_wait_ms=1.0, max_pending=1) as srv:
+        host, port = srv.address
+        codes = []
+
+        def client():
+            try:
+                urlopen(f"http://{host}:{port}/search?q=x", timeout=30)
+                codes.append(200)
+            except HTTPError as e:
+                codes.append(e.code)
+
+        threads = [threading.Thread(target=client) for _ in range(4)]
+        for t in threads:
+            t.start()
+            time.sleep(0.1)  # ensure the first occupies the pending slot
+        release.set()
+        for t in threads:
+            t.join()
+        assert 503 in codes and 200 in codes, codes
+        health = json_mod.loads(urlopen(f"http://{host}:{port}/healthz").read())
+        assert health["stats"]["rejected"] >= 1
