@@ -69,3 +69,27 @@ def test_full_lifecycle(devices8, tmp_path):
 
     state, meta = ckpt.load_checkpoint(cfg.checkpoint_dir, "best", trainer.state)
     assert meta["best_epoch"] == result["best_epoch"]
+
+    # 6. publish: export the trained weights to an OpenAI-layout .pt,
+    # reimport, and serve — results must be identical (the TPU-trained
+    # model is consumable by the reference stack and round-trips exactly)
+    from knowledge_enhanced_multimodal_retrieval_tpu.models import convert as CV
+
+    pt_path = os.path.join(tmp_path, "trained.pt")
+    CV.save_openai_pt(jax.tree_util.tree_map(np.asarray, trained), pt_path)
+    reimported = CV.torch_to_flax(CV.load_torch_state_dict(pt_path))
+    retriever2 = CLIPRetrieval(model, reimported, tok, store, top_k=5)
+    results2 = RetrievalEngine(retriever2).retrieve_text_noknowledge("hello cat", threshold=-10)
+    assert [r["uuid"] for r in results2] == [r["uuid"] for r in results]
+
+    # 7. the production front door: the same engine behind the HTTP daemon
+    import json as json_mod
+    from urllib.request import urlopen
+
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval import RetrievalHTTPServer
+
+    batch_fn = lambda qs: engine.retrieve_text_noknowledge_batch(qs, threshold=-10)  # noqa: E731
+    with RetrievalHTTPServer(batch_fn, port=0, max_wait_ms=5.0) as srv:
+        host, port = srv.address
+        body = json_mod.loads(urlopen(f"http://{host}:{port}/search?q=hello%20cat&n=5", timeout=120).read())
+    assert [r["uuid"] for r in body["results"]] == [r["uuid"] for r in results]
