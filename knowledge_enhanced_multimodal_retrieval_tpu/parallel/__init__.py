@@ -9,3 +9,4 @@ from .sharding import (  # noqa: F401
 from .tp import shard_params_tp, tp_param_pspecs, tp_shardings  # noqa: F401
 from .pp import pipeline_apply, stack_stages, stage_sharding  # noqa: F401
 from .sp import ring_attention, sp_block_apply  # noqa: F401
+from .ep import ep_shardings, init_moe_params, moe_apply  # noqa: F401
