@@ -66,11 +66,14 @@ class MeshRuntime:
     mesh: Mesh
     data_axis: str = "data"
     model_axis: str = "model"
+    fsdp: bool = False  # shard train state over the data axis (parallel/fsdp.py)
 
     @staticmethod
     def create(cfg: MeshConfig = MeshConfig(), devices: Optional[Sequence[jax.Device]] = None) -> "MeshRuntime":
         mesh = make_mesh(cfg, devices)
-        return MeshRuntime(mesh=mesh, data_axis=cfg.data_axis, model_axis=cfg.model_axis)
+        return MeshRuntime(
+            mesh=mesh, data_axis=cfg.data_axis, model_axis=cfg.model_axis, fsdp=cfg.fsdp
+        )
 
     @property
     def num_data(self) -> int:

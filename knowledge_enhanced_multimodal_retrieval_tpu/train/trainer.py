@@ -289,6 +289,34 @@ def init_state_gspmd(optimizer, params, rt: MeshRuntime) -> Dict[str, Any]:
     return {"params": params, "opt_state": opt_state, "step": jnp.zeros((), jnp.int32)}
 
 
+def _fsdp_state_shardings(tree, rt: MeshRuntime):
+    """FSDP shardings for a state(-shaped) tree, composed with tp specs when
+    the model axis is active (fsdp shards a spare dim of tp-sharded leaves)."""
+    from ..parallel.fsdp import fsdp_shardings
+    from ..parallel.tp import tp_param_pspecs
+
+    base = (
+        tp_param_pspecs(tree, rt.model_axis)
+        if rt.mesh.shape[rt.model_axis] > 1
+        else None
+    )
+    return fsdp_shardings(tree, rt.mesh, rt.data_axis, base=base)
+
+
+def init_state_fsdp(optimizer, params, rt: MeshRuntime) -> Dict[str, Any]:
+    """ZeRO-3 train state: params AND Adam moments sharded over the data
+    axis (``parallel.fsdp``), composed with tp shardings when the model axis
+    is active. The moments embed the param tree with identical leaf shapes,
+    so the same shape-based spec function places them leaf-for-leaf like
+    their parameters — per-chip state memory scales 1/n with the mesh."""
+    params = jax.device_put(params, _fsdp_state_shardings(params, rt))
+    abstract = jax.eval_shape(optimizer.init, params)
+    opt_state = jax.jit(
+        optimizer.init, out_shardings=_fsdp_state_shardings(abstract, rt)
+    )(params)
+    return {"params": params, "opt_state": opt_state, "step": jnp.zeros((), jnp.int32)}
+
+
 def make_train_step_gspmd(
     model: CLIP,
     optimizer: optax.GradientTransformation,
@@ -475,17 +503,19 @@ class CLIPTrainer:
         # the trainer must never alias arrays the caller still holds
         params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
         self.tensor_parallel = self.rt.mesh.shape[self.rt.model_axis] > 1
-        if self.tensor_parallel:
-            # model axis active: Megatron-sharded params + GSPMD step
-            # (parallel/tp.py). Loss is computed on the GLOBAL batch — with
-            # local negatives configured that deviates from reference DDP
-            # semantics, so say so.
+        self.fsdp = bool(getattr(self.rt, "fsdp", False))
+        if self.tensor_parallel or self.fsdp:
+            # model axis active and/or FSDP: sharded params + GSPMD step
+            # (parallel/tp.py, parallel/fsdp.py). Loss is computed on the
+            # GLOBAL batch — with local negatives configured that deviates
+            # from reference DDP semantics, so say so.
             if not cfg.global_negatives:
                 self.logger.warning(
-                    "tensor parallelism computes global-batch negatives; "
-                    "cfg.global_negatives=False is ignored in tp mode"
+                    "the GSPMD step computes global-batch negatives; "
+                    "cfg.global_negatives=False is ignored in tp/fsdp mode"
                 )
-            self.state = init_state_gspmd(self.optimizer, params, self.rt)
+            init = init_state_fsdp if self.fsdp else init_state_gspmd
+            self.state = init(self.optimizer, params, self.rt)
             self.train_step = make_train_step_gspmd(model, self.optimizer, cfg)
         else:
             opt_state = self.optimizer.init(params)
@@ -495,10 +525,11 @@ class CLIPTrainer:
                 "step": jnp.zeros((), jnp.int32),
             }
             self.train_step = make_train_step(model, self.optimizer, cfg, self.rt)
-        # tp: GSPMD encode keeps params tp-sharded (the shard_map step would
-        # all-gather the whole tree to every device each validation batch)
+        # tp/fsdp: GSPMD encode keeps params sharded (the shard_map step
+        # would all-gather the whole tree to every device each val batch)
         self.encode_step = (
-            make_encode_step_gspmd(model, self.rt) if self.tensor_parallel
+            make_encode_step_gspmd(model, self.rt)
+            if (self.tensor_parallel or self.fsdp)
             else make_encode_step(model, self.rt)
         )
         self.stopper = EarlyStopper(cfg.early_stop_patience)
@@ -510,7 +541,11 @@ class CLIPTrainer:
 
     def _resume(self) -> None:
         state, meta = ckpt.load_checkpoint(self.cfg.checkpoint_dir, "latest", self.state)
-        if self.tensor_parallel:
+        if self.fsdp:
+            # re-place sharded over the data axis (shape-based specs apply
+            # to the whole state tree: params, moments, step scalar alike)
+            self.state = jax.device_put(state, _fsdp_state_shardings(state, self.rt))
+        elif self.tensor_parallel:
             # re-place with the tp shardings (tp_param_pspecs keys off path
             # suffixes, so it applies to the whole state tree: params,
             # optimizer moments, and the step scalar alike)

@@ -210,6 +210,9 @@ class MeshConfig:
     model_axis: str = "model"
     data_parallel: int = -1  # -1 = all devices
     model_parallel: int = 1
+    # FSDP/ZeRO-3: shard params + optimizer moments over the data axis
+    # (per-chip state memory scales 1/n; see parallel/fsdp.py)
+    fsdp: bool = False
 
 
 @dataclass(frozen=True)
