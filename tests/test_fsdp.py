@@ -210,3 +210,12 @@ def test_trainer_fsdp_mode_trains(devices8, tmp_path):
         state, metrics = trainer.train_step(state, db)
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0], losses
+
+    # checkpoint round trip keeps values AND re-places with fsdp shardings
+    trainer.state = state
+    trainer._save("latest", 0)
+    before = np.asarray(state["params"]["logit_scale"])
+    trainer._resume()
+    k2 = trainer.state["params"]["text"]["transformer"]["resblocks_0"]["mlp"]["c_fc"]["kernel"]
+    assert not k2.sharding.is_fully_replicated
+    np.testing.assert_allclose(np.asarray(trainer.state["params"]["logit_scale"]), before)
