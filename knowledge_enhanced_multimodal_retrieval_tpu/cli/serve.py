@@ -47,6 +47,9 @@ def build_engine(cfg, store_path: str) -> RetrievalEngine:
         quantize_corpus=cfg.eval.quantize_corpus,
         rt=rt,
         shard_corpus=cfg.eval.shard_corpus,
+        ann=cfg.eval.ann or None,
+        ann_nlist=cfg.eval.ann_nlist or None,
+        ann_nprobe=cfg.eval.ann_nprobe,
     )
 
     t2s = None

@@ -31,6 +31,7 @@ from ..ops.similarity import (
     similarity_topk_xla_q8,
 )
 from ..parallel.mesh import MeshRuntime
+from .ann import IVFIndex, build_ivf_index, ivf_search
 from .embedding_store import EmbeddingStore
 
 
@@ -51,6 +52,10 @@ class CLIPRetrieval:
         use_fused_encoder: Optional[bool] = None,
         quantize: Optional[str] = None,
         quantize_corpus: bool = False,
+        ann: Optional[str] = None,
+        ann_nlist: Optional[int] = None,
+        ann_nprobe: int = 8,
+        ann_capacity_factor: float = 1.5,
     ):
         self.model = model
         self.params = params
@@ -88,11 +93,38 @@ class CLIPRetrieval:
 
         self.quantize_corpus = quantize_corpus
 
+        # opt-in ANN mode (retrieval/ann.py): IVF cluster probing instead of
+        # the exact brute-force scan — the scaling path for corpora where a
+        # full pass per query is too much HBM traffic (or for single-query
+        # latency). Exact paths stay the default.
+        if ann not in (None, "ivf"):
+            raise ValueError(f"unknown ann mode {ann!r} (expected None or 'ivf')")
+        if ann and (self.shard_corpus or quantize_corpus):
+            raise ValueError("ann='ivf' does not compose with shard_corpus/quantize_corpus yet")
+        self.ann = ann
+        self.ann_nprobe = ann_nprobe
+
         if self.shard_corpus:
             store = store.padded(rt.num_data)
         self.store = store
         mesh = rt.mesh if self.shard_corpus else None
-        if quantize_corpus:
+        if ann == "ivf":
+            nlist = ann_nlist or max(1, int(np.sqrt(len(store))))
+            index = build_ivf_index(
+                store.image, store.text, nlist,
+                capacity_factor=ann_capacity_factor, dtype=corpus_dtype,
+            )
+            if not 1 <= ann_nprobe <= index.nlist:
+                raise ValueError(f"ann_nprobe {ann_nprobe} out of range [1, {index.nlist}]")
+            self._ivf_arrays = (
+                index.centroids_img, index.centroids_txt,
+                index.packed_img, index.packed_txt, index.packed_rows,
+            )
+            self.ann_spill_fraction = index.spill_fraction
+            # exact-path corpus arrays are not used in ann mode
+            self.corpus_img = self.corpus_txt = None
+            self.corpus_img_scale = self.corpus_txt_scale = None
+        elif quantize_corpus:
             # int8 per-row packing, quantized ON HOST so the full f32 corpus
             # never stages in device HBM (a corpus sized to fit as int8
             # would OOM in f32) — only int8 buffers + scales upload, row-
@@ -118,6 +150,16 @@ class CLIPRetrieval:
         # scales ride as ARGUMENTS (never close over arrays in jit on the
         # relay: constants serialize into the remote-compile request)
         def _search_program(params, ids, cimg, ctxt, cimg_s, ctxt_s, *, k: int, alpha: float):
+            if self.ann == "ivf":
+                # cimg carries the packed index pytree (passed as an
+                # argument — index arrays must never be jit constants on
+                # the relay)
+                ci, ct, pi, pt, pr = cimg
+                q = _encode_fn(params, ids)
+                return ivf_search(
+                    q, IVFIndex(ci, ct, pi, pt, pr, 0.0),
+                    k=k, nprobe=self.ann_nprobe, alpha=alpha,
+                )
             if self.quantize_corpus:
                 q = _encode_fn(params, ids).astype(model.dtype)
                 if self.shard_corpus:
@@ -160,8 +202,9 @@ class CLIPRetrieval:
         """
         k = min(top_k or self.top_k, len(self.store))
         ids = self._tokenize(queries)
+        cimg = self._ivf_arrays if self.ann == "ivf" else self.corpus_img
         return self._search_program(
-            self._enc_params, jnp.asarray(ids), self.corpus_img, self.corpus_txt,
+            self._enc_params, jnp.asarray(ids), cimg, self.corpus_txt,
             self.corpus_img_scale, self.corpus_txt_scale,
             k=k, alpha=float(alpha),
         )
@@ -201,6 +244,8 @@ class CLIPRetrieval:
         for row_vals, row_idx in zip(vals, idx):
             out = []
             for v, i in zip(row_vals.tolist(), row_idx.tolist()):
+                if i < 0:  # ann sentinel: fewer than k probed candidates
+                    continue
                 uuid = uuids[i]
                 if uuid.startswith("__pad_"):
                     continue

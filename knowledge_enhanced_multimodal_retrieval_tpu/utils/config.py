@@ -292,6 +292,11 @@ class EvalConfig:
     # shard the serving corpus over the mesh data axis (capacity scales
     # linearly with device count; composes with quantize_corpus)
     shard_corpus: bool = False
+    # ANN mode for serving: "" = exact brute force (default), "ivf" =
+    # cluster probing (retrieval/ann.py — sublinear HBM traffic per query)
+    ann: str = ""
+    ann_nlist: int = 0  # 0 = sqrt(corpus size)
+    ann_nprobe: int = 8
 
 
 def resolve_encoder(encoder: str):
