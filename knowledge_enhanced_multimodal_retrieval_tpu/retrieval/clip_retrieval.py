@@ -11,6 +11,8 @@ than one chip.
 
 from __future__ import annotations
 
+import threading
+from dataclasses import dataclass
 from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
 
 import jax
@@ -35,6 +37,27 @@ from .ann import IVFIndex, build_ivf_index, ivf_search
 from .embedding_store import EmbeddingStore
 
 
+@dataclass(frozen=True)
+class _CorpusState:
+    """Everything search reads that depends on the corpus, as ONE object.
+
+    The search path loads ``self._corpus`` exactly once per call, so a
+    concurrent :meth:`CLIPRetrieval.set_store` (corpus update while serving)
+    is an atomic reference swap — no request ever sees a half-updated mix of
+    arrays, scales, and uuids.
+    """
+
+    store: EmbeddingStore  # capacity-padded; row-aligned with the device arrays
+    n_real: int  # rows before padding
+    corpus_img: object  # device array (bf16/f32 or int8) — None in ann mode
+    corpus_txt: object
+    corpus_img_scale: object  # int8 per-row scales, else None
+    corpus_txt_scale: object
+    ivf_arrays: object  # packed IVF pytree in ann mode, else None
+    ann_spill_fraction: float
+    top_k: int  # ctor-requested k clamped to the real row count
+
+
 class CLIPRetrieval:
     """Query-text retrieval over a precomputed :class:`EmbeddingStore`."""
 
@@ -56,12 +79,19 @@ class CLIPRetrieval:
         ann_nlist: Optional[int] = None,
         ann_nprobe: int = 8,
         ann_capacity_factor: float = 1.5,
+        capacity_multiple: int = 1,
     ):
         self.model = model
         self.params = params
         self.tokenizer = tokenizer
-        self.top_k = min(top_k, len(store))
+        self._requested_top_k = top_k
         self.rt = rt
+        # Device-array rows round up to this multiple, so corpus updates
+        # (add_documents/remove_documents) within the same capacity bucket
+        # reuse the compiled search program — on a jit backend a new corpus
+        # shape means a full recompile (minutes on the relay). 1 = exact
+        # current-size arrays (no slack).
+        self.capacity_multiple = max(1, int(capacity_multiple))
         self.shard_corpus = shard_corpus and rt is not None
         # None = auto: the fused Pallas path on TPU (it IS the product path),
         # the XLA path elsewhere
@@ -103,37 +133,11 @@ class CLIPRetrieval:
             raise ValueError("ann='ivf' does not compose with shard_corpus/quantize_corpus yet")
         self.ann = ann
         self.ann_nprobe = ann_nprobe
-
-        if self.shard_corpus:
-            store = store.padded(rt.num_data)
-        self.store = store
-        mesh = rt.mesh if self.shard_corpus else None
-        if ann == "ivf":
-            nlist = ann_nlist or max(1, int(np.sqrt(len(store))))
-            index = build_ivf_index(
-                store.image, store.text, nlist,
-                capacity_factor=ann_capacity_factor, dtype=corpus_dtype,
-            )
-            if not 1 <= ann_nprobe <= index.nlist:
-                raise ValueError(f"ann_nprobe {ann_nprobe} out of range [1, {index.nlist}]")
-            self._ivf_arrays = (
-                index.centroids_img, index.centroids_txt,
-                index.packed_img, index.packed_txt, index.packed_rows,
-            )
-            self.ann_spill_fraction = index.spill_fraction
-            # exact-path corpus arrays are not used in ann mode
-            self.corpus_img = self.corpus_txt = None
-            self.corpus_img_scale = self.corpus_txt_scale = None
-        elif quantize_corpus:
-            # int8 per-row packing, quantized ON HOST so the full f32 corpus
-            # never stages in device HBM (a corpus sized to fit as int8
-            # would OOM in f32) — only int8 buffers + scales upload, row-
-            # sharded over the mesh when the corpus is sharded
-            self.corpus_img, self.corpus_img_scale = quantize_corpus_host(store.image, mesh)
-            self.corpus_txt, self.corpus_txt_scale = quantize_corpus_host(store.text, mesh)
-        else:
-            self.corpus_img, self.corpus_txt = store.device_arrays(corpus_dtype, mesh)
-            self.corpus_img_scale = self.corpus_txt_scale = None
+        self._ann_nlist = ann_nlist
+        self._ann_capacity_factor = ann_capacity_factor
+        self.corpus_dtype = corpus_dtype
+        self._update_lock = threading.Lock()
+        self._install_corpus(store)
 
         def _encode_fn(p, ids):
             if self.use_fused_encoder:
@@ -181,6 +185,128 @@ class CLIPRetrieval:
 
         self._search_program = jax.jit(_search_program, static_argnames=("k", "alpha"))
 
+    # -- corpus state ----------------------------------------------------------
+
+    def _install_corpus(self, store: EmbeddingStore) -> None:
+        """Build all corpus-derived device state and swap it in atomically."""
+        if len(store) == 0:
+            raise ValueError("empty corpus")
+        n_real = len(store)
+        mesh = self.rt.mesh if self.shard_corpus else None
+        if self.ann == "ivf":
+            nlist = self._ann_nlist or max(1, int(np.sqrt(n_real)))
+            index = build_ivf_index(
+                store.image, store.text, nlist,
+                capacity_factor=self._ann_capacity_factor, dtype=self.corpus_dtype,
+            )
+            if not 1 <= self.ann_nprobe <= index.nlist:
+                raise ValueError(f"ann_nprobe {self.ann_nprobe} out of range [1, {index.nlist}]")
+            state = _CorpusState(
+                store=store, n_real=n_real,
+                corpus_img=None, corpus_txt=None,
+                corpus_img_scale=None, corpus_txt_scale=None,
+                ivf_arrays=(
+                    index.centroids_img, index.centroids_txt,
+                    index.packed_img, index.packed_txt, index.packed_rows,
+                ),
+                ann_spill_fraction=index.spill_fraction,
+                top_k=min(self._requested_top_k, n_real),
+            )
+        else:
+            # pad device rows to the capacity bucket (pad rows are zero
+            # vectors: score exactly 0, filtered from results by sentinel
+            # uuid) so same-bucket updates reuse the compiled program; the
+            # sharded path additionally needs a row multiple of the mesh
+            padded = store.padded(self.capacity_multiple * (self.rt.num_data if self.shard_corpus else 1))
+            if self.quantize_corpus:
+                # int8 per-row packing, quantized ON HOST so the full f32
+                # corpus never stages in device HBM (a corpus sized to fit
+                # as int8 would OOM in f32) — only int8 buffers + scales
+                # upload, row-sharded over the mesh when corpus is sharded
+                cimg, cimg_s = quantize_corpus_host(padded.image, mesh)
+                ctxt, ctxt_s = quantize_corpus_host(padded.text, mesh)
+            else:
+                cimg, ctxt = padded.device_arrays(self.corpus_dtype, mesh)
+                cimg_s = ctxt_s = None
+            state = _CorpusState(
+                store=padded, n_real=n_real,
+                corpus_img=cimg, corpus_txt=ctxt,
+                corpus_img_scale=cimg_s, corpus_txt_scale=ctxt_s,
+                ivf_arrays=None, ann_spill_fraction=0.0,
+                top_k=min(self._requested_top_k, n_real),
+            )
+        self._corpus = state  # atomic reference swap — see _CorpusState
+
+    # corpus-derived views (all read the one _CorpusState reference)
+    @property
+    def store(self) -> EmbeddingStore:
+        return self._corpus.store
+
+    @property
+    def top_k(self) -> int:
+        return self._corpus.top_k
+
+    @property
+    def corpus_img(self):
+        return self._corpus.corpus_img
+
+    @property
+    def corpus_txt(self):
+        return self._corpus.corpus_txt
+
+    @property
+    def corpus_img_scale(self):
+        return self._corpus.corpus_img_scale
+
+    @property
+    def corpus_txt_scale(self):
+        return self._corpus.corpus_txt_scale
+
+    @property
+    def ann_spill_fraction(self) -> float:
+        return self._corpus.ann_spill_fraction
+
+    @property
+    def _ivf_arrays(self):
+        return self._corpus.ivf_arrays
+
+    # -- incremental corpus updates ---------------------------------------------
+    # The reference's corpus is frozen at precompute time; these let a live
+    # deployment ingest/retire artifacts. Concurrent searches keep serving
+    # the OLD corpus until the new state swaps in (single reference write);
+    # updates themselves serialize on a lock. Within one capacity bucket
+    # (``capacity_multiple``) the device-array shapes are unchanged, so the
+    # compiled search program is reused; crossing a bucket (or any update in
+    # ann mode, which re-clusters) triggers one recompile at next search.
+
+    def set_store(self, store: EmbeddingStore) -> None:
+        """Replace the corpus wholesale (rebuilds device state, then swaps)."""
+        with self._update_lock:
+            self._install_corpus(store)
+
+    def add_documents(
+        self, image: np.ndarray, text: np.ndarray, uuids: Sequence[str]
+    ) -> None:
+        """Append documents (L2-normalized [n, D] tower embeddings + uuids)."""
+        with self._update_lock:
+            self._install_corpus(self._corpus_real_store().with_added(image, text, uuids))
+
+    def remove_documents(self, uuids: Sequence[str]) -> None:
+        """Retire documents by uuid (unknown uuids raise KeyError)."""
+        with self._update_lock:
+            self._install_corpus(self._corpus_real_store().with_removed(uuids))
+
+    def _corpus_real_store(self) -> EmbeddingStore:
+        """The corpus without capacity-pad sentinel rows."""
+        c = self._corpus
+        if len(c.store) == c.n_real:
+            return c.store
+        return EmbeddingStore(
+            image=c.store.image[: c.n_real],
+            text=c.store.text[: c.n_real],
+            uuids=c.store.uuids[: c.n_real],
+        )
+
     # -- core ----------------------------------------------------------------
 
     def encode_queries(self, queries: Sequence[str]) -> jax.Array:
@@ -200,13 +326,23 @@ class CLIPRetrieval:
         The returned arrays are device futures (async dispatch); convert
         with ``np.asarray`` to synchronize.
         """
-        k = min(top_k or self.top_k, len(self.store))
+        return self._search_state(self._corpus, queries, alpha, top_k)
+
+    def _search_state(
+        self, c: _CorpusState, queries: Sequence[str], alpha: float, top_k: Optional[int]
+    ):
+        k = min(top_k or c.top_k, c.n_real)
+        # Pad rows score exactly 0 (zero vectors), which would displace
+        # negative-scoring real matches from the top-k; over-fetch by the pad
+        # count so after sentinel filtering k REAL winners always survive.
+        n_pads = len(c.store) - c.n_real
+        k_fetch = min(k + n_pads, len(c.store))
         ids = self._tokenize(queries)
-        cimg = self._ivf_arrays if self.ann == "ivf" else self.corpus_img
+        cimg = c.ivf_arrays if self.ann == "ivf" else c.corpus_img
         return self._search_program(
-            self._enc_params, jnp.asarray(ids), cimg, self.corpus_txt,
-            self.corpus_img_scale, self.corpus_txt_scale,
-            k=k, alpha=float(alpha),
+            self._enc_params, jnp.asarray(ids), cimg, c.corpus_txt,
+            c.corpus_img_scale, c.corpus_txt_scale,
+            k=k_fetch, alpha=float(alpha),
         )
 
     def search_batches_pipelined(
@@ -237,9 +373,22 @@ class CLIPRetrieval:
 
     # -- reference-parity API --------------------------------------------------
 
-    def results_from_topk(self, vals: np.ndarray, idx: np.ndarray) -> List[List[Dict]]:
-        """[Q, k] winners -> per-query ``[{"uuid", "score"}]`` lists."""
-        uuids = self.store.uuids
+    def results_from_topk(
+        self,
+        vals: np.ndarray,
+        idx: np.ndarray,
+        _state: Optional[_CorpusState] = None,
+        top_k: Optional[int] = None,
+    ) -> List[List[Dict]]:
+        """[Q, k] winners -> per-query ``[{"uuid", "score"}]`` lists.
+
+        Maps row indices through the current corpus; callers that interleave
+        searches with :meth:`add_documents`/:meth:`remove_documents` should
+        prefer :meth:`retrieval_batch`, which maps through the same corpus
+        snapshot the search ran on. ``top_k`` truncates each filtered list
+        (search over-fetches when the corpus carries pad rows).
+        """
+        uuids = (_state or self._corpus).store.uuids
         results: List[List[Dict]] = []
         for row_vals, row_idx in zip(vals, idx):
             out = []
@@ -250,6 +399,8 @@ class CLIPRetrieval:
                 if uuid.startswith("__pad_"):
                     continue
                 out.append({"uuid": uuid, "score": v})
+                if top_k is not None and len(out) >= top_k:
+                    break
             results.append(out)
         return results
 
@@ -261,8 +412,12 @@ class CLIPRetrieval:
         The whole batch rides a single device program (encode + fused
         blend + top-k); only the [Q, k] winners come back to the host.
         """
-        vals, idx = self.search_batch(queries, alpha=alpha, top_k=top_k)
-        return self.results_from_topk(np.asarray(vals, np.float32), np.asarray(idx))
+        c = self._corpus  # one snapshot: search and uuid mapping stay aligned
+        k = min(top_k or c.top_k, c.n_real)
+        vals, idx = self._search_state(c, queries, alpha, top_k)
+        return self.results_from_topk(
+            np.asarray(vals, np.float32), np.asarray(idx), _state=c, top_k=k
+        )
 
     def retrieval(self, query: str, alpha: float = 0.5, top_k: Optional[int] = None) -> List[Dict]:
         """Single-query search -> ``[{"uuid", "score"}]`` sorted descending

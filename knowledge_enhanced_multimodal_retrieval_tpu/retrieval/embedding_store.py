@@ -12,7 +12,7 @@ corpora beyond one chip.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -78,6 +78,54 @@ class EmbeddingStore:
             img = jax.device_put(img, sharding)
             txt = jax.device_put(txt, sharding)
         return img, txt
+
+    # -- incremental updates ---------------------------------------------------
+    # The reference's corpus is frozen at precompute time (its retriever
+    # artifact reads a static ``data/embeddings`` dir); a serving deployment
+    # needs to ingest/retire artifacts without a rebuild. Stores are treated
+    # immutably (JAX style): updates return a NEW store, so a concurrently
+    # serving retriever can keep reading the old one until it swaps.
+
+    def with_added(
+        self, image: np.ndarray, text: np.ndarray, uuids: Sequence[str]
+    ) -> "EmbeddingStore":
+        """New store with rows appended. ``uuids`` must be fresh; rows are
+        re-L2-normalized defensively (a no-op for already-normalized input)."""
+        image = np.atleast_2d(np.asarray(image, np.float32))
+        text = np.atleast_2d(np.asarray(text, np.float32))
+        uuids = [str(u) for u in uuids]
+        if image.shape != (len(uuids), self.dim) or text.shape != (len(uuids), self.dim):
+            raise ValueError(
+                f"expected image/text of shape ({len(uuids)}, {self.dim}); "
+                f"got {image.shape} / {text.shape}"
+            )
+        dup = (set(uuids) & set(self.uuids)) | {u for u in uuids if uuids.count(u) > 1}
+        if dup:
+            raise ValueError(f"duplicate uuids: {sorted(dup)[:5]}")
+
+        def norm(x):
+            n = np.linalg.norm(x, axis=1, keepdims=True)
+            if not np.all(n > 0):
+                raise ValueError("zero-norm embedding row")
+            return x / n
+
+        return EmbeddingStore(
+            image=np.concatenate([self.image, norm(image)]),
+            text=np.concatenate([self.text, norm(text)]),
+            uuids=self.uuids + uuids,
+        )
+
+    def with_removed(self, uuids: Sequence[str]) -> "EmbeddingStore":
+        """New store without the given rows; unknown uuids raise."""
+        drop = {str(u) for u in uuids}
+        missing = drop - set(self.uuids)
+        if missing:
+            raise KeyError(f"unknown uuids: {sorted(missing)[:5]}")
+        keep = [i for i, u in enumerate(self.uuids) if u not in drop]
+        return EmbeddingStore(
+            image=self.image[keep], text=self.text[keep],
+            uuids=[self.uuids[i] for i in keep],
+        )
 
     def padded(self, multiple: int) -> "EmbeddingStore":
         """Zero-pad rows to a multiple (padded rows score ~0 and carry a
