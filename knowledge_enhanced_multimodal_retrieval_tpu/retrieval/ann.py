@@ -98,14 +98,22 @@ def _pack_with_spill(pref: np.ndarray, nlist: int, cap: int) -> np.ndarray:
 
 @dataclasses.dataclass
 class IVFIndex:
-    """Packed two-tower IVF index (all arrays device-resident)."""
+    """Packed two-tower IVF index (all arrays device-resident).
+
+    With ``packed_*_scale`` set, ``packed_img``/``packed_txt`` hold symmetric
+    per-row int8 (same rounding as ``ops.similarity.quantize_corpus``) and
+    the probe dequantizes by applying the gathered per-row scales to the
+    score columns — the index HBM footprint (and probe traffic) halves.
+    """
 
     centroids_img: jax.Array  # [nlist, D] f32
     centroids_txt: jax.Array  # [nlist, D] f32
-    packed_img: jax.Array  # [nlist, cap, D]
+    packed_img: jax.Array  # [nlist, cap, D] (f32/bf16, or int8 when quantized)
     packed_txt: jax.Array  # [nlist, cap, D]
     packed_rows: jax.Array  # [nlist, cap] int32, -1 = empty slot
     spill_fraction: float  # diagnostic: rows not in their best cluster
+    packed_img_scale: Optional[jax.Array] = None  # [nlist, cap] f32 per-row scales
+    packed_txt_scale: Optional[jax.Array] = None
 
     @property
     def nlist(self) -> int:
@@ -114,6 +122,10 @@ class IVFIndex:
     @property
     def cap(self) -> int:
         return self.packed_rows.shape[1]
+
+    @property
+    def quantized(self) -> bool:
+        return self.packed_img_scale is not None
 
 
 def build_ivf_index(
@@ -125,6 +137,10 @@ def build_ivf_index(
     iters: int = 10,
     seed: int = 0,
     dtype=jnp.float32,
+    quantize: Optional[str] = None,
+    train_rows: Optional[int] = None,
+    mesh=None,
+    shard_axis: str = "data",
 ) -> IVFIndex:
     """Cluster the corpus and pack it cluster-major.
 
@@ -133,17 +149,34 @@ def build_ivf_index(
     ``[img ; txt]`` rows so the index is valid for every blend ``α``;
     ``capacity_factor`` sizes each cluster at ``factor · N / nlist`` slots
     (sublane-rounded) — larger means fewer spills, more padding FLOPs.
+
+    ``quantize="int8"`` packs symmetric per-row int8 + scales (half the
+    index memory/probe traffic; same rounding as the exact int8 corpus).
+    ``train_rows`` subsamples k-means training (assignment still covers
+    every row) — standard practice when the full corpus is too big to
+    stage on one device in f32. ``mesh`` shards the index over the
+    ``shard_axis`` cluster dimension (``nlist`` must divide by the axis
+    size); pair with :func:`sharded_ivf_search`.
     """
     n, d = image.shape
     if text.shape != image.shape:
         raise ValueError(f"tower shape mismatch: {image.shape} vs {text.shape}")
-    xc = jnp.concatenate(
-        [jnp.asarray(image, jnp.float32), jnp.asarray(text, jnp.float32)], axis=1
-    )
-    cent = kmeans_spherical(xc, nlist, iters=iters, seed=seed)
+    if quantize not in (None, "int8"):
+        raise ValueError(f"unknown quantize mode {quantize!r}")
+    if mesh is not None and nlist % mesh.shape[shard_axis] != 0:
+        raise ValueError(
+            f"nlist {nlist} must divide by mesh axis {shard_axis!r}={mesh.shape[shard_axis]}"
+        )
+    img_np, txt_np = np.asarray(image, np.float32), np.asarray(text, np.float32)
+    xc_np = np.concatenate([img_np, txt_np], axis=1)
+    if train_rows is not None and train_rows < n:
+        train = xc_np[np.random.default_rng(seed).choice(n, train_rows, replace=False)]
+    else:
+        train = xc_np
+    cent = kmeans_spherical(jnp.asarray(train), nlist, iters=iters, seed=seed)
 
     # host-side packing: per-row cluster preference (best-first), greedy spill
-    scores = np.asarray(xc @ cent.T)  # [N, nlist]
+    scores = xc_np @ np.asarray(cent).T  # [N, nlist]
     pref = np.argsort(-scores, axis=1)
     cap = int(np.ceil(capacity_factor * n / nlist))
     cap = max(_SUBLANE, -(-cap // _SUBLANE) * _SUBLANE)
@@ -158,20 +191,53 @@ def build_ivf_index(
     spill_fraction = float(np.mean(row_cluster != best)) if n else 0.0
 
     gather = np.where(packed_rows >= 0, packed_rows, 0)
-    img_np, txt_np = np.asarray(image, np.float32), np.asarray(text, np.float32)
     zero_mask = (packed_rows < 0)[..., None]
-    packed_img = np.where(zero_mask, 0.0, img_np[gather])
-    packed_txt = np.where(zero_mask, 0.0, txt_np[gather])
+    img_scale = txt_scale = None
+    if quantize == "int8":
+        # identical rounding to ops.similarity.quantize_corpus_host, so the
+        # int8 representation matches the exact int8 corpus bit for bit
+        def q8(x):
+            scale = np.maximum(np.max(np.abs(x), axis=1, keepdims=True) / 127.0, 1e-12)
+            return np.round(x / scale).astype(np.int8), scale[:, 0].astype(np.float32)
 
+        img_q, img_s = q8(img_np)
+        txt_q, txt_s = q8(txt_np)
+        packed_img = np.where(zero_mask, np.int8(0), img_q[gather])
+        packed_txt = np.where(zero_mask, np.int8(0), txt_q[gather])
+        img_scale = np.where(packed_rows < 0, 0.0, img_s[gather]).astype(np.float32)
+        txt_scale = np.where(packed_rows < 0, 0.0, txt_s[gather]).astype(np.float32)
+        pack_dtype = jnp.int8
+    else:
+        packed_img = np.where(zero_mask, 0.0, img_np[gather])
+        packed_txt = np.where(zero_mask, 0.0, txt_np[gather])
+        pack_dtype = dtype
+
+    cent = np.asarray(cent)
     half = cent[:, :d], cent[:, d:]
+    put = _cluster_put(mesh, shard_axis)
     return IVFIndex(
-        centroids_img=jnp.asarray(half[0]),
-        centroids_txt=jnp.asarray(half[1]),
-        packed_img=jnp.asarray(packed_img, dtype),
-        packed_txt=jnp.asarray(packed_txt, dtype),
-        packed_rows=jnp.asarray(packed_rows),
+        centroids_img=put(jnp.asarray(half[0])),
+        centroids_txt=put(jnp.asarray(half[1])),
+        packed_img=put(jnp.asarray(packed_img, pack_dtype)),
+        packed_txt=put(jnp.asarray(packed_txt, pack_dtype)),
+        packed_rows=put(jnp.asarray(packed_rows)),
         spill_fraction=spill_fraction,
+        packed_img_scale=None if img_scale is None else put(jnp.asarray(img_scale)),
+        packed_txt_scale=None if txt_scale is None else put(jnp.asarray(txt_scale)),
     )
+
+
+def _cluster_put(mesh, axis: str):
+    """device_put sharded on the leading (cluster) dim, or identity."""
+    if mesh is None:
+        return lambda x: x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(x):
+        spec = P(axis, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return put
 
 
 def ivf_search(
@@ -193,7 +259,8 @@ def ivf_search(
     nlist = index.nlist
     if not 1 <= nprobe <= nlist:
         raise ValueError(f"nprobe {nprobe} out of range [1, {nlist}]")
-    q = queries.astype(index.packed_img.dtype)
+    compute_dtype = queries.dtype if index.quantized else index.packed_img.dtype
+    q = queries.astype(compute_dtype)
     cs = alpha * (q @ index.centroids_img.T.astype(q.dtype)) + (1.0 - alpha) * (
         q @ index.centroids_txt.T.astype(q.dtype)
     )
@@ -202,9 +269,19 @@ def ivf_search(
     pi = jnp.take(index.packed_img, probe, axis=0)  # [B, nprobe, cap, D]
     pt = jnp.take(index.packed_txt, probe, axis=0)
     rows = jnp.take(index.packed_rows, probe, axis=0)  # [B, nprobe, cap]
-    s = alpha * jnp.einsum("bd,bpcd->bpc", q, pi) + (1.0 - alpha) * jnp.einsum(
-        "bd,bpcd->bpc", q, pt
-    )
+    if index.quantized:
+        # int8 tiles: the int8->f dtype cast is exact; per-row scales fold
+        # into the score columns post-matmul (same math as the exact int8
+        # corpus path in ops.similarity.blended_scores_q8)
+        si = jnp.take(index.packed_img_scale, probe, axis=0)  # [B, nprobe, cap]
+        st = jnp.take(index.packed_txt_scale, probe, axis=0)
+        s_img = jnp.einsum("bd,bpcd->bpc", q, pi.astype(q.dtype)).astype(jnp.float32) * si
+        s_txt = jnp.einsum("bd,bpcd->bpc", q, pt.astype(q.dtype)).astype(jnp.float32) * st
+        s = alpha * s_img + (1.0 - alpha) * s_txt
+    else:
+        s = alpha * jnp.einsum("bd,bpcd->bpc", q, pi) + (1.0 - alpha) * jnp.einsum(
+            "bd,bpcd->bpc", q, pt
+        )
     s = jnp.where(rows >= 0, s.astype(jnp.float32), -jnp.inf)
     b = queries.shape[0]
     flat_s = s.reshape(b, -1)
@@ -217,6 +294,79 @@ def ivf_search(
         vals = jnp.pad(vals, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
         ids = jnp.pad(ids, ((0, 0), (0, k - kk)), constant_values=-1)
     return vals, ids
+
+
+def sharded_ivf_search(
+    queries: jax.Array,
+    index: IVFIndex,
+    *,
+    k: int,
+    nprobe: int,
+    mesh,
+    alpha: float = 0.5,
+    axis: str = "data",
+) -> Tuple[jax.Array, jax.Array]:
+    """IVF probe over an index cluster-sharded on ``axis`` of ``mesh``.
+
+    TPU-native scaling shape (mirrors ``sharded_similarity_topk``): each
+    device keeps ``nlist/n`` clusters resident, probes its local best
+    ``ceil(nprobe/n)`` of them (queries replicated, probe entirely local),
+    and only the ``[Q, k]`` winners cross ICI for the final merge — probe
+    traffic stays on-device and perfectly load-balanced (no straggler from
+    a hot shard). The probe set is therefore the best-per-shard rather than
+    the global top-``nprobe`` — a balanced approximation; ``nprobe ==
+    nlist`` still probes EVERY cluster and degrades to exact brute force
+    (pinned in ``tests/test_ann.py``). ``packed_rows`` hold global row ids,
+    so no index localization is needed at merge.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_shards = mesh.shape[axis]
+    nlist_local = index.nlist // n_shards
+    nprobe_local = min(-(-nprobe // n_shards), nlist_local)
+    k_local = min(k, nlist_local * index.cap)
+    spec3 = P(axis, None, None)
+    spec2 = P(axis, None)
+    has_scales = index.quantized
+
+    def local(q, ci, ct, pi, pt, pr, si, st):
+        li = IVFIndex(
+            centroids_img=ci, centroids_txt=ct, packed_img=pi, packed_txt=pt,
+            packed_rows=pr, spill_fraction=0.0,
+            # without scales, si/st ride as scalar-zero placeholders
+            packed_img_scale=si if has_scales else None,
+            packed_txt_scale=st if has_scales else None,
+        )
+        vals, ids = ivf_search(q, li, k=k_local, nprobe=nprobe_local, alpha=alpha)
+        all_vals = jax.lax.all_gather(vals, axis)  # [n_shards, Q, k_local]
+        all_ids = jax.lax.all_gather(ids, axis)
+        b = q.shape[0]
+        flat_v = jnp.transpose(all_vals, (1, 0, 2)).reshape(b, -1)
+        flat_i = jnp.transpose(all_ids, (1, 0, 2)).reshape(b, -1)
+        kk = min(k, flat_v.shape[1])
+        best_v, pos = jax.lax.top_k(flat_v, kk)
+        best_i = jnp.take_along_axis(flat_i, pos, axis=1)
+        best_i = jnp.where(jnp.isfinite(best_v), best_i, -1)
+        if kk < k:
+            best_v = jnp.pad(best_v, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
+            best_i = jnp.pad(best_i, ((0, 0), (0, k - kk)), constant_values=-1)
+        return best_v, best_i
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), spec2, spec2, spec3, spec3, spec2,
+                  spec2 if has_scales else P(), spec2 if has_scales else P()),
+        out_specs=(P(), P()),
+        check_vma=False,  # replicated after all_gather+top_k; see sharded_similarity_topk
+    )
+    si = index.packed_img_scale if has_scales else jnp.zeros((), jnp.float32)
+    st = index.packed_txt_scale if has_scales else jnp.zeros((), jnp.float32)
+    return jax.jit(fn)(
+        queries, index.centroids_img, index.centroids_txt,
+        index.packed_img, index.packed_txt, index.packed_rows, si, st,
+    )
 
 
 def probed_fraction(index: IVFIndex, nprobe: int, n_rows: Optional[int] = None) -> float:

@@ -33,7 +33,7 @@ from ..ops.similarity import (
     similarity_topk_xla_q8,
 )
 from ..parallel.mesh import MeshRuntime
-from .ann import IVFIndex, build_ivf_index, ivf_search
+from .ann import IVFIndex, build_ivf_index, ivf_search, sharded_ivf_search
 from .embedding_store import EmbeddingStore
 
 
@@ -129,8 +129,6 @@ class CLIPRetrieval:
         # latency). Exact paths stay the default.
         if ann not in (None, "ivf"):
             raise ValueError(f"unknown ann mode {ann!r} (expected None or 'ivf')")
-        if ann and (self.shard_corpus or quantize_corpus):
-            raise ValueError("ann='ivf' does not compose with shard_corpus/quantize_corpus yet")
         self.ann = ann
         self.ann_nprobe = ann_nprobe
         self._ann_nlist = ann_nlist
@@ -157,13 +155,16 @@ class CLIPRetrieval:
             if self.ann == "ivf":
                 # cimg carries the packed index pytree (passed as an
                 # argument — index arrays must never be jit constants on
-                # the relay)
-                ci, ct, pi, pt, pr = cimg
+                # the relay); scales are None unless quantize_corpus
+                ci, ct, pi, pt, pr, si, st = cimg
                 q = _encode_fn(params, ids)
-                return ivf_search(
-                    q, IVFIndex(ci, ct, pi, pt, pr, 0.0),
-                    k=k, nprobe=self.ann_nprobe, alpha=alpha,
-                )
+                index = IVFIndex(ci, ct, pi, pt, pr, 0.0, si, st)
+                if self.shard_corpus:
+                    return sharded_ivf_search(
+                        q, index, k=k, nprobe=self.ann_nprobe,
+                        mesh=self.rt.mesh, alpha=alpha,
+                    )
+                return ivf_search(q, index, k=k, nprobe=self.ann_nprobe, alpha=alpha)
             if self.quantize_corpus:
                 q = _encode_fn(params, ids).astype(model.dtype)
                 if self.shard_corpus:
@@ -195,9 +196,20 @@ class CLIPRetrieval:
         mesh = self.rt.mesh if self.shard_corpus else None
         if self.ann == "ivf":
             nlist = self._ann_nlist or max(1, int(np.sqrt(n_real)))
+            if self.shard_corpus:
+                # clusters shard over the mesh: nlist snaps to the nearest
+                # workable multiple of the axis size (<= corpus rows)
+                n_shards = self.rt.num_data
+                nlist = min(-(-nlist // n_shards) * n_shards, (n_real // n_shards) * n_shards)
+                if nlist < n_shards:
+                    raise ValueError(
+                        f"corpus of {n_real} rows cannot shard {n_shards} ways in ann mode"
+                    )
             index = build_ivf_index(
                 store.image, store.text, nlist,
                 capacity_factor=self._ann_capacity_factor, dtype=self.corpus_dtype,
+                quantize="int8" if self.quantize_corpus else None,
+                mesh=mesh,
             )
             if not 1 <= self.ann_nprobe <= index.nlist:
                 raise ValueError(f"ann_nprobe {self.ann_nprobe} out of range [1, {index.nlist}]")
@@ -208,6 +220,7 @@ class CLIPRetrieval:
                 ivf_arrays=(
                     index.centroids_img, index.centroids_txt,
                     index.packed_img, index.packed_txt, index.packed_rows,
+                    index.packed_img_scale, index.packed_txt_scale,
                 ),
                 ann_spill_fraction=index.spill_fraction,
                 top_k=min(self._requested_top_k, n_real),

@@ -12,6 +12,7 @@ from knowledge_enhanced_multimodal_retrieval_tpu.retrieval.ann import (
     ivf_search,
     kmeans_spherical,
     probed_fraction,
+    sharded_ivf_search,
 )
 
 
@@ -140,6 +141,114 @@ def test_validation_errors():
         ivf_search(jnp.asarray(img[:2]), index, k=5, nprobe=9)
 
 
+def _brute_q8(q, img, txt, alpha, k):
+    """Exact scores over the int8-quantized rows (the int8 ANN oracle)."""
+
+    def q8(x):
+        scale = np.maximum(np.max(np.abs(x), axis=1, keepdims=True) / 127.0, 1e-12)
+        return np.round(x / scale).astype(np.int8), scale
+
+    iq, is_ = q8(img)
+    tq, ts = q8(txt)
+    s = alpha * (q @ (iq.astype(np.float32) * is_).T) + (1 - alpha) * (
+        q @ (tq.astype(np.float32) * ts).T
+    )
+    idx = np.argsort(-s, axis=1)[:, :k]
+    return np.take_along_axis(s, idx, axis=1), idx
+
+
+def test_int8_index_full_probe_matches_q8_oracle():
+    rng = np.random.default_rng(8)
+    img, txt = _normed(rng, 256, 24), _normed(rng, 256, 24)
+    q = _normed(rng, 6, 24)
+    index = build_ivf_index(img, txt, nlist=8, seed=1, quantize="int8")
+    assert index.quantized and index.packed_img.dtype == jnp.int8
+    vals, ids = ivf_search(jnp.asarray(q), index, k=10, nprobe=index.nlist, alpha=0.6)
+    bv, bi = _brute_q8(q, img, txt, 0.6, 10)
+    np.testing.assert_allclose(np.asarray(vals), bv, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ids), bi)
+    # and the int8 rankings track the exact f32 brute force closely
+    _, bi_f32 = _brute(q, img, txt, 0.6, 10)
+    overlap = np.mean([
+        len(set(bi[i].tolist()) & set(bi_f32[i].tolist())) / 10 for i in range(len(q))
+    ])
+    assert overlap >= 0.9
+
+
+def test_train_rows_subsample_still_exact_at_full_probe():
+    rng = np.random.default_rng(9)
+    img, txt = _normed(rng, 300, 16), _normed(rng, 300, 16)
+    q = _normed(rng, 4, 16)
+    index = build_ivf_index(img, txt, nlist=8, seed=2, train_rows=64)
+    vals, ids = ivf_search(jnp.asarray(q), index, k=8, nprobe=index.nlist)
+    bv, bi = _brute(q, img, txt, 0.5, 8)
+    np.testing.assert_allclose(np.asarray(vals), bv, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ids), bi)
+
+
+@pytest.mark.parametrize("quantize", [None, "int8"])
+def test_sharded_ivf_full_probe_exact(devices8, quantize):
+    """Cluster-sharded IVF over the 8-device mesh: probing every cluster
+    (nprobe == nlist) equals brute force, winners merge across shards."""
+    from knowledge_enhanced_multimodal_retrieval_tpu.parallel import MeshRuntime
+
+    rt = MeshRuntime.create()
+    rng = np.random.default_rng(10)
+    img, txt = _normed(rng, 320, 16), _normed(rng, 320, 16)
+    q = _normed(rng, 5, 16)
+    index = build_ivf_index(
+        img, txt, nlist=16, seed=3, quantize=quantize, mesh=rt.mesh
+    )
+    assert not index.packed_img.sharding.is_fully_replicated
+    vals, ids = sharded_ivf_search(
+        jnp.asarray(q), index, k=10, nprobe=index.nlist, mesh=rt.mesh, alpha=0.4
+    )
+    if quantize == "int8":
+        bv, bi = _brute_q8(q, img, txt, 0.4, 10)
+    else:
+        bv, bi = _brute(q, img, txt, 0.4, 10)
+    np.testing.assert_allclose(np.asarray(vals), bv, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ids), bi)
+
+
+def test_sharded_ivf_partial_probe_balanced(devices8):
+    """Partial probe: ceil(nprobe/n) clusters per shard, valid sorted
+    results with decent recall on clustered data."""
+    from knowledge_enhanced_multimodal_retrieval_tpu.parallel import MeshRuntime
+
+    rt = MeshRuntime.create()
+    rng = np.random.default_rng(11)
+    img = _clustered(rng, 1600, 32, 24)
+    txt = _clustered(rng, 1600, 32, 24)
+    sel = rng.integers(0, 1600, 12)
+    q = img[sel] + 0.05 * rng.standard_normal((12, 32)).astype(np.float32)
+    q = (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float32)
+    index = build_ivf_index(img, txt, nlist=32, seed=4, mesh=rt.mesh)
+    vals, ids = sharded_ivf_search(
+        jnp.asarray(q), index, k=10, nprobe=16, mesh=rt.mesh, alpha=0.5
+    )
+    vals, ids = np.asarray(vals), np.asarray(ids)
+    assert np.all(np.diff(vals[np.isfinite(vals).all(1)], axis=1) <= 1e-6)
+    _, bi = _brute(q, img, txt, 0.5, 10)
+    hits = np.mean([
+        len(set(ids[i][ids[i] >= 0].tolist()) & set(bi[i].tolist())) / 10
+        for i in range(len(q))
+    ])
+    assert hits >= 0.8, f"sharded recall@10 {hits:.2f}"
+
+
+def test_build_rejects_undivisible_nlist(devices8):
+    from knowledge_enhanced_multimodal_retrieval_tpu.parallel import MeshRuntime
+
+    rt = MeshRuntime.create()
+    rng = np.random.default_rng(12)
+    img = _normed(rng, 64, 8)
+    with pytest.raises(ValueError, match="divide"):
+        build_ivf_index(img, img.copy(), nlist=6, mesh=rt.mesh)
+    with pytest.raises(ValueError, match="quantize"):
+        build_ivf_index(img, img.copy(), nlist=8, quantize="int4")
+
+
 # -- CLIPRetrieval integration -------------------------------------------------
 
 
@@ -210,5 +319,82 @@ def test_clip_retrieval_ivf_validation(devices8):
     store = EmbeddingStore(emb, emb.copy(), [f"uuid-{i}" for i in range(24)])
     with pytest.raises(ValueError, match="unknown ann"):
         CLIPRetrieval(model, params, tok, store, ann="hnsw")
-    with pytest.raises(ValueError, match="compose"):
-        CLIPRetrieval(model, params, tok, store, ann="ivf", quantize_corpus=True)
+
+
+def test_clip_retrieval_ivf_composes_with_int8_and_sharding(devices8):
+    """ann='ivf' x quantize_corpus x shard_corpus: every combination serves,
+    and full-probe rankings match the corresponding exact path."""
+    import jax.numpy as jnp
+
+    from knowledge_enhanced_multimodal_retrieval_tpu.data.datasets import (
+        DataPipeline,
+        make_synthetic_source,
+    )
+    from knowledge_enhanced_multimodal_retrieval_tpu.data.tokenizer import CLIPTokenizer
+    from knowledge_enhanced_multimodal_retrieval_tpu.models import clip as M
+    from knowledge_enhanced_multimodal_retrieval_tpu.parallel import MeshRuntime
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval import (
+        CLIPRetrieval,
+        build_embedding_store,
+    )
+
+    tok = CLIPTokenizer([("c", "a"), ("ca", "t</w>"), ("h", "e"), ("he", "l")])
+    arch = M.CLIPArch(16, 32, 1, 32, 16, 16, tok.vocab_size, 32, 2, 1, vision_heads=2)
+    model = M.CLIP(arch, dtype=jnp.float32)
+    params = M.init_params(model, jax.random.PRNGKey(0))
+    src = make_synthetic_source(48, image_size=32)
+    pipe = DataPipeline(src, tok, image_size=32, context_length=16, num_workers=2)
+    rt = MeshRuntime.create()
+    store = build_embedding_store(model, params, pipe, rt, batch_size=16)
+
+    exact = CLIPRetrieval(model, params, tok, store, top_k=8)
+    want = [r["uuid"] for r in exact.retrieval("hello cat", alpha=0.5)]
+
+    for kw in (
+        dict(quantize_corpus=True),
+        dict(rt=rt, shard_corpus=True),
+        dict(rt=rt, shard_corpus=True, quantize_corpus=True),
+    ):
+        r = CLIPRetrieval(
+            model, params, tok, store, top_k=8,
+            ann="ivf", ann_nlist=8, ann_nprobe=8, **kw,
+        )
+        got = r.retrieval("hello cat", alpha=0.5)
+        # int8 variants quantize the corpus rows: rankings track the exact
+        # path; pure sharding is exact
+        if kw.get("quantize_corpus"):
+            assert len(set(g["uuid"] for g in got) & set(want)) >= 7, kw
+            assert got[0]["uuid"] == want[0], kw
+        else:
+            assert [g["uuid"] for g in got] == want, kw
+
+    # live update composes too: re-clusters the sharded int8 index
+    r.add_documents(
+        np.asarray(exact.encode_queries(["hello cat"]), np.float32),
+        np.asarray(exact.encode_queries(["hello cat"]), np.float32),
+        ["hot-doc"],
+    )
+    assert r.retrieval("hello cat", alpha=0.5)[0]["uuid"] == "hot-doc"
+
+
+def test_clip_retrieval_ivf_shard_too_small(devices8):
+    import jax.numpy as jnp
+
+    from knowledge_enhanced_multimodal_retrieval_tpu.data.tokenizer import CLIPTokenizer
+    from knowledge_enhanced_multimodal_retrieval_tpu.models import clip as M
+    from knowledge_enhanced_multimodal_retrieval_tpu.parallel import MeshRuntime
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval import (
+        CLIPRetrieval,
+        EmbeddingStore,
+    )
+
+    tok = CLIPTokenizer([("c", "a")])
+    arch = M.CLIPArch(16, 32, 1, 32, 16, 16, tok.vocab_size, 32, 2, 1, vision_heads=2)
+    model = M.CLIP(arch, dtype=jnp.float32)
+    params = M.init_params(model, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    emb = _normed(rng, 4, 16)  # fewer rows than mesh devices
+    store = EmbeddingStore(emb, emb.copy(), [f"u{i}" for i in range(4)])
+    rt = MeshRuntime.create()
+    with pytest.raises(ValueError, match="cannot shard"):
+        CLIPRetrieval(model, params, tok, store, ann="ivf", rt=rt, shard_corpus=True)
