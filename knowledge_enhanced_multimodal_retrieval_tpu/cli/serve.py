@@ -50,6 +50,7 @@ def build_engine(cfg, store_path: str) -> RetrievalEngine:
         ann=cfg.eval.ann or None,
         ann_nlist=cfg.eval.ann_nlist or None,
         ann_nprobe=cfg.eval.ann_nprobe,
+        capacity_multiple=cfg.eval.capacity_multiple,
     )
 
     t2s = None
@@ -89,8 +90,14 @@ def main(argv=None) -> None:
             engine.retrieve_text_batch if engine.t2s_retriever
             else engine.retrieve_text_noknowledge_batch
         )
-        server = RetrievalHTTPServer(batch_fn, port=http_port, max_pending=max_pending)
-        logger.info("serving HTTP on %s:%d (/search, /healthz)", *server.address)
+        server = RetrievalHTTPServer(
+            batch_fn, port=http_port, max_pending=max_pending,
+            # live corpus ingest/retire (POST/DELETE /documents); searches
+            # keep serving the old corpus until the update swaps in
+            add_documents_fn=engine.clip_retriever.add_documents,
+            remove_documents_fn=engine.clip_retriever.remove_documents,
+        )
+        logger.info("serving HTTP on %s:%d (/search, /documents, /healthz)", *server.address)
         try:
             server.serve_forever()
         except KeyboardInterrupt:

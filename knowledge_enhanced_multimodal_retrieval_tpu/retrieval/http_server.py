@@ -10,6 +10,11 @@ Endpoints:
 - ``GET /search?q=<query>[&n=<top-n>]`` -> ``{"query", "results"}``
 - ``POST /search`` with JSON body ``{"query": "...", "n": 20}`` or
   ``{"queries": ["...", ...]}``        -> one or many result lists
+- ``POST /documents`` (when update hooks are wired) with
+  ``{"documents": [{"uuid", "image_embedding", "text_embedding"}, ...]}``
+  -> live corpus ingest; ``DELETE /documents`` with ``{"uuids": [...]}``
+  retires rows. Concurrent searches keep serving the old corpus until the
+  update swaps in (``CLIPRetrieval`` corpus state is one atomic reference).
 """
 
 from __future__ import annotations
@@ -19,6 +24,8 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, List, Optional, Sequence
 from urllib.parse import parse_qs, urlparse
+
+import numpy as np
 
 from .server import MicroBatcher, Overloaded
 
@@ -47,6 +54,8 @@ class RetrievalHTTPServer:
         max_wait_ms: float = 2.0,
         default_n: int = 20,
         max_pending: int = 0,
+        add_documents_fn: Optional[Callable] = None,
+        remove_documents_fn: Optional[Callable] = None,
     ):
         self.batcher = MicroBatcher(
             batch_fn, max_batch=max_batch, max_wait_ms=max_wait_ms, max_pending=max_pending
@@ -92,16 +101,82 @@ class RetrievalHTTPServer:
                     return
                 self._send(404, {"error": f"unknown path {url.path}"})
 
+            def _read_json(self):
+                try:
+                    length = int(self.headers.get("Content-Length", "0"))
+                    return json.loads(self.rfile.read(length) or b"{}"), None
+                except Exception as e:
+                    return None, f"bad JSON body: {e}"
+
+            def do_DELETE(self):
+                url = urlparse(self.path)
+                if url.path != "/documents":
+                    self._send(404, {"error": f"unknown path {url.path}"})
+                    return
+                if remove_documents_fn is None:
+                    self._send(501, {"error": "document updates not enabled"})
+                    return
+                payload, err = self._read_json()
+                if err:
+                    self._send(400, {"error": err})
+                    return
+                uuids = payload.get("uuids")
+                if not isinstance(uuids, list) or not uuids:
+                    self._send(400, {"error": "body needs a non-empty 'uuids' list"})
+                    return
+                try:
+                    remove_documents_fn([str(u) for u in uuids])
+                except KeyError as e:
+                    self._send(404, {"error": str(e)})
+                    return
+                except Exception as e:
+                    self._send(502, {"error": str(e)})
+                    return
+                self._send(200, {"removed": len(uuids)})
+
+            def _post_documents(self):
+                if add_documents_fn is None:
+                    self._send(501, {"error": "document updates not enabled"})
+                    return
+                payload, err = self._read_json()
+                if err:
+                    self._send(400, {"error": err})
+                    return
+                docs = payload.get("documents")
+                if not isinstance(docs, list) or not docs:
+                    self._send(400, {"error": "body needs a non-empty 'documents' list"})
+                    return
+                try:
+                    uuids = [str(d["uuid"]) for d in docs]
+                    img = np.asarray([d["image_embedding"] for d in docs], np.float32)
+                    txt = np.asarray([d["text_embedding"] for d in docs], np.float32)
+                except (KeyError, TypeError, ValueError) as e:
+                    self._send(400, {
+                        "error": "each document needs uuid, image_embedding, "
+                        f"text_embedding (equal-length vectors): {e}"
+                    })
+                    return
+                try:
+                    add_documents_fn(img, txt, uuids)
+                except ValueError as e:  # duplicate uuid / bad dims -> caller error
+                    self._send(409, {"error": str(e)})
+                    return
+                except Exception as e:
+                    self._send(502, {"error": str(e)})
+                    return
+                self._send(200, {"added": len(uuids)})
+
             def do_POST(self):
                 url = urlparse(self.path)
+                if url.path == "/documents":
+                    self._post_documents()
+                    return
                 if url.path != "/search":
                     self._send(404, {"error": f"unknown path {url.path}"})
                     return
-                try:
-                    length = int(self.headers.get("Content-Length", "0"))
-                    payload = json.loads(self.rfile.read(length) or b"{}")
-                except Exception as e:
-                    self._send(400, {"error": f"bad JSON body: {e}"})
+                payload, err = self._read_json()
+                if err:
+                    self._send(400, {"error": err})
                     return
                 n, err = _parse_n(payload.get("n", default_n))
                 if err:

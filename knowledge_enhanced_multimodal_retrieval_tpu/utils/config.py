@@ -297,6 +297,10 @@ class EvalConfig:
     ann: str = ""
     ann_nlist: int = 0  # 0 = sqrt(corpus size)
     ann_nprobe: int = 8
+    # round serving-corpus device rows up to this multiple so live corpus
+    # updates within a bucket reuse the compiled search program (1 = exact
+    # current-size arrays)
+    capacity_multiple: int = 1
 
 
 def resolve_encoder(encoder: str):

@@ -201,6 +201,47 @@ def test_pad_rows_never_displace_negative_matches(world):
     assert len(res) == k and min(x["score"] for x in res) < 0
 
 
+def test_http_live_ingest_end_to_end(world):
+    """Ingest through the HTTP daemon, then find the document via /search."""
+    import json
+    from urllib.request import Request, urlopen
+
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval.http_server import (
+        RetrievalHTTPServer,
+    )
+
+    model, params, tok, store, rt = world
+    r = CLIPRetrieval(model, params, tok, store, top_k=5, capacity_multiple=16)
+    q = np.asarray(r.encode_queries(["hello cat"]), np.float32)[0]
+
+    with RetrievalHTTPServer(
+        r.retrieval_batch, port=0, max_wait_ms=5.0,
+        add_documents_fn=r.add_documents, remove_documents_fn=r.remove_documents,
+    ) as srv:
+        base = "http://{}:{}".format(*srv.address)
+        before = json.load(urlopen(f"{base}/search?q=hello%20cat", timeout=30))
+        assert before["results"][0]["uuid"] != "hot-doc"
+        req = Request(
+            f"{base}/documents",
+            data=json.dumps({"documents": [{
+                "uuid": "hot-doc",
+                "image_embedding": q.tolist(),
+                "text_embedding": q.tolist(),
+            }]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        assert json.load(urlopen(req, timeout=30)) == {"added": 1}
+        after = json.load(urlopen(f"{base}/search?q=hello%20cat", timeout=30))
+        assert after["results"][0]["uuid"] == "hot-doc"
+        req = Request(
+            f"{base}/documents", data=json.dumps({"uuids": ["hot-doc"]}).encode(),
+            headers={"Content-Type": "application/json"}, method="DELETE",
+        )
+        assert json.load(urlopen(req, timeout=30)) == {"removed": 1}
+        gone = json.load(urlopen(f"{base}/search?q=hello%20cat", timeout=30))
+        assert gone["results"][0]["uuid"] == before["results"][0]["uuid"]
+
+
 # -- serving during updates --------------------------------------------------------
 
 

@@ -227,6 +227,68 @@ def test_http_bad_n_returns_400():
         assert body["results"] == [{"uuid": "u", "score": 1.0}]
 
 
+def test_http_document_endpoints():
+    """POST/DELETE /documents: update hooks, validation, error mapping."""
+    import json as json_mod
+    from urllib.error import HTTPError
+    from urllib.request import Request, urlopen
+
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval.http_server import RetrievalHTTPServer
+
+    calls = []
+
+    def add_fn(img, txt, uuids):
+        if "dup" in uuids:
+            raise ValueError("duplicate uuids: ['dup']")
+        calls.append(("add", img.shape, txt.shape, list(uuids)))
+
+    def remove_fn(uuids):
+        if "ghost" in uuids:
+            raise KeyError("unknown uuids: ['ghost']")
+        calls.append(("remove", list(uuids)))
+
+    def batch_fn(queries):
+        return [[] for _ in queries]
+
+    def post(base, path, payload, method="POST"):
+        req = Request(
+            f"{base}{path}", data=json_mod.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"}, method=method,
+        )
+        return json_mod.load(urlopen(req, timeout=10))
+
+    with RetrievalHTTPServer(
+        batch_fn, port=0, max_wait_ms=1.0,
+        add_documents_fn=add_fn, remove_documents_fn=remove_fn,
+    ) as srv:
+        base = "http://{}:{}".format(*srv.address)
+        doc = {"uuid": "d1", "image_embedding": [1.0, 0.0], "text_embedding": [0.0, 1.0]}
+        assert post(base, "/documents", {"documents": [doc]}) == {"added": 1}
+        assert post(base, "/documents", {"uuids": ["d1"]}, "DELETE") == {"removed": 1}
+        assert calls == [("add", (1, 2), (1, 2), ["d1"]), ("remove", ["d1"])]
+
+        for payload, code, method in [
+            ({"documents": []}, 400, "POST"),  # empty list
+            ({"documents": [{"uuid": "x"}]}, 400, "POST"),  # missing embeddings
+            ({"documents": [dict(doc, uuid="dup")]}, 409, "POST"),  # duplicate
+            ({"uuids": []}, 400, "DELETE"),
+            ({"uuids": ["ghost"]}, 404, "DELETE"),
+        ]:
+            with pytest.raises(HTTPError) as ei:
+                post(base, "/documents", payload, method)
+            assert ei.value.code == code, (payload, method)
+
+    # without hooks the endpoints answer 501 (search-only deployment)
+    with RetrievalHTTPServer(batch_fn, port=0, max_wait_ms=1.0) as srv:
+        base = "http://{}:{}".format(*srv.address)
+        with pytest.raises(HTTPError) as ei:
+            post(base, "/documents", {"documents": [doc]})
+        assert ei.value.code == 501
+        with pytest.raises(HTTPError) as ei:
+            post(base, "/documents", {"uuids": ["d1"]}, "DELETE")
+        assert ei.value.code == 501
+
+
 def test_http_close_without_start_does_not_deadlock():
     from knowledge_enhanced_multimodal_retrieval_tpu.retrieval.http_server import RetrievalHTTPServer
 
