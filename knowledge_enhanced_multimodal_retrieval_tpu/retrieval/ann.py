@@ -37,6 +37,7 @@ nlist`` of the corpus per query — the win over brute force appears when
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -194,11 +195,13 @@ def build_ivf_index(
     zero_mask = (packed_rows < 0)[..., None]
     img_scale = txt_scale = None
     if quantize == "int8":
-        # identical rounding to ops.similarity.quantize_corpus_host, so the
-        # int8 representation matches the exact int8 corpus bit for bit
+        # the SAME quantizer as the exact int8 corpus path, so the int8
+        # representation matches it bit for bit (pinned in tests/test_ann.py)
+        from ..ops.similarity import quantize_corpus_host
+
         def q8(x):
-            scale = np.maximum(np.max(np.abs(x), axis=1, keepdims=True) / 127.0, 1e-12)
-            return np.round(x / scale).astype(np.int8), scale[:, 0].astype(np.float32)
+            q, s = quantize_corpus_host(x)
+            return np.asarray(q), np.asarray(s, np.float32)[:, 0]
 
         img_q, img_s = q8(img_np)
         txt_q, txt_s = q8(txt_np)
@@ -319,16 +322,31 @@ def sharded_ivf_search(
     (pinned in ``tests/test_ann.py``). ``packed_rows`` hold global row ids,
     so no index localization is needed at merge.
     """
+    fn = _sharded_ivf_program(
+        mesh, axis, k, nprobe, float(alpha), index.quantized, index.nlist, index.cap
+    )
+    si = index.packed_img_scale if index.quantized else jnp.zeros((), jnp.float32)
+    st = index.packed_txt_scale if index.quantized else jnp.zeros((), jnp.float32)
+    return fn(
+        queries, index.centroids_img, index.centroids_txt,
+        index.packed_img, index.packed_txt, index.packed_rows, si, st,
+    )
+
+
+@functools.lru_cache(maxsize=128)
+def _sharded_ivf_program(mesh, axis, k, nprobe, alpha, has_scales, nlist, cap):
+    """The jitted shard_map program, cached per static signature so repeat
+    callers retrace/recompile only on genuinely new shapes (a Mesh is
+    hashable; a fresh jit wrapper per call would never hit the jit cache)."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     n_shards = mesh.shape[axis]
-    nlist_local = index.nlist // n_shards
+    nlist_local = nlist // n_shards
     nprobe_local = min(-(-nprobe // n_shards), nlist_local)
-    k_local = min(k, nlist_local * index.cap)
+    k_local = min(k, nlist_local * cap)
     spec3 = P(axis, None, None)
     spec2 = P(axis, None)
-    has_scales = index.quantized
 
     def local(q, ci, ct, pi, pt, pr, si, st):
         li = IVFIndex(
@@ -361,12 +379,7 @@ def sharded_ivf_search(
         out_specs=(P(), P()),
         check_vma=False,  # replicated after all_gather+top_k; see sharded_similarity_topk
     )
-    si = index.packed_img_scale if has_scales else jnp.zeros((), jnp.float32)
-    st = index.packed_txt_scale if has_scales else jnp.zeros((), jnp.float32)
-    return jax.jit(fn)(
-        queries, index.centroids_img, index.centroids_txt,
-        index.packed_img, index.packed_txt, index.packed_rows, si, st,
-    )
+    return jax.jit(fn)
 
 
 def probed_fraction(index: IVFIndex, nprobe: int, n_rows: Optional[int] = None) -> float:

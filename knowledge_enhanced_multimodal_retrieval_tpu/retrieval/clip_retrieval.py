@@ -56,6 +56,7 @@ class _CorpusState:
     ivf_arrays: object  # packed IVF pytree in ann mode, else None
     ann_spill_fraction: float
     top_k: int  # ctor-requested k clamped to the real row count
+    nprobe: int  # ann probe width clamped to the (possibly rebuilt) nlist
 
 
 class CLIPRetrieval:
@@ -151,7 +152,9 @@ class CLIPRetrieval:
         # compile per (ids-bucket, k, alpha) signature, cached after.
         # scales ride as ARGUMENTS (never close over arrays in jit on the
         # relay: constants serialize into the remote-compile request)
-        def _search_program(params, ids, cimg, ctxt, cimg_s, ctxt_s, *, k: int, alpha: float):
+        def _search_program(
+            params, ids, cimg, ctxt, cimg_s, ctxt_s, *, k: int, alpha: float, nprobe: int
+        ):
             if self.ann == "ivf":
                 # cimg carries the packed index pytree (passed as an
                 # argument — index arrays must never be jit constants on
@@ -161,10 +164,10 @@ class CLIPRetrieval:
                 index = IVFIndex(ci, ct, pi, pt, pr, 0.0, si, st)
                 if self.shard_corpus:
                     return sharded_ivf_search(
-                        q, index, k=k, nprobe=self.ann_nprobe,
+                        q, index, k=k, nprobe=nprobe,
                         mesh=self.rt.mesh, alpha=alpha,
                     )
-                return ivf_search(q, index, k=k, nprobe=self.ann_nprobe, alpha=alpha)
+                return ivf_search(q, index, k=k, nprobe=nprobe, alpha=alpha)
             if self.quantize_corpus:
                 q = _encode_fn(params, ids).astype(model.dtype)
                 if self.shard_corpus:
@@ -184,9 +187,15 @@ class CLIPRetrieval:
                 return fused_similarity_topk(q, cimg, ctxt, k=k, alpha=alpha)
             return similarity_topk_xla(q, cimg, ctxt, k=k, alpha=alpha)
 
-        self._search_program = jax.jit(_search_program, static_argnames=("k", "alpha"))
+        self._search_program = jax.jit(
+            _search_program, static_argnames=("k", "alpha", "nprobe")
+        )
 
     # -- corpus state ----------------------------------------------------------
+
+    def _pad_multiple(self) -> int:
+        """Device rows round up to this (capacity bucket x mesh shards)."""
+        return self.capacity_multiple * (self.rt.num_data if self.shard_corpus else 1)
 
     def _install_corpus(self, store: EmbeddingStore) -> None:
         """Build all corpus-derived device state and swap it in atomically."""
@@ -211,8 +220,12 @@ class CLIPRetrieval:
                 quantize="int8" if self.quantize_corpus else None,
                 mesh=mesh,
             )
-            if not 1 <= self.ann_nprobe <= index.nlist:
-                raise ValueError(f"ann_nprobe {self.ann_nprobe} out of range [1, {index.nlist}]")
+            if self.ann_nprobe < 1:
+                raise ValueError(f"ann_nprobe must be >= 1, got {self.ann_nprobe}")
+            # clamp rather than raise: a corpus-shrinking update can rebuild
+            # with a smaller derived nlist, and nprobe == nlist is simply an
+            # exact probe — raising here would wedge remove_documents forever
+            nprobe = min(self.ann_nprobe, index.nlist)
             state = _CorpusState(
                 store=store, n_real=n_real,
                 corpus_img=None, corpus_txt=None,
@@ -224,13 +237,14 @@ class CLIPRetrieval:
                 ),
                 ann_spill_fraction=index.spill_fraction,
                 top_k=min(self._requested_top_k, n_real),
+                nprobe=nprobe,
             )
         else:
             # pad device rows to the capacity bucket (pad rows are zero
             # vectors: score exactly 0, filtered from results by sentinel
             # uuid) so same-bucket updates reuse the compiled program; the
             # sharded path additionally needs a row multiple of the mesh
-            padded = store.padded(self.capacity_multiple * (self.rt.num_data if self.shard_corpus else 1))
+            padded = store.padded(self._pad_multiple())
             if self.quantize_corpus:
                 # int8 per-row packing, quantized ON HOST so the full f32
                 # corpus never stages in device HBM (a corpus sized to fit
@@ -247,6 +261,7 @@ class CLIPRetrieval:
                 corpus_img_scale=cimg_s, corpus_txt_scale=ctxt_s,
                 ivf_arrays=None, ann_spill_fraction=0.0,
                 top_k=min(self._requested_top_k, n_real),
+                nprobe=0,
             )
         self._corpus = state  # atomic reference swap — see _CorpusState
 
@@ -334,10 +349,13 @@ class CLIPRetrieval:
         return trim_to_bucket(ids)
 
     def search_batch(self, queries: Sequence[str], alpha: float = 0.5, top_k: Optional[int] = None):
-        """Batched search: returns (values [Q, k], indices [Q, k]).
+        """Batched search: returns (values [Q, k_fetch], indices [Q, k_fetch]).
 
-        The returned arrays are device futures (async dispatch); convert
-        with ``np.asarray`` to synchronize.
+        ``k_fetch >= k``: when the corpus carries capacity-pad rows, search
+        over-fetches by the bucket slack so pad rows cannot displace real
+        winners — filter/truncate via :meth:`results_from_topk` (or use
+        :meth:`retrieval_batch`, which does both). The returned arrays are
+        device futures (async dispatch); ``np.asarray`` to synchronize.
         """
         return self._search_state(self._corpus, queries, alpha, top_k)
 
@@ -346,16 +364,23 @@ class CLIPRetrieval:
     ):
         k = min(top_k or c.top_k, c.n_real)
         # Pad rows score exactly 0 (zero vectors), which would displace
-        # negative-scoring real matches from the top-k; over-fetch by the pad
-        # count so after sentinel filtering k REAL winners always survive.
-        n_pads = len(c.store) - c.n_real
-        k_fetch = min(k + n_pads, len(c.store))
+        # negative-scoring real matches from the top-k; over-fetch past the
+        # pads so after sentinel filtering k REAL winners always survive.
+        # The slack is the bucket's MAXIMUM pad count (not the current one):
+        # k_fetch must stay constant across same-bucket updates or every
+        # add/remove would change the program's static k -> full recompile,
+        # defeating capacity_multiple (minutes per compile on the relay).
+        if self.ann == "ivf":
+            k_fetch = k  # ann probes the raw store; no pad rows
+        else:
+            max_pads = self._pad_multiple() - 1
+            k_fetch = min(k + max_pads, len(c.store))
         ids = self._tokenize(queries)
         cimg = c.ivf_arrays if self.ann == "ivf" else c.corpus_img
         return self._search_program(
             self._enc_params, jnp.asarray(ids), cimg, c.corpus_txt,
             c.corpus_img_scale, c.corpus_txt_scale,
-            k=k_fetch, alpha=float(alpha),
+            k=k_fetch, alpha=float(alpha), nprobe=c.nprobe,
         )
 
     def search_batches_pipelined(
@@ -383,6 +408,43 @@ class CLIPRetrieval:
         while pending:
             vals, idx = pending.popleft()
             yield np.asarray(vals), np.asarray(idx)
+
+    def retrieval_batches(
+        self,
+        query_batches: Iterable[Sequence[str]],
+        alpha: float = 0.5,
+        top_k: Optional[int] = None,
+        depth: int = 4,
+    ) -> Iterator[List[List[Dict]]]:
+        """Streamed :meth:`retrieval_batch`: pipelined dispatch, one result
+        list per query, in order.
+
+        Each batch's winners map through the SAME corpus snapshot its search
+        ran on, so results stay uuid-correct under concurrent
+        :meth:`add_documents`/:meth:`remove_documents`, and each list
+        truncates to the requested ``top_k`` after pad filtering.
+        """
+        from collections import deque
+
+        pending: deque = deque()
+
+        def dispatch(queries):
+            c = self._corpus
+            k = min(top_k or c.top_k, c.n_real)
+            return c, k, self._search_state(c, queries, alpha, top_k)
+
+        def finish(item):
+            c, k, (vals, idx) = item
+            return self.results_from_topk(
+                np.asarray(vals, np.float32), np.asarray(idx), _state=c, top_k=k
+            )
+
+        for queries in query_batches:
+            pending.append(dispatch(queries))
+            if len(pending) >= max(1, depth):
+                yield finish(pending.popleft())
+        while pending:
+            yield finish(pending.popleft())
 
     # -- reference-parity API --------------------------------------------------
 

@@ -24,6 +24,11 @@ from ..parallel.mesh import MeshRuntime
 from ..parallel.sharding import batch_sharding
 
 
+class DuplicateUUIDError(ValueError):
+    """Raised when an added document's uuid is already in the store (a
+    conflict with existing state, distinct from a malformed payload)."""
+
+
 @dataclass
 class EmbeddingStore:
     """Corpus embeddings: ``image`` and ``text`` towers + aligned UUIDs."""
@@ -99,9 +104,12 @@ class EmbeddingStore:
                 f"expected image/text of shape ({len(uuids)}, {self.dim}); "
                 f"got {image.shape} / {text.shape}"
             )
-        dup = (set(uuids) & set(self.uuids)) | {u for u in uuids if uuids.count(u) > 1}
+        from collections import Counter
+
+        counts = Counter(uuids)
+        dup = (counts.keys() & set(self.uuids)) | {u for u, c in counts.items() if c > 1}
         if dup:
-            raise ValueError(f"duplicate uuids: {sorted(dup)[:5]}")
+            raise DuplicateUUIDError(f"duplicate uuids: {sorted(dup)[:5]}")
 
         def norm(x):
             n = np.linalg.norm(x, axis=1, keepdims=True)

@@ -159,8 +159,10 @@ class RetrievalEngine:
         """
         alpha_clip = self.fusion.alpha_clip if alpha_clip is None else alpha_clip
         threshold = self.fusion.threshold if threshold is None else threshold
-        for vals, idx in self.clip_retriever.search_batches_pipelined(query_batches, alpha=alpha_clip):
-            results = self.clip_retriever.results_from_topk(vals, idx)
+        # retrieval_batches maps each batch through the corpus snapshot its
+        # search ran on (uuid-correct under live updates) and truncates the
+        # over-fetched pad slack back to top_k
+        for results in self.clip_retriever.retrieval_batches(query_batches, alpha=alpha_clip):
             yield [self._apply_threshold(r, threshold) for r in results]
 
     @staticmethod

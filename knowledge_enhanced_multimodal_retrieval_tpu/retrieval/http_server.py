@@ -27,6 +27,7 @@ from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
+from .embedding_store import DuplicateUUIDError
 from .server import MicroBatcher, Overloaded
 
 
@@ -129,6 +130,9 @@ class RetrievalHTTPServer:
                 except KeyError as e:
                     self._send(404, {"error": str(e)})
                     return
+                except ValueError as e:  # e.g. removal would empty the corpus
+                    self._send(409, {"error": str(e)})
+                    return
                 except Exception as e:
                     self._send(502, {"error": str(e)})
                     return
@@ -158,8 +162,11 @@ class RetrievalHTTPServer:
                     return
                 try:
                     add_documents_fn(img, txt, uuids)
-                except ValueError as e:  # duplicate uuid / bad dims -> caller error
+                except DuplicateUUIDError as e:  # conflict with existing docs
                     self._send(409, {"error": str(e)})
+                    return
+                except ValueError as e:  # malformed payload (dims, zero rows)
+                    self._send(400, {"error": str(e)})
                     return
                 except Exception as e:
                     self._send(502, {"error": str(e)})

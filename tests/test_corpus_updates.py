@@ -178,6 +178,52 @@ def test_capacity_bucket_reuses_device_shapes(world):
     assert r.corpus_img.shape[0] == 64
 
 
+def test_same_bucket_update_reuses_compiled_program(world):
+    """k_fetch must not track the live pad count: a same-bucket add/remove
+    would otherwise change the program's static k -> full recompile, which
+    is exactly what capacity_multiple exists to avoid."""
+    model, params, tok, store, rt = world
+    r = CLIPRetrieval(model, params, tok, store, top_k=5, capacity_multiple=16)
+    r.retrieval("hello cat")
+    compiled = r._search_program._cache_size()
+    img, txt, uuids = _new_rows(store.dim, 3, seed=21)
+    r.add_documents(img, txt, uuids)  # 43 rows: same 48 bucket, pads 8 -> 5
+    r.retrieval("hello cat")
+    r.remove_documents([uuids[0]])  # pads 5 -> 6
+    r.retrieval("hello cat")
+    assert r._search_program._cache_size() == compiled
+
+
+def test_streaming_results_truncate_to_top_k(world):
+    """The engine streaming path must not leak the pad-slack over-fetch."""
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval import RetrievalEngine
+
+    model, params, tok, store, rt = world
+    r = CLIPRetrieval(model, params, tok, store, top_k=5, capacity_multiple=64)
+    engine = RetrievalEngine(r, t2s_retriever=None)
+    batches = [["hello cat", "ca he"], ["hel ca"]]
+    out = list(engine.retrieve_text_noknowledge_batches(batches))
+    assert [len(b) for b in out] == [2, 1]
+    assert all(len(res) == 5 for b in out for res in b)
+    # and matches the non-streaming batch API exactly
+    flat = [res for b in out for res in b]
+    direct = engine.retrieve_text_noknowledge_batch(["hello cat", "ca he", "hel ca"])
+    for a, b in zip(flat, direct):
+        assert [x["uuid"] for x in a] == [x["uuid"] for x in b]
+
+
+def test_ann_remove_below_derived_nlist_does_not_wedge(world):
+    """Shrinking the corpus can rebuild with derived nlist < ann_nprobe;
+    the probe clamps to full (exact) instead of wedging remove_documents."""
+    model, params, tok, store, rt = world
+    r = CLIPRetrieval(model, params, tok, store, top_k=5, ann="ivf", ann_nprobe=6)
+    # 40 rows -> nlist = 6 >= nprobe; drop to 25 rows -> derived nlist = 5
+    r.remove_documents(store.uuids[:15])
+    assert r._corpus.nprobe == 5  # clamped to the rebuilt nlist (= exact)
+    res = r.retrieval("hello cat")
+    assert len(res) == 5 and all(x["uuid"] not in set(store.uuids[:15]) for x in res)
+
+
 def test_pad_rows_never_displace_negative_matches(world):
     """With pad rows scoring 0, negative-scoring real matches must still
     make the top-k (search over-fetches by the pad count and filters)."""

@@ -237,9 +237,15 @@ def test_http_document_endpoints():
 
     calls = []
 
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval.embedding_store import (
+        DuplicateUUIDError,
+    )
+
     def add_fn(img, txt, uuids):
         if "dup" in uuids:
-            raise ValueError("duplicate uuids: ['dup']")
+            raise DuplicateUUIDError("duplicate uuids: ['dup']")
+        if img.shape[1] != 2:
+            raise ValueError(f"expected image/text of shape (n, 2); got {img.shape}")
         calls.append(("add", img.shape, txt.shape, list(uuids)))
 
     def remove_fn(uuids):
@@ -271,6 +277,9 @@ def test_http_document_endpoints():
             ({"documents": []}, 400, "POST"),  # empty list
             ({"documents": [{"uuid": "x"}]}, 400, "POST"),  # missing embeddings
             ({"documents": [dict(doc, uuid="dup")]}, 409, "POST"),  # duplicate
+            # wrong embedding dimensionality: malformed payload, NOT conflict
+            ({"documents": [{"uuid": "d9", "image_embedding": [1.0, 0.0, 0.0],
+                             "text_embedding": [0.0, 1.0, 0.0]}]}, 400, "POST"),
             ({"uuids": []}, 400, "DELETE"),
             ({"uuids": ["ghost"]}, 404, "DELETE"),
         ]:
