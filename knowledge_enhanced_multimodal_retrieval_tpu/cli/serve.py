@@ -19,7 +19,12 @@ import sys
 from ..retrieval.clip_retrieval import CLIPRetrieval
 from ..retrieval.embedding_store import EmbeddingStore
 from ..retrieval.engine import RetrievalEngine
-from ..utils.config import Endpoints, config_from_argv, resolve_encoder
+from ..utils.config import (
+    Endpoints,
+    config_from_argv,
+    resolve_encoder,
+    resolve_quantize_corpus,
+)
 from ..utils.logging_utils import setup_logger
 from .common import build_model_and_params, build_tokenizer, pop_flag
 
@@ -31,7 +36,7 @@ def build_engine(cfg, store_path: str) -> RetrievalEngine:
     # eval.encoder selects the query-encode path: flax (exact module tower),
     # fast (fused bf16 serving towers), int8 (fastest, W8A8 — scores within
     # ~1%); eval.quantize_corpus packs the corpus int8 (half the HBM
-    # footprint). "fast"/"int8" are honored explicitly even off-TPU (the
+    # footprint) or int4 (quarter — the capacity mode). "fast"/"int8" are honored explicitly even off-TPU (the
     # serving towers run their XLA reference blocks there), matching the
     # precompute CLI's behavior for the same flag.
     use_fast, quantize = resolve_encoder(cfg.eval.encoder)
@@ -44,7 +49,7 @@ def build_engine(cfg, store_path: str) -> RetrievalEngine:
         model, params, tokenizer, store,
         use_fused_encoder=use_fast,
         quantize=quantize,
-        quantize_corpus=cfg.eval.quantize_corpus,
+        quantize_corpus=resolve_quantize_corpus(cfg.eval.quantize_corpus),
         rt=rt,
         shard_corpus=cfg.eval.shard_corpus,
         ann=cfg.eval.ann or None,

@@ -16,11 +16,16 @@ from .image_ops import CLIP_MEAN, CLIP_STD, preprocess_batch, preprocess_image  
 from .short_attention import short_attention  # noqa: F401
 from .similarity import (  # noqa: F401
     dequantize_corpus,
+    dequantize_corpus_q4,
     fused_similarity_topk,
+    fused_similarity_topk_q4,
     fused_similarity_topk_q8,
     quantize_corpus,
+    quantize_corpus_host_q4,
     sharded_similarity_topk,
+    sharded_similarity_topk_q4,
     sharded_similarity_topk_q8,
     similarity_topk_segmented,
     similarity_topk_xla,
+    similarity_topk_xla_q4,
 )

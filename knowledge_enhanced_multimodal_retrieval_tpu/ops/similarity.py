@@ -180,6 +180,106 @@ def similarity_topk_xla_q8(
 
 
 # ---------------------------------------------------------------------------
+# int4 corpus packing (two values per byte — 4x corpus capacity per chip)
+# ---------------------------------------------------------------------------
+#
+# Plane layout: packed byte column j holds dim j in the LOW nibble and dim
+# j + D/2 in the HIGH nibble (both 4-bit two's complement), so unpacking is
+# two contiguous [N, D/2] planes — no lane interleaving, which Mosaic cannot
+# vectorize. Scoring splits the query the same way (q_lo = q[:, :D/2],
+# q_hi = q[:, D/2:]): q . row == q_lo . lo + q_hi . hi, two half-width
+# matmuls with the SAME total MACs as one full-width one. Per-row symmetric
+# scales (max|x| / 7) dequantize exactly like the int8 path — only the
+# original 4-bit rounding is lossy (~16x coarser than int8: a capacity/
+# recall trade documented in tests/test_similarity_q4.py).
+
+
+def quantize_corpus_host_q4(
+    emb, mesh: Optional[Mesh] = None, axis: str = "data"
+) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric per-row int4, nibble-packed: ``emb ~= unpack(q4) * scale``.
+
+    Returns ``(packed int8 [N, D/2], scale f32 [N, 1])``. Quarter the f32
+    corpus footprint (half of int8): the capacity mode for corpora that do
+    not fit as int8. ``D`` must be even. Host-side like
+    :func:`quantize_corpus_host` so the f32 corpus never stages in HBM;
+    ``mesh`` uploads row-sharded over ``axis``.
+    """
+    import numpy as np
+
+    emb = np.asarray(emb, np.float32)
+    n, d = emb.shape
+    if d % 2:
+        raise ValueError(f"int4 packing needs an even embedding dim, got {d}")
+    scale = np.maximum(np.max(np.abs(emb), axis=1, keepdims=True) / 7.0, 1e-12)
+    q = np.clip(np.round(emb / scale), -8, 7).astype(np.int8)
+    lo, hi = q[:, : d // 2], q[:, d // 2 :]
+    packed = ((hi.astype(np.uint8) << 4) | (lo.astype(np.uint8) & 0xF)).view(np.int8)
+    scale = scale.astype(np.float32)
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P(axis, None))
+        return jax.device_put(packed, sharding), jax.device_put(scale, sharding)
+    return jnp.asarray(packed), jnp.asarray(scale)
+
+
+def _unpack_q4(packed: jax.Array, dtype) -> Tuple[jax.Array, jax.Array]:
+    """[N, D/2] packed int8 -> (lo, hi) planes in ``dtype`` (exact: 4-bit
+    values fit every float mantissa). Shifts run in int32 (Mosaic-friendly);
+    the low nibble sign-extends via the <<28 >>28 arithmetic-shift pair."""
+    b = packed.astype(jnp.int32)
+    hi = b >> 4  # b is sign-extended from int8, so this is [-8, 7]
+    lo = (b << 28) >> 28
+    return lo.astype(dtype), hi.astype(dtype)
+
+
+def dequantize_corpus_q4(packed: jax.Array, scale: jax.Array, dtype=jnp.float32) -> jax.Array:
+    lo, hi = _unpack_q4(packed, jnp.float32)
+    return (jnp.concatenate([lo, hi], axis=1) * scale).astype(dtype)
+
+
+def blended_scores_q4(
+    queries: jax.Array,
+    img_p: jax.Array,
+    img_scale: jax.Array,
+    txt_p: jax.Array,
+    txt_scale: jax.Array,
+    alpha: float,
+) -> jax.Array:
+    """[Q, N] blended scores over a nibble-packed int4 corpus, op-order-
+    matched to the Pallas q4 kernel: unpack planes to the query dtype, one
+    half-width dot per plane, per-row scales on the f32 score columns."""
+    d2 = img_p.shape[1]
+    q_lo, q_hi = queries[:, :d2], queries[:, d2:]
+
+    def plane_scores(q_lo, q_hi, packed):
+        lo, hi = _unpack_q4(packed, queries.dtype)
+        return jnp.dot(q_lo, lo.T, preferred_element_type=jnp.float32) + jnp.dot(
+            q_hi, hi.T, preferred_element_type=jnp.float32
+        )
+
+    t2i = plane_scores(q_lo, q_hi, img_p)
+    t2t = plane_scores(q_lo, q_hi, txt_p)
+    img_s = jnp.asarray(img_scale, jnp.float32).reshape(1, -1)
+    txt_s = jnp.asarray(txt_scale, jnp.float32).reshape(1, -1)
+    return alpha * (t2i * img_s) + (1.0 - alpha) * (t2t * txt_s)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "alpha"))
+def similarity_topk_xla_q4(
+    queries: jax.Array,
+    img_p: jax.Array,
+    img_scale: jax.Array,
+    txt_p: jax.Array,
+    txt_scale: jax.Array,
+    k: int,
+    alpha: float = 0.5,
+) -> Tuple[jax.Array, jax.Array]:
+    """XLA path over an int4 corpus (CPU serving / use_pallas=False)."""
+    scores = blended_scores_q4(queries, img_p, img_scale, txt_p, txt_scale, alpha)
+    return jax.lax.top_k(scores, k)
+
+
+# ---------------------------------------------------------------------------
 # Pallas fused kernel
 # ---------------------------------------------------------------------------
 
@@ -212,12 +312,16 @@ def _fused_kernel(
     k: int,
     tile_n: int,
     corpus_n: int,
-    quantized: bool,
+    mode: str,
 ):
     """Streaming blend + running top-k over corpus tiles (one body for the
-    exact and int8-corpus variants; they differ only in the tile dtype and
-    whether per-row scales multiply the score columns)."""
-    if quantized:
+    exact, int8-, and int4-corpus variants; they differ only in the tile
+    dtype/unpacking and whether per-row scales multiply the score columns)."""
+    if mode == "q4":
+        (q_img_lo, q_img_hi, q_txt_lo, q_txt_hi,
+         img_ref, img_s_ref, txt_ref, txt_s_ref,
+         vals_ref, idx_ref, vals_scr, idx_scr) = refs
+    elif mode == "q8":
         (q_img_ref, q_txt_ref, img_ref, img_s_ref, txt_ref, txt_s_ref,
          vals_ref, idx_ref, vals_scr, idx_scr) = refs
     else:
@@ -231,22 +335,41 @@ def _fused_kernel(
         vals_scr[:] = jnp.full_like(vals_scr, _NEG_INF)
         idx_scr[:] = jnp.zeros_like(idx_scr)
 
-    # dot at the stored/query precision with f32 accumulation: bf16 x bf16
-    # MXU products are exact for bf16 inputs; int8 tiles convert to the
-    # query dtype exactly (|v| <= 127 fits the bf16 mantissa) so the only
-    # loss in the quantized variant is the original int8 rounding
-    qi = q_img_ref[:]
-    qt = q_txt_ref[:]
-    img = img_ref[:].astype(qi.dtype) if quantized else img_ref[:]
-    txt = txt_ref[:].astype(qt.dtype) if quantized else txt_ref[:]
-    t2i = jax.lax.dot_general(qi, img, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    t2t = jax.lax.dot_general(qt, txt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    if quantized:
-        # per-corpus-row scales ride pre-transposed as [1, T] rows and
-        # multiply the f32 score COLUMNS post-matmul
+    dot = lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if mode == "q4":
+        # nibble-packed tiles: unpack the two planes in int32 (arithmetic
+        # shifts sign-extend the 4-bit values), convert to the query dtype
+        # (exact: |v| <= 8), one half-width dot per plane
+        ql, qh = q_img_lo[:], q_img_hi[:]
+
+        def plane_dot(ql, qh, packed_ref):
+            b = packed_ref[:].astype(jnp.int32)
+            hi = (b >> 4).astype(ql.dtype)
+            lo = ((b << 28) >> 28).astype(ql.dtype)
+            return dot(ql, lo) + dot(qh, hi)
+
+        t2i = plane_dot(ql, qh, img_ref)
+        t2t = plane_dot(q_txt_lo[:], q_txt_hi[:], txt_ref)
         scores = alpha * (t2i * img_s_ref[:]) + (1.0 - alpha) * (t2t * txt_s_ref[:])
     else:
-        scores = alpha * t2i + (1.0 - alpha) * t2t  # [Q, T] f32
+        # dot at the stored/query precision with f32 accumulation: bf16 x
+        # bf16 MXU products are exact for bf16 inputs; int8 tiles convert to
+        # the query dtype exactly (|v| <= 127 fits the bf16 mantissa) so the
+        # only loss in the quantized variant is the original int8 rounding
+        qi = q_img_ref[:]
+        qt = q_txt_ref[:]
+        img = img_ref[:].astype(qi.dtype) if mode == "q8" else img_ref[:]
+        txt = txt_ref[:].astype(qt.dtype) if mode == "q8" else txt_ref[:]
+        t2i = dot(qi, img)
+        t2t = dot(qt, txt)
+        if mode == "q8":
+            # per-corpus-row scales ride pre-transposed as [1, T] rows and
+            # multiply the f32 score COLUMNS post-matmul
+            scores = alpha * (t2i * img_s_ref[:]) + (1.0 - alpha) * (t2t * txt_s_ref[:])
+        else:
+            scores = alpha * t2i + (1.0 - alpha) * t2t  # [Q, T] f32
 
     qn = scores.shape[0]
     local_col = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 1)
@@ -265,9 +388,12 @@ def _fused_kernel(
 
 def _fused_topk_call(
     queries_img, queries_txt, img, txt, scales, *, k, alpha, tile_n, interpret, corpus_bytes,
+    mode=None,
 ):
     """Shared scaffolding (tile sizing, padding, specs, pallas_call) for the
-    exact and int8 fused top-k variants."""
+    exact, int8, and int4 fused top-k variants."""
+    if mode is None:
+        mode = "q8" if scales is not None else "exact"
     qn, d = queries_img.shape
     n = img.shape[0]
     tile_n = min(tile_n, max(128, 1 << (n - 1).bit_length()))
@@ -288,14 +414,20 @@ def _fused_topk_call(
         queries_txt = jnp.pad(queries_txt, ((0, pad_q), (0, 0)))
     qn_p = qn + pad_q
 
-    quantized = scales is not None
-    corpus_spec = lambda: pl.BlockSpec((tile_n, d), lambda j: (j, 0), memory_space=pltpu.VMEM)
-    in_specs = [
-        pl.BlockSpec((qn_p, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((qn_p, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
-    ]
-    operands = [queries_img, queries_txt]
-    if quantized:
+    dc = img.shape[1]  # corpus lane width (= d/2 packed planes in q4 mode)
+    corpus_spec = lambda: pl.BlockSpec((tile_n, dc), lambda j: (j, 0), memory_space=pltpu.VMEM)
+    q_spec = lambda w: pl.BlockSpec((qn_p, w), lambda j: (0, 0), memory_space=pltpu.VMEM)
+    if mode == "q4":
+        d2 = d // 2
+        in_specs = [q_spec(d2)] * 4
+        operands = [
+            queries_img[:, :d2], queries_img[:, d2:],
+            queries_txt[:, :d2], queries_txt[:, d2:],
+        ]
+    else:
+        in_specs = [q_spec(d), q_spec(d)]
+        operands = [queries_img, queries_txt]
+    if scales is not None:
         img_s, txt_s = scales
         # scales as [1, N] rows so the kernel multiplies score COLUMNS
         img_s = jnp.pad(jnp.asarray(img_s, jnp.float32).reshape(1, -1), ((0, 0), (0, pad_n)))
@@ -309,7 +441,7 @@ def _fused_topk_call(
 
     kernel = functools.partial(
         _fused_kernel, alpha=float(alpha), k=k, tile_n=tile_n, corpus_n=n,
-        quantized=quantized,
+        mode=mode,
     )
     vals, idx = pl.pallas_call(
         kernel,
@@ -376,6 +508,47 @@ def fused_similarity_topk_q8(
         queries_img, queries_txt, img_q, txt_q, (img_scale, txt_scale),
         k=k, alpha=alpha, tile_n=tile_n, interpret=interpret,
         corpus_bytes=2 * n * img_q.shape[1],
+    )
+
+
+def fused_similarity_topk_q4(
+    queries_img: jax.Array,
+    img_p: jax.Array,
+    img_scale: jax.Array,
+    txt_p: jax.Array,
+    txt_scale: jax.Array,
+    k: int,
+    alpha: float = 0.5,
+    queries_txt: Optional[jax.Array] = None,
+    tile_n: int = 1024,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused blend + top-k over a nibble-packed int4 corpus
+    (:func:`quantize_corpus_host_q4`).
+
+    Same selection semantics as :func:`fused_similarity_topk`; scores carry
+    one 4-bit rounding step per corpus element (coarser than int8 — the
+    capacity mode: quarter the f32 HBM footprint and streaming traffic).
+    Big k (>128) routes through q4-native scores and the segmented exact
+    selection.
+    """
+    if interpret is None:
+        from .dispatch import on_tpu
+
+        interpret = not on_tpu()
+    if queries_txt is None:
+        queries_txt = queries_img
+    n = img_p.shape[0]
+    k = min(k, n)
+    if k > 128:
+        if queries_txt is not queries_img:
+            raise NotImplementedError("k > 128 with distinct query towers")
+        scores = blended_scores_q4(queries_img, img_p, img_scale, txt_p, txt_scale, alpha)
+        return _segmented_topk_from_scores(scores, k, segment=4096)
+    return _fused_topk_call(
+        queries_img, queries_txt, img_p, txt_p, (img_scale, txt_scale),
+        k=k, alpha=alpha, tile_n=tile_n, interpret=interpret,
+        corpus_bytes=2 * n * img_p.shape[1], mode="q4",
     )
 
 
@@ -518,3 +691,44 @@ def sharded_similarity_topk_q8(
         check_vma=False,
     )
     return jax.jit(fn)(queries, img_q, img_scale, txt_q, txt_scale)
+
+
+def sharded_similarity_topk_q4(
+    queries: jax.Array,
+    img_p: jax.Array,
+    img_scale: jax.Array,
+    txt_p: jax.Array,
+    txt_scale: jax.Array,
+    k: int,
+    alpha: float,
+    mesh: Mesh,
+    axis: str = "data",
+    use_pallas: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """:func:`sharded_similarity_topk` over a nibble-packed int4 corpus:
+    each device holds only its packed shard (+ per-row scales), so corpus
+    capacity scales 4x per chip AND linearly with the mesh."""
+    n_shards = mesh.shape[axis]
+    shard_n = img_p.shape[0] // n_shards
+    k = min(k, img_p.shape[0])
+    k_local = min(k, shard_n)
+
+    def local(q, img, img_s, txt, txt_s):
+        if use_pallas or (use_pallas is None and jax.default_backend() == "tpu"):
+            vals, idx = fused_similarity_topk_q4(
+                q, img, img_s, txt, txt_s, k=k_local, alpha=alpha
+            )
+        else:
+            vals, idx = similarity_topk_xla_q4(
+                q, img, img_s, txt, txt_s, k=k_local, alpha=alpha
+            )
+        return _merge_shard_winners(vals, idx, axis, shard_n, k)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis, None), P(axis, None), P(axis, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)(queries, img_p, img_scale, txt_p, txt_scale)

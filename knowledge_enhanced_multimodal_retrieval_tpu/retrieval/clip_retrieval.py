@@ -25,11 +25,15 @@ from ..models.fast_encode import encode_text_fast, make_text_plan
 from ..ops.dispatch import on_tpu
 from ..ops.similarity import (
     fused_similarity_topk,
+    fused_similarity_topk_q4,
     fused_similarity_topk_q8,
     quantize_corpus_host,
+    quantize_corpus_host_q4,
     sharded_similarity_topk,
+    sharded_similarity_topk_q4,
     sharded_similarity_topk_q8,
     similarity_topk_xla,
+    similarity_topk_xla_q4,
     similarity_topk_xla_q8,
 )
 from ..parallel.mesh import MeshRuntime
@@ -122,7 +126,17 @@ class CLIPRetrieval:
             else None
         )
 
-        self.quantize_corpus = quantize_corpus
+        # corpus packing: False = exact (bf16/f32), "int8" (True) = half the
+        # HBM footprint, "int4" = quarter (nibble-packed; coarser rounding —
+        # the capacity mode). See ops.similarity quantize_corpus_host[_q4].
+        if quantize_corpus is True:
+            quantize_corpus = "int8"
+        if quantize_corpus not in (False, None, "int8", "int4"):
+            raise ValueError(
+                f"unknown quantize_corpus mode {quantize_corpus!r} "
+                "(expected False, True/'int8', or 'int4')"
+            )
+        self.quantize_corpus = quantize_corpus or False
 
         # opt-in ANN mode (retrieval/ann.py): IVF cluster probing instead of
         # the exact brute-force scan — the scaling path for corpora where a
@@ -130,6 +144,8 @@ class CLIPRetrieval:
         # latency). Exact paths stay the default.
         if ann not in (None, "ivf"):
             raise ValueError(f"unknown ann mode {ann!r} (expected None or 'ivf')")
+        if ann == "ivf" and self.quantize_corpus == "int4":
+            raise ValueError("ann='ivf' composes with int8 corpus packing only")
         self.ann = ann
         self.ann_nprobe = ann_nprobe
         self._ann_nlist = ann_nlist
@@ -170,14 +186,19 @@ class CLIPRetrieval:
                 return ivf_search(q, index, k=k, nprobe=nprobe, alpha=alpha)
             if self.quantize_corpus:
                 q = _encode_fn(params, ids).astype(model.dtype)
+                sharded, fused, xla = (
+                    (sharded_similarity_topk_q4, fused_similarity_topk_q4, similarity_topk_xla_q4)
+                    if self.quantize_corpus == "int4"
+                    else (sharded_similarity_topk_q8, fused_similarity_topk_q8, similarity_topk_xla_q8)
+                )
                 if self.shard_corpus:
-                    return sharded_similarity_topk_q8(
+                    return sharded(
                         q, cimg, cimg_s, ctxt, ctxt_s, k=k, alpha=alpha,
                         mesh=self.rt.mesh, use_pallas=self.use_pallas,
                     )
                 if self.use_pallas:
-                    return fused_similarity_topk_q8(q, cimg, cimg_s, ctxt, ctxt_s, k=k, alpha=alpha)
-                return similarity_topk_xla_q8(q, cimg, cimg_s, ctxt, ctxt_s, k=k, alpha=alpha)
+                    return fused(q, cimg, cimg_s, ctxt, ctxt_s, k=k, alpha=alpha)
+                return xla(q, cimg, cimg_s, ctxt, ctxt_s, k=k, alpha=alpha)
             q = _encode_fn(params, ids).astype(cimg.dtype)
             if self.shard_corpus:
                 return sharded_similarity_topk(
@@ -246,12 +267,17 @@ class CLIPRetrieval:
             # sharded path additionally needs a row multiple of the mesh
             padded = store.padded(self._pad_multiple())
             if self.quantize_corpus:
-                # int8 per-row packing, quantized ON HOST so the full f32
-                # corpus never stages in device HBM (a corpus sized to fit
-                # as int8 would OOM in f32) — only int8 buffers + scales
+                # int8/int4 per-row packing, quantized ON HOST so the full
+                # f32 corpus never stages in device HBM (a corpus sized to
+                # fit packed would OOM in f32) — only packed buffers + scales
                 # upload, row-sharded over the mesh when corpus is sharded
-                cimg, cimg_s = quantize_corpus_host(padded.image, mesh)
-                ctxt, ctxt_s = quantize_corpus_host(padded.text, mesh)
+                quantizer = (
+                    quantize_corpus_host_q4
+                    if self.quantize_corpus == "int4"
+                    else quantize_corpus_host
+                )
+                cimg, cimg_s = quantizer(padded.image, mesh)
+                ctxt, ctxt_s = quantizer(padded.text, mesh)
             else:
                 cimg, ctxt = padded.device_arrays(self.corpus_dtype, mesh)
                 cimg_s = ctxt_s = None

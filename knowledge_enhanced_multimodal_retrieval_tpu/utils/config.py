@@ -287,8 +287,10 @@ class EvalConfig:
     # (fused bf16 Pallas kernels), or "int8" (fused W8A8 — fastest, ~1%
     # scores)
     encoder: str = "flax"
-    # pack the serving corpus as per-row int8 (half the HBM footprint)
-    quantize_corpus: bool = False
+    # pack the serving corpus: "" = exact, "int8"/"true" = per-row int8
+    # (half the HBM footprint), "int4" = nibble-packed int4 (quarter —
+    # the capacity mode; coarser rounding)
+    quantize_corpus: str = ""
     # shard the serving corpus over the mesh data axis (capacity scales
     # linearly with device count; composes with quantize_corpus)
     shard_corpus: bool = False
@@ -312,6 +314,25 @@ def resolve_encoder(encoder: str):
     if encoder not in ("flax", "fast", "int8"):
         raise ValueError(f"unknown eval.encoder {encoder!r}: expected flax|fast|int8")
     return encoder in ("fast", "int8"), "int8" if encoder == "int8" else None
+
+
+def resolve_quantize_corpus(value: str):
+    """Map ``eval.quantize_corpus`` to the :class:`CLIPRetrieval` mode.
+
+    Accepts the packing names (``"int8"``/``"int4"``) plus boolean spellings
+    for backward compatibility with the original on/off flag (``"true"`` =
+    int8). Single source of truth for serve and any future entry point.
+    """
+    v = str(value).strip().lower()
+    if v in ("", "0", "false", "no", "off", "none"):
+        return False
+    if v in ("1", "true", "yes", "on", "int8"):
+        return "int8"
+    if v == "int4":
+        return "int4"
+    raise ValueError(
+        f"unknown eval.quantize_corpus {value!r}: expected ''|true|int8|int4"
+    )
 
 
 @dataclass(frozen=True)

@@ -125,6 +125,52 @@ def test_clip_retrieval_int8_corpus(world):
     )
 
 
+def test_clip_retrieval_int4_corpus(world):
+    """Opt-in int4 corpus packing: quarter the corpus memory (nibble-packed
+    planes), rankings track the exact path within 4-bit rounding."""
+    model, params, tok, store, rt = world
+    base = CLIPRetrieval(model, params, tok, store, top_k=10)
+    q4c = CLIPRetrieval(model, params, tok, store, top_k=10, quantize_corpus="int4")
+    assert q4c.corpus_img.dtype == jnp.int8 and q4c.corpus_img_scale is not None
+    assert q4c.corpus_img.shape[1] == store.image.shape[1] // 2  # two dims per byte
+    a = base.retrieval("hello cat", alpha=0.5)
+    b = q4c.retrieval("hello cat", alpha=0.5)
+    assert a[0]["uuid"] == b[0]["uuid"]
+    assert len(set(x["uuid"] for x in a) & set(x["uuid"] for x in b)) >= 7
+    np.testing.assert_allclose(
+        [x["score"] for x in a], [x["score"] for x in b], atol=0.1
+    )
+
+
+def test_clip_retrieval_int4_sharded(world):
+    """int4 packing composes with mesh corpus sharding (4x per chip AND
+    linear in mesh size); results match the unsharded int4 path exactly."""
+    model, params, tok, store, rt = world
+    dense = CLIPRetrieval(model, params, tok, store, top_k=7, quantize_corpus="int4")
+    sharded = CLIPRetrieval(
+        model, params, tok, store, top_k=7, rt=rt, shard_corpus=True,
+        quantize_corpus="int4",
+    )
+    a = dense.retrieval("hello cat", alpha=0.6)
+    b = sharded.retrieval("hello cat", alpha=0.6)
+    assert [x["uuid"] for x in a] == [x["uuid"] for x in b]
+    np.testing.assert_allclose(
+        [x["score"] for x in a], [x["score"] for x in b], atol=1e-5
+    )
+
+
+def test_clip_retrieval_int4_rejects_ann(world):
+    model, params, tok, store, rt = world
+    with pytest.raises(ValueError, match="int8"):
+        CLIPRetrieval(model, params, tok, store, ann="ivf", quantize_corpus="int4")
+
+
+def test_clip_retrieval_rejects_unknown_quantize_corpus(world):
+    model, params, tok, store, rt = world
+    with pytest.raises(ValueError, match="quantize_corpus"):
+        CLIPRetrieval(model, params, tok, store, quantize_corpus="int2")
+
+
 def test_clip_retrieval_auto_encoder_respects_arch_support(world, monkeypatch):
     """On TPU, auto encoder selection must degrade to the flax tower for
     archs the fused kernels cannot tile (width % 128 != 0) — regression for
