@@ -101,8 +101,15 @@ def main(argv=None) -> None:
             # keep serving the old corpus until the update swaps in
             add_documents_fn=engine.clip_retriever.add_documents,
             remove_documents_fn=engine.clip_retriever.remove_documents,
+            # visual search (POST /search_image): decode/preprocess on the
+            # request thread, batch the encode+search device program
+            image_batch_fn=engine.retrieve_image_batch,
+            image_preprocess_fn=engine.clip_retriever.preprocess_images,
         )
-        logger.info("serving HTTP on %s:%d (/search, /documents, /healthz)", *server.address)
+        logger.info(
+            "serving HTTP on %s:%d (/search, /search_image, /documents, /healthz)",
+            *server.address,
+        )
         try:
             server.serve_forever()
         except KeyboardInterrupt:

@@ -168,15 +168,17 @@ class CLIPRetrieval:
         # compile per (ids-bucket, k, alpha) signature, cached after.
         # scales ride as ARGUMENTS (never close over arrays in jit on the
         # relay: constants serialize into the remote-compile request)
-        def _search_program(
-            params, ids, cimg, ctxt, cimg_s, ctxt_s, *, k: int, alpha: float, nprobe: int
+        def _score_fn(
+            q, cimg, ctxt, cimg_s, ctxt_s, *, k: int, alpha: float, nprobe: int
         ):
+            """Blend + top-k of query embeddings ``q`` against the corpus —
+            shared by the text program (which encodes first) and the
+            embedding-direct program (image queries / precomputed vectors)."""
             if self.ann == "ivf":
                 # cimg carries the packed index pytree (passed as an
                 # argument — index arrays must never be jit constants on
                 # the relay); scales are None unless quantize_corpus
                 ci, ct, pi, pt, pr, si, st = cimg
-                q = _encode_fn(params, ids)
                 index = IVFIndex(ci, ct, pi, pt, pr, 0.0, si, st)
                 if self.shard_corpus:
                     return sharded_ivf_search(
@@ -185,7 +187,7 @@ class CLIPRetrieval:
                     )
                 return ivf_search(q, index, k=k, nprobe=nprobe, alpha=alpha)
             if self.quantize_corpus:
-                q = _encode_fn(params, ids).astype(model.dtype)
+                q = q.astype(model.dtype)
                 sharded, fused, xla = (
                     (sharded_similarity_topk_q4, fused_similarity_topk_q4, similarity_topk_xla_q4)
                     if self.quantize_corpus == "int4"
@@ -199,7 +201,7 @@ class CLIPRetrieval:
                 if self.use_pallas:
                     return fused(q, cimg, cimg_s, ctxt, ctxt_s, k=k, alpha=alpha)
                 return xla(q, cimg, cimg_s, ctxt, ctxt_s, k=k, alpha=alpha)
-            q = _encode_fn(params, ids).astype(cimg.dtype)
+            q = q.astype(cimg.dtype)
             if self.shard_corpus:
                 return sharded_similarity_topk(
                     q, cimg, ctxt, k=k, alpha=alpha, mesh=self.rt.mesh, use_pallas=self.use_pallas
@@ -208,9 +210,22 @@ class CLIPRetrieval:
                 return fused_similarity_topk(q, cimg, ctxt, k=k, alpha=alpha)
             return similarity_topk_xla(q, cimg, ctxt, k=k, alpha=alpha)
 
+        def _search_program(
+            params, ids, cimg, ctxt, cimg_s, ctxt_s, *, k: int, alpha: float, nprobe: int
+        ):
+            q = _encode_fn(params, ids)
+            return _score_fn(q, cimg, ctxt, cimg_s, ctxt_s, k=k, alpha=alpha, nprobe=nprobe)
+
         self._search_program = jax.jit(
             _search_program, static_argnames=("k", "alpha", "nprobe")
         )
+        # embedding-direct search: same corpus scoring, the caller supplies
+        # L2-normalized [Q, D] query embeddings (image queries, cached or
+        # federated query vectors) instead of token ids
+        self._search_program_emb = jax.jit(
+            _score_fn, static_argnames=("k", "alpha", "nprobe")
+        )
+        self._encode_image = None  # built lazily on first image query
 
     # -- corpus state ----------------------------------------------------------
 
@@ -389,18 +404,7 @@ class CLIPRetrieval:
         self, c: _CorpusState, queries: Sequence[str], alpha: float, top_k: Optional[int]
     ):
         k = min(top_k or c.top_k, c.n_real)
-        # Pad rows score exactly 0 (zero vectors), which would displace
-        # negative-scoring real matches from the top-k; over-fetch past the
-        # pads so after sentinel filtering k REAL winners always survive.
-        # The slack is the bucket's MAXIMUM pad count (not the current one):
-        # k_fetch must stay constant across same-bucket updates or every
-        # add/remove would change the program's static k -> full recompile,
-        # defeating capacity_multiple (minutes per compile on the relay).
-        if self.ann == "ivf":
-            k_fetch = k  # ann probes the raw store; no pad rows
-        else:
-            max_pads = self._pad_multiple() - 1
-            k_fetch = min(k + max_pads, len(c.store))
+        k_fetch = self._k_fetch(c, k)
         ids = self._tokenize(queries)
         cimg = c.ivf_arrays if self.ann == "ivf" else c.corpus_img
         return self._search_program(
@@ -408,6 +412,127 @@ class CLIPRetrieval:
             c.corpus_img_scale, c.corpus_txt_scale,
             k=k_fetch, alpha=float(alpha), nprobe=c.nprobe,
         )
+
+    def _k_fetch(self, c: _CorpusState, k: int) -> int:
+        """Fetch width for a top-``k`` request against corpus state ``c``.
+
+        Pad rows score exactly 0 (zero vectors), which would displace
+        negative-scoring real matches from the top-k; over-fetch past the
+        pads so after sentinel filtering k REAL winners always survive.
+        The slack is the bucket's MAXIMUM pad count (not the current one):
+        k_fetch must stay constant across same-bucket updates or every
+        add/remove would change the program's static k -> full recompile,
+        defeating capacity_multiple (minutes per compile on the relay).
+        """
+        if self.ann == "ivf":
+            return k  # ann probes the raw store; no pad rows
+        max_pads = self._pad_multiple() - 1
+        return min(k + max_pads, len(c.store))
+
+    # -- image / embedding queries (TPU-native extension) -----------------------
+    # The reference serves text queries only (``src/retrieval.py:79``), but
+    # the precomputed corpus supports visual search for free: encode an image
+    # through the vision tower and blend it against both corpus towers with
+    # the SAME score program (the blend is linear in the query embedding).
+    # ``alpha=1.0`` is pure image-to-image search; intermediate values mix in
+    # the text tower. Embedding-direct search also serves cached or
+    # externally computed query vectors.
+
+    def _build_image_encoder(self):
+        from ..models.fast_encode import encode_image_fast, make_vision_plan
+
+        if self.use_fused_encoder:
+            plan = make_vision_plan(
+                self.params, dtype=self.model.dtype, quantize=self.quantize
+            )
+            fn = lambda p, px: l2_normalize(encode_image_fast(self.model.arch, p, px))
+            return jax.jit(fn), plan
+        fn = lambda p, px: l2_normalize(
+            self.model.apply({"params": p}, px, method=CLIP.encode_image)
+        )
+        return jax.jit(fn), self.params
+
+    def encode_images(self, pixels) -> jax.Array:
+        """Preprocessed pixel batch [B, S, S, 3] -> L2-normalized [B, D].
+
+        Uses the same encoder tier as text queries (flax / fused bf16 / W8A8
+        int8); the vision plan is built lazily on the first image query so
+        text-only deployments pay nothing.
+        """
+        if self._encode_image is None:
+            self._encode_image = self._build_image_encoder()
+        fn, enc_params = self._encode_image
+        return fn(enc_params, jnp.asarray(pixels))
+
+    def preprocess_images(self, images) -> np.ndarray:
+        """Decode + preprocess a heterogeneous image batch to [B, S, S, 3].
+
+        Accepts PIL images, encoded bytes, file paths, raw HWC uint8 arrays
+        — or already-preprocessed float32 [S, S, 3] arrays, passed through
+        unchanged.
+        """
+        from ..data.preprocess import preprocess_pil
+
+        size = self.model.arch.image_resolution
+        out = []
+        for im in images:
+            if (
+                isinstance(im, np.ndarray)
+                and im.dtype == np.float32
+                and im.shape == (size, size, 3)
+            ):
+                out.append(im)
+            else:
+                out.append(preprocess_pil(im, size=size))
+        return np.stack(out)
+
+    def search_embeddings_batch(
+        self, q_emb, alpha: float = 0.5, top_k: Optional[int] = None
+    ):
+        """Batched search from L2-normalized [Q, D] query embeddings —
+        the embedding-direct twin of :meth:`search_batch` (same over-fetch
+        semantics; filter via :meth:`results_from_topk`)."""
+        return self._search_state_emb(self._corpus, q_emb, alpha, top_k)
+
+    def _search_state_emb(
+        self, c: _CorpusState, q_emb, alpha: float, top_k: Optional[int]
+    ):
+        k = min(top_k or c.top_k, c.n_real)
+        cimg = c.ivf_arrays if self.ann == "ivf" else c.corpus_img
+        return self._search_program_emb(
+            jnp.asarray(q_emb), cimg, c.corpus_txt,
+            c.corpus_img_scale, c.corpus_txt_scale,
+            k=self._k_fetch(c, k), alpha=float(alpha), nprobe=c.nprobe,
+        )
+
+    def retrieval_embeddings_batch(
+        self, q_emb, alpha: float = 0.5, top_k: Optional[int] = None
+    ) -> List[List[Dict]]:
+        """Embedding-direct search -> one ``[{"uuid", "score"}]`` per query."""
+        c = self._corpus  # one snapshot: search and uuid mapping stay aligned
+        k = min(top_k or c.top_k, c.n_real)
+        vals, idx = self._search_state_emb(c, q_emb, alpha, top_k)
+        return self.results_from_topk(
+            np.asarray(vals, np.float32), np.asarray(idx), _state=c, top_k=k
+        )
+
+    def retrieval_image_batch(
+        self, images: Sequence, alpha: float = 0.5, top_k: Optional[int] = None
+    ) -> List[List[Dict]]:
+        """Visual search: a batch of images -> ranked corpus matches each.
+
+        ``images`` as accepted by :meth:`preprocess_images`. ``alpha``
+        blends the image-embedding similarity against the corpus image
+        tower (T2I-analog) vs text tower: 1.0 = pure image-to-image.
+        """
+        q = self.encode_images(self.preprocess_images(images))
+        return self.retrieval_embeddings_batch(q, alpha=alpha, top_k=top_k)
+
+    def retrieval_image(
+        self, image, alpha: float = 0.5, top_k: Optional[int] = None
+    ) -> List[Dict]:
+        """Single-image visual search -> ``[{"uuid", "score"}]`` descending."""
+        return self.retrieval_image_batch([image], alpha=alpha, top_k=top_k)[0]
 
     def search_batches_pipelined(
         self,

@@ -144,6 +144,37 @@ class RetrievalEngine:
         clip_lists = self.clip_retriever.retrieval_batch(queries, alpha=alpha_clip)
         return [self._apply_threshold(results, threshold) for results in clip_lists]
 
+    # -- visual search (TPU-native extension; the reference has no image-
+    # query path — its corpus towers only ever meet text queries) -------------
+
+    def retrieve_image(
+        self,
+        image,
+        alpha_clip: Optional[float] = None,
+        threshold: Optional[float] = None,
+    ) -> List[Dict]:
+        """Image-query retrieval over the same corpus (CLIP-only: Text2SPARQL
+        has no image modality, so there is no knowledge fusion to apply).
+
+        ``image`` as accepted by :meth:`CLIPRetrieval.preprocess_images`
+        (PIL / bytes / path / array). ``alpha_clip`` blends the image
+        embedding against the corpus image vs text towers (1.0 = pure
+        image-to-image similarity).
+        """
+        return self.retrieve_image_batch([image], alpha_clip, threshold)[0]
+
+    def retrieve_image_batch(
+        self,
+        images: Sequence,
+        alpha_clip: Optional[float] = None,
+        threshold: Optional[float] = None,
+    ) -> List[List[Dict]]:
+        """Batched visual search — one device program for the whole batch."""
+        alpha_clip = self.fusion.alpha_clip if alpha_clip is None else alpha_clip
+        threshold = self.fusion.threshold if threshold is None else threshold
+        lists = self.clip_retriever.retrieval_image_batch(images, alpha=alpha_clip)
+        return [self._apply_threshold(results, threshold) for results in lists]
+
     def retrieve_text_noknowledge_batches(
         self,
         query_batches,

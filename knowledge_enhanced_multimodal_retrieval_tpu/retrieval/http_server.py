@@ -10,6 +10,10 @@ Endpoints:
 - ``GET /search?q=<query>[&n=<top-n>]`` -> ``{"query", "results"}``
 - ``POST /search`` with JSON body ``{"query": "...", "n": 20}`` or
   ``{"queries": ["...", ...]}``        -> one or many result lists
+- ``POST /search_image`` (when an image search hook is wired) with
+  ``{"image": "<base64 PNG/JPEG>", "n": 20}`` or ``{"images": [...]}`` ->
+  visual search over the same corpus; image requests micro-batch through
+  their own aggregator (separate jit bucket space from text)
 - ``POST /documents`` (when update hooks are wired) with
   ``{"documents": [{"uuid", "image_embedding", "text_embedding"}, ...]}``
   -> live corpus ingest; ``DELETE /documents`` with ``{"uuids": [...]}``
@@ -57,11 +61,26 @@ class RetrievalHTTPServer:
         max_pending: int = 0,
         add_documents_fn: Optional[Callable] = None,
         remove_documents_fn: Optional[Callable] = None,
+        image_batch_fn: Optional[Callable] = None,
+        image_preprocess_fn: Optional[Callable] = None,
+        max_image_batch: int = 64,
     ):
         self.batcher = MicroBatcher(
             batch_fn, max_batch=max_batch, max_wait_ms=max_wait_ms, max_pending=max_pending
         )
         batcher = self.batcher
+        # image queries ride their own aggregator: batching them with text
+        # would mix modalities in one list, and their compiled-program bucket
+        # space ([B, S, S, 3] pixels vs token ids) is disjoint anyway
+        self.image_batcher = (
+            MicroBatcher(
+                image_batch_fn, max_batch=max_image_batch,
+                max_wait_ms=max_wait_ms, max_pending=max_pending,
+            )
+            if image_batch_fn is not None
+            else None
+        )
+        image_batcher = self.image_batcher
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, fmt, *args):  # quiet by default
@@ -173,10 +192,59 @@ class RetrievalHTTPServer:
                     return
                 self._send(200, {"added": len(uuids)})
 
+            def _post_search_image(self):
+                if image_batcher is None:
+                    self._send(501, {"error": "image search not enabled"})
+                    return
+                payload, err = self._read_json()
+                if err:
+                    self._send(400, {"error": err})
+                    return
+                n, err = _parse_n(payload.get("n", default_n))
+                if err:
+                    self._send(400, {"error": err})
+                    return
+                import base64
+
+                raw = payload.get("images")
+                single = "image" in payload and raw is None
+                if single:
+                    raw = [payload["image"]]
+                if not isinstance(raw, list) or not raw:
+                    self._send(400, {"error": "body needs 'image' or a non-empty 'images' list"})
+                    return
+                try:
+                    blobs = [base64.b64decode(b, validate=True) for b in raw]
+                except Exception as e:
+                    self._send(400, {"error": f"images must be base64-encoded: {e}"})
+                    return
+                if image_preprocess_fn is not None:
+                    # decode + preprocess on the REQUEST thread: a corrupt
+                    # image fails only its own request (400), never the
+                    # micro-batch it would have shared with other callers
+                    try:
+                        blobs = list(image_preprocess_fn(blobs))
+                    except Exception as e:
+                        self._send(400, {"error": f"bad image: {e}"})
+                        return
+                try:
+                    futs = [image_batcher.submit(b) for b in blobs]
+                    out = [f.result()[:n] for f in futs]
+                except Overloaded as e:
+                    self._send(503, {"error": str(e)})
+                    return
+                except Exception as e:  # bad image bytes or backend failure
+                    self._send(502, {"error": str(e)})
+                    return
+                self._send(200, {"results": out[0] if single else out})
+
             def do_POST(self):
                 url = urlparse(self.path)
                 if url.path == "/documents":
                     self._post_documents()
+                    return
+                if url.path == "/search_image":
+                    self._post_search_image()
                     return
                 if url.path != "/search":
                     self._send(404, {"error": f"unknown path {url.path}"})
@@ -234,6 +302,8 @@ class RetrievalHTTPServer:
         if self._thread is not None:
             self._thread.join()
         self.batcher.close()
+        if self.image_batcher is not None:
+            self.image_batcher.close()
 
     def __enter__(self) -> "RetrievalHTTPServer":
         return self.start()

@@ -171,6 +171,76 @@ def test_clip_retrieval_rejects_unknown_quantize_corpus(world):
         CLIPRetrieval(model, params, tok, store, quantize_corpus="int2")
 
 
+# -- image / embedding queries ------------------------------------------------
+
+
+def test_embedding_direct_self_retrieval(world):
+    """Feeding a corpus image-tower row back as the query (alpha=1: pure
+    image-to-image) must retrieve that row first — score 1.0 (self cosine)."""
+    model, params, tok, store, rt = world
+    r = CLIPRetrieval(model, params, tok, store, top_k=5)
+    q = store.image[:4]
+    lists = r.retrieval_embeddings_batch(q, alpha=1.0)
+    for i, results in enumerate(lists):
+        assert results[0]["uuid"] == store.uuids[i]
+        assert results[0]["score"] == pytest.approx(1.0, abs=1e-3)
+
+
+def test_retrieval_image_matches_manual_encode(world):
+    """retrieval_image == preprocess + flax vision encode + embedding search."""
+    model, params, tok, store, rt = world
+    r = CLIPRetrieval(model, params, tok, store, top_k=8)
+    rng = np.random.default_rng(7)
+    raw = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+    got = r.retrieval_image(raw, alpha=0.6)
+    pixels = r.preprocess_images([raw])
+    emb = M.encode_image(model, params, jnp.asarray(pixels), normalize=True)
+    want = r.retrieval_embeddings_batch(np.asarray(emb), alpha=0.6)[0]
+    assert [x["uuid"] for x in got] == [x["uuid"] for x in want]
+    np.testing.assert_allclose(
+        [x["score"] for x in got], [x["score"] for x in want], atol=1e-5
+    )
+
+
+def test_retrieval_image_alpha_semantics(world):
+    """alpha=1.0 scores against the image tower only; alpha=0.0 text only —
+    the two rankings must differ on a random corpus."""
+    model, params, tok, store, rt = world
+    r = CLIPRetrieval(model, params, tok, store, top_k=10)
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+    a = r.retrieval_image(raw, alpha=1.0)
+    b = r.retrieval_image(raw, alpha=0.0)
+    assert [x["uuid"] for x in a] != [x["uuid"] for x in b]
+
+
+def test_embedding_search_composes_with_packed_corpus(world):
+    """Embedding-direct search rides the same packed/exact score program."""
+    model, params, tok, store, rt = world
+    exact = CLIPRetrieval(model, params, tok, store, top_k=10)
+    q8c = CLIPRetrieval(model, params, tok, store, top_k=10, quantize_corpus="int8")
+    q = store.image[2:3]
+    a = exact.retrieval_embeddings_batch(q, alpha=1.0)[0]
+    b = q8c.retrieval_embeddings_batch(q, alpha=1.0)[0]
+    assert a[0]["uuid"] == b[0]["uuid"] == store.uuids[2]
+    assert len({x["uuid"] for x in a} & {x["uuid"] for x in b}) >= 8
+
+
+def test_engine_retrieve_image_batch(world):
+    """Engine-level visual search: threshold semantics applied, CLIP-only."""
+    model, params, tok, store, rt = world
+    r = CLIPRetrieval(model, params, tok, store, top_k=10)
+    engine = RetrievalEngine(r)
+    rng = np.random.default_rng(11)
+    imgs = [rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8) for _ in range(3)]
+    out = engine.retrieve_image_batch(imgs, threshold=-1.0)
+    assert len(out) == 3 and all(len(res) == 10 for res in out)
+    raw = r.retrieval_image_batch(imgs)
+    assert [x["uuid"] for x in out[0]] == [x["uuid"] for x in raw[0]]
+    # a high threshold filters everything (cosines of random data are < 0.9)
+    assert engine.retrieve_image(imgs[0], threshold=0.9) == []
+
+
 def test_clip_retrieval_auto_encoder_respects_arch_support(world, monkeypatch):
     """On TPU, auto encoder selection must degrade to the flax tower for
     archs the fused kernels cannot tile (width % 128 != 0) — regression for

@@ -298,6 +298,72 @@ def test_http_document_endpoints():
         assert ei.value.code == 501
 
 
+def test_http_image_search():
+    """POST /search_image: base64 decode, per-request preprocess isolation,
+    501 when not wired, 400 on bad base64 / bad image."""
+    import base64
+    import json as json_mod
+    import urllib.error
+    from urllib.request import Request, urlopen
+
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval import RetrievalHTTPServer
+
+    def post(base, path, payload):
+        req = Request(
+            f"{base}{path}", data=json_mod.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        return json_mod.load(urlopen(req, timeout=10))
+
+    def batch_fn(queries):
+        return [[] for _ in queries]
+
+    # not wired -> 501
+    with RetrievalHTTPServer(batch_fn, port=0, max_wait_ms=1.0) as srv:
+        base = "http://{}:{}".format(*srv.address)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post(base, "/search_image", {"image": base64.b64encode(b"x").decode()})
+        assert ei.value.code == 501
+
+    def image_batch_fn(imgs):
+        # imgs arrive preprocessed (here: upper-cased by the fake preprocess)
+        return [[{"uuid": f"img-{b.decode()}", "score": 1.0}] for b in imgs]
+
+    def preprocess_fn(blobs):
+        out = []
+        for b in blobs:
+            if b == b"corrupt":
+                raise ValueError("cannot decode")
+            out.append(b.upper())
+        return out
+
+    with RetrievalHTTPServer(
+        batch_fn, port=0, max_wait_ms=1.0,
+        image_batch_fn=image_batch_fn, image_preprocess_fn=preprocess_fn,
+    ) as srv:
+        base = "http://{}:{}".format(*srv.address)
+        b64 = lambda b: base64.b64encode(b).decode()  # noqa: E731
+        out = post(base, "/search_image", {"image": b64(b"cat")})
+        assert out["results"][0]["uuid"] == "img-CAT"  # single image -> one list
+        out = post(base, "/search_image", {"images": [b64(b"a"), b64(b"b")], "n": 1})
+        assert [r[0]["uuid"] for r in out["results"]] == ["img-A", "img-B"]
+        # bad base64 -> 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post(base, "/search_image", {"image": "not-base64!!!"})
+        assert ei.value.code == 400
+        # preprocess failure (corrupt image) -> 400, isolated to this request
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post(base, "/search_image", {"image": b64(b"corrupt")})
+        assert ei.value.code == 400
+        # the server still serves after the failure
+        out = post(base, "/search_image", {"image": b64(b"ok")})
+        assert out["results"][0]["uuid"] == "img-OK"
+        # missing payload -> 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post(base, "/search_image", {})
+        assert ei.value.code == 400
+
+
 def test_http_close_without_start_does_not_deadlock():
     from knowledge_enhanced_multimodal_retrieval_tpu.retrieval.http_server import RetrievalHTTPServer
 
