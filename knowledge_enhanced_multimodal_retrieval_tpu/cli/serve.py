@@ -56,6 +56,8 @@ def build_engine(cfg, store_path: str) -> RetrievalEngine:
         ann_nlist=cfg.eval.ann_nlist or None,
         ann_nprobe=cfg.eval.ann_nprobe,
         capacity_multiple=cfg.eval.capacity_multiple,
+        rerank=cfg.eval.rerank,
+        rerank_factor=cfg.eval.rerank_factor,
     )
 
     t2s = None

@@ -85,6 +85,8 @@ class CLIPRetrieval:
         ann_nprobe: int = 8,
         ann_capacity_factor: float = 1.5,
         capacity_multiple: int = 1,
+        rerank: bool = False,
+        rerank_factor: int = 4,
     ):
         self.model = model
         self.params = params
@@ -146,6 +148,19 @@ class CLIPRetrieval:
             raise ValueError(f"unknown ann mode {ann!r} (expected None or 'ivf')")
         if ann == "ivf" and self.quantize_corpus == "int4":
             raise ValueError("ann='ivf' composes with int8 corpus packing only")
+        # Host-side exact rerank (opt-in): the device program over-fetches
+        # rerank_factor * k candidates from the packed/approximate corpus,
+        # then the f32 corpus ALREADY RESIDENT IN HOST RAM (EmbeddingStore)
+        # rescores just those rows exactly and re-sorts. The classic
+        # two-tier serving shape: packed corpus on-chip for the big scan
+        # (int8 = 2x, int4 = 4x capacity), exact rows on the host for final
+        # precision — quantization rounding can no longer reorder the final
+        # top-k (given the winners were fetched). With an exact device
+        # corpus it still upgrades bf16 score rounding to f32.
+        if rerank_factor < 1:
+            raise ValueError(f"rerank_factor must be >= 1, got {rerank_factor}")
+        self.rerank = bool(rerank)
+        self.rerank_factor = int(rerank_factor)
         self.ann = ann
         self.ann_nprobe = ann_nprobe
         self._ann_nlist = ann_nlist
@@ -214,7 +229,12 @@ class CLIPRetrieval:
             params, ids, cimg, ctxt, cimg_s, ctxt_s, *, k: int, alpha: float, nprobe: int
         ):
             q = _encode_fn(params, ids)
-            return _score_fn(q, cimg, ctxt, cimg_s, ctxt_s, k=k, alpha=alpha, nprobe=nprobe)
+            vals, idx = _score_fn(
+                q, cimg, ctxt, cimg_s, ctxt_s, k=k, alpha=alpha, nprobe=nprobe
+            )
+            # host rerank needs the query embeddings; ship them with the
+            # winners ([Q, D] extra fetch — trivial next to the search)
+            return (vals, idx, q) if self.rerank else (vals, idx)
 
         self._search_program = jax.jit(
             _search_program, static_argnames=("k", "alpha", "nprobe")
@@ -397,6 +417,10 @@ class CLIPRetrieval:
         winners — filter/truncate via :meth:`results_from_topk` (or use
         :meth:`retrieval_batch`, which does both). The returned arrays are
         device futures (async dispatch); ``np.asarray`` to synchronize.
+        With ``rerank=True`` the tuple carries a third element (the [Q, D]
+        query embeddings) and ``k_fetch`` also covers the rerank
+        over-fetch; the raw device ordering is NOT reranked — use
+        :meth:`retrieval_batch` for reranked results.
         """
         return self._search_state(self._corpus, queries, alpha, top_k)
 
@@ -424,10 +448,55 @@ class CLIPRetrieval:
         add/remove would change the program's static k -> full recompile,
         defeating capacity_multiple (minutes per compile on the relay).
         """
+        if self.rerank:
+            # over-fetch candidates for the host rerank; clamp to real rows
+            # via len(store) below (stable within a capacity bucket)
+            k = k * self.rerank_factor
         if self.ann == "ivf":
-            return k  # ann probes the raw store; no pad rows
+            return min(k, c.n_real) if self.rerank else k  # no pad rows
         max_pads = self._pad_multiple() - 1
         return min(k + max_pads, len(c.store))
+
+    # -- host-side exact rerank (TPU-native extension) ---------------------------
+
+    def _rerank_host(
+        self, c: _CorpusState, q, vals, idx, alpha: float
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Exactly rescore the fetched candidates against the f32 host corpus.
+
+        ``q`` [Q, D] query embeddings, ``idx`` [Q, R] candidate rows (−1 =
+        ann sentinel). The store's f32 rows are authoritative: packed-corpus
+        rounding (int8/int4) and bf16 score rounding disappear from the
+        final ordering. Pad rows are zero vectors (score 0), filtered
+        downstream by uuid exactly like the device path.
+        """
+        q = np.asarray(q, np.float32)
+        idx_np = np.asarray(idx)
+        safe = np.maximum(idx_np, 0)
+        img = c.store.image[safe]  # [Q, R, D] f32 host gather
+        txt = c.store.text[safe]
+        s = alpha * np.einsum("qd,qrd->qr", q, img) + (1.0 - alpha) * np.einsum(
+            "qd,qrd->qr", q, txt
+        )
+        s = np.where(idx_np >= 0, s, -np.inf).astype(np.float32)
+        order = np.argsort(-s, axis=1, kind="stable")
+        return np.take_along_axis(s, order, 1), np.take_along_axis(idx_np, order, 1)
+
+    def _finish_results(
+        self, c: _CorpusState, out, alpha: float, k: int, q_emb=None
+    ) -> List[List[Dict]]:
+        """Device program output -> per-query result dicts (rerank-aware)."""
+        if self.rerank:
+            if q_emb is None:
+                vals, idx, q = out
+            else:
+                (vals, idx), q = out, q_emb
+            vals, idx = self._rerank_host(c, q, vals, idx, float(alpha))
+        else:
+            vals, idx = out
+        return self.results_from_topk(
+            np.asarray(vals, np.float32), np.asarray(idx), _state=c, top_k=k
+        )
 
     # -- image / embedding queries (TPU-native extension) -----------------------
     # The reference serves text queries only (``src/retrieval.py:79``), but
@@ -511,9 +580,9 @@ class CLIPRetrieval:
         """Embedding-direct search -> one ``[{"uuid", "score"}]`` per query."""
         c = self._corpus  # one snapshot: search and uuid mapping stay aligned
         k = min(top_k or c.top_k, c.n_real)
-        vals, idx = self._search_state_emb(c, q_emb, alpha, top_k)
-        return self.results_from_topk(
-            np.asarray(vals, np.float32), np.asarray(idx), _state=c, top_k=k
+        out = self._search_state_emb(c, q_emb, alpha, top_k)
+        return self._finish_results(
+            c, out, float(alpha), k, q_emb=np.asarray(q_emb, np.float32)
         )
 
     def retrieval_image_batch(
@@ -554,10 +623,10 @@ class CLIPRetrieval:
         for queries in query_batches:
             pending.append(self.search_batch(queries, alpha=alpha, top_k=top_k))
             if len(pending) >= max(1, depth):
-                vals, idx = pending.popleft()
+                vals, idx = pending.popleft()[:2]
                 yield np.asarray(vals), np.asarray(idx)
         while pending:
-            vals, idx = pending.popleft()
+            vals, idx = pending.popleft()[:2]
             yield np.asarray(vals), np.asarray(idx)
 
     def retrieval_batches(
@@ -585,10 +654,8 @@ class CLIPRetrieval:
             return c, k, self._search_state(c, queries, alpha, top_k)
 
         def finish(item):
-            c, k, (vals, idx) = item
-            return self.results_from_topk(
-                np.asarray(vals, np.float32), np.asarray(idx), _state=c, top_k=k
-            )
+            c, k, out = item
+            return self._finish_results(c, out, float(alpha), k)
 
         for queries in query_batches:
             pending.append(dispatch(queries))
@@ -640,10 +707,8 @@ class CLIPRetrieval:
         """
         c = self._corpus  # one snapshot: search and uuid mapping stay aligned
         k = min(top_k or c.top_k, c.n_real)
-        vals, idx = self._search_state(c, queries, alpha, top_k)
-        return self.results_from_topk(
-            np.asarray(vals, np.float32), np.asarray(idx), _state=c, top_k=k
-        )
+        out = self._search_state(c, queries, alpha, top_k)
+        return self._finish_results(c, out, float(alpha), k)
 
     def retrieval(self, query: str, alpha: float = 0.5, top_k: Optional[int] = None) -> List[Dict]:
         """Single-query search -> ``[{"uuid", "score"}]`` sorted descending

@@ -303,6 +303,11 @@ class EvalConfig:
     # updates within a bucket reuse the compiled search program (1 = exact
     # current-size arrays)
     capacity_multiple: int = 1
+    # host-side exact rerank of the device top candidates (two-tier
+    # serving: packed corpus on-chip, f32 rows in host RAM rescore the
+    # winners); rerank_factor x k candidates are fetched per query
+    rerank: bool = False
+    rerank_factor: int = 4
 
 
 def resolve_encoder(encoder: str):
