@@ -83,11 +83,25 @@ def main(argv=None) -> None:
     # 0 = queue without bound; >0 = load-shed (HTTP 503) past that many
     # pending requests, keeping tail latency bounded under overload
     max_pending = int(pop_flag(args, "--max-pending", "0"))
+    # comma-separated batch-size buckets to precompile before serving (the
+    # first request of a cold bucket pays a full jit compile — minutes on a
+    # relay backend); should mirror the MicroBatcher's power-of-two buckets
+    warmup = pop_flag(args, "--warmup")
     cfg = config_from_argv(args)
     logger = setup_logger("kemr_tpu.cli.serve")
     engine = build_engine(cfg, store_path)
     mode = "knowledge-enhanced" if engine.t2s_retriever else "CLIP-only (no KG endpoints configured)"
     logger.info("engine ready: %s", mode)
+    if warmup:
+        import time as _time
+
+        sizes = [int(x) for x in warmup.split(",") if x.strip()]
+        t0 = _time.monotonic()
+        n = engine.clip_retriever.warmup(sizes, alpha=cfg.fusion.alpha_clip)
+        logger.info(
+            "warmed %d programs for batch buckets %s in %.1fs",
+            n, sizes, _time.monotonic() - t0,
+        )
 
     if http_port is not None:
         # HTTP daemon: concurrent clients aggregate through the MicroBatcher

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..data.tokenizer import DEFAULT_BUCKETS as _WARMUP_BUCKETS
 from ..data.tokenizer import CLIPTokenizer, trim_to_bucket
 from ..models.clip import CLIP, l2_normalize
 from ..models.fast_encode import encode_text_fast, make_text_plan
@@ -456,6 +457,54 @@ class CLIPRetrieval:
             return min(k, c.n_real) if self.rerank else k  # no pad rows
         max_pads = self._pad_multiple() - 1
         return min(k + max_pads, len(c.store))
+
+    # -- warmup (TPU-native extension) -------------------------------------------
+
+    def warmup(
+        self,
+        batch_sizes: Sequence[int],
+        *,
+        alpha: float = 0.5,
+        top_k: Optional[int] = None,
+        seq_buckets: Optional[Sequence[int]] = None,
+        image: bool = False,
+    ) -> int:
+        """Precompile the search program for the given shape buckets.
+
+        On a jit backend the FIRST request of every (batch-bucket,
+        seq-bucket, k, alpha) signature pays a full compile — minutes on the
+        relay chip — so a production daemon should warm the buckets its
+        traffic will hit before accepting connections. ``batch_sizes``
+        should mirror the MicroBatcher's power-of-two buckets; ``alpha`` and
+        ``top_k`` must match production values (they are static in the
+        compiled program). ``image=True`` additionally warms the image-query
+        program per batch size. Returns the number of programs executed.
+        """
+        c = self._corpus
+        k = min(top_k or c.top_k, c.n_real)
+        ctx = self.model.arch.context_length
+        buckets = sorted({b for b in (seq_buckets or _WARMUP_BUCKETS) if b <= ctx}) or [ctx]
+        cimg = c.ivf_arrays if self.ann == "ivf" else c.corpus_img
+        count = 0
+        for b in batch_sizes:
+            if b < 1:
+                raise ValueError(f"warmup batch size must be >= 1, got {b}")
+            for s in buckets:
+                ids = np.ones((int(b), int(s)), np.int32)
+                out = self._search_program(
+                    self._enc_params, jnp.asarray(ids), cimg, c.corpus_txt,
+                    c.corpus_img_scale, c.corpus_txt_scale,
+                    k=self._k_fetch(c, k), alpha=float(alpha), nprobe=c.nprobe,
+                )
+                jax.block_until_ready(out)
+                count += 1
+            if image:
+                size = self.model.arch.image_resolution
+                pixels = np.zeros((int(b), size, size, 3), np.float32)
+                out = self._search_state_emb(c, self.encode_images(pixels), alpha, top_k)
+                jax.block_until_ready(out)
+                count += 1
+        return count
 
     # -- host-side exact rerank (TPU-native extension) ---------------------------
 

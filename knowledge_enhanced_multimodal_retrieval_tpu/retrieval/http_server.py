@@ -97,7 +97,10 @@ class RetrievalHTTPServer:
             def do_GET(self):
                 url = urlparse(self.path)
                 if url.path == "/healthz":
-                    self._send(200, {"ok": True, "stats": batcher.stats})
+                    payload = {"ok": True, "stats": batcher.stats}
+                    if image_batcher is not None:
+                        payload["image_stats"] = image_batcher.stats
+                    self._send(200, payload)
                     return
                 if url.path == "/search":
                     params = parse_qs(url.query)

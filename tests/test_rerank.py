@@ -145,6 +145,36 @@ def test_rerank_factor_validation(world):
         CLIPRetrieval(model, params, tok, store, rerank=True, rerank_factor=0)
 
 
+def test_warmup_precompiles_buckets(world):
+    """warmup() executes one program per (batch, seq-bucket) and the warmed
+    shapes then serve without tracing again (jit cache hit)."""
+    model, params, tok, store, rt = world
+    r = CLIPRetrieval(model, params, tok, store, top_k=5)
+    n = r.warmup([1, 4], alpha=0.5)
+    assert n == 2  # tiny arch: one seq bucket (context 16)
+    traced = r._search_program._cache_size() if hasattr(r._search_program, "_cache_size") else None
+    assert r.retrieval("hello cat", alpha=0.5)  # warmed single-query path
+    if traced is not None:
+        assert r._search_program._cache_size() == traced  # no new compile
+
+
+def test_warmup_image_program(world):
+    model, params, tok, store, rt = world
+    r = CLIPRetrieval(model, params, tok, store, top_k=5)
+    n = r.warmup([2], alpha=0.5, image=True)
+    assert n == 2  # text bucket + image program
+    rng = np.random.default_rng(1)
+    imgs = [rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8) for _ in range(2)]
+    assert len(r.retrieval_image_batch(imgs)) == 2
+
+
+def test_warmup_validates_batch_size(world):
+    model, params, tok, store, rt = world
+    r = CLIPRetrieval(model, params, tok, store, top_k=5)
+    with pytest.raises(ValueError, match="batch size"):
+        r.warmup([0])
+
+
 def test_rerank_survives_live_update(world):
     """After add_documents, rerank maps candidates through the NEW store."""
     model, params, tok, store, rt = world

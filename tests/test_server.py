@@ -362,6 +362,9 @@ def test_http_image_search():
         with pytest.raises(urllib.error.HTTPError) as ei:
             post(base, "/search_image", {})
         assert ei.value.code == 400
+        # /healthz reports the image batcher alongside the text one
+        health = json_mod.load(urlopen(f"{base}/healthz", timeout=10))
+        assert health["image_stats"]["served"] >= 4
 
 
 def test_http_close_without_start_does_not_deadlock():
