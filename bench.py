@@ -268,14 +268,17 @@ def main() -> None:
         q = l2_normalize(encode_text_fast(model.arch, plan, ids)).astype(cimg.dtype)
         return fused_similarity_topk(q, cimg, ctxt, k=args.k, alpha=args.alpha, interpret=False)
 
-    # int8* = opt-in W8A8 / int8-corpus quantization (scores within ~1% of
-    # bf16); every other candidate is exact math
-    QUANTIZED = {"int8-encoder+topk", "int8-enc+int8-corpus"}
+    # int8*/int4* = opt-in W8A8 / packed-corpus quantization (int8 scores
+    # within ~1% of bf16; int4 is the 4x-capacity mode); every other
+    # candidate is exact math
+    QUANTIZED = {"int8-encoder+topk", "int8-enc+int8-corpus", "int8-enc+int4-corpus"}
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
         from knowledge_enhanced_multimodal_retrieval_tpu.ops.similarity import (
+            fused_similarity_topk_q4,
             fused_similarity_topk_q8,
             quantize_corpus,
+            quantize_corpus_host_q4,
         )
 
         # fused-block Pallas encoder plans (one-time weight packing)
@@ -283,8 +286,10 @@ def main() -> None:
         plan_q8 = make_text_plan(params, quantize="int8")
         cimg_q, cimg_s = quantize_corpus(corpus_img)
         ctxt_q, ctxt_s = quantize_corpus(corpus_txt)
+        cimg_q4, cimg_s4 = quantize_corpus_host_q4(np.asarray(corpus_img, np.float32))
+        ctxt_q4, ctxt_s4 = quantize_corpus_host_q4(np.asarray(corpus_txt, np.float32))
 
-        # int8 corpus rides via the cimg/ctxt args of the timing loop —
+        # packed corpora ride via the cimg/ctxt args of the timing loop —
         # never close over big arrays in jit on the relay (413 errors)
         def native_q8_corpus(plan, ids, cimg, ctxt):
             q = l2_normalize(encode_text_fast(model.arch, plan, ids)).astype(jnp.bfloat16)
@@ -292,8 +297,15 @@ def main() -> None:
                 q, cimg, cimg_s, ctxt, ctxt_s, k=args.k, alpha=args.alpha
             )
 
+        def native_q4_corpus(plan, ids, cimg, ctxt):
+            q = l2_normalize(encode_text_fast(model.arch, plan, ids)).astype(jnp.bfloat16)
+            return fused_similarity_topk_q4(
+                q, cimg, cimg_s4, ctxt, ctxt_s4, k=args.k, alpha=args.alpha
+            )
+
         candidates = [
             ("int8-enc+int8-corpus", native_q8_corpus, plan_q8, cimg_q, ctxt_q),
+            ("int8-enc+int4-corpus", native_q4_corpus, plan_q8, cimg_q4, ctxt_q4),
             ("int8-encoder+topk", native_fused_enc, plan_q8, corpus_img, corpus_txt),
             ("fused-encoder+topk", native_fused_enc, plan, corpus_img, corpus_txt),
             ("fused-pallas", native, params, corpus_img, corpus_txt),
