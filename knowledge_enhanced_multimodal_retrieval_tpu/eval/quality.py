@@ -1,0 +1,134 @@
+"""Retrieval-quality sweep across corpus packings — "should I enable int4?"
+
+The packed-corpus modes (int8 = 2x capacity, int4 = 4x, IVF = sublinear
+probing, host rerank) trade precision or probe width for capacity/latency.
+This module measures exactly what each trade costs ON YOUR EMBEDDINGS:
+top-k agreement against the exact brute-force ranking, top-1 retention,
+and score error — the numbers behind the CLIPRetrieval knobs
+(``quantize_corpus``, ``ann``, ``rerank``). The reference has no analogue
+(it ships one exact path, ``src/clip/clip_retrieval.py:26-37``).
+
+Run ``python scripts/quality_sweep.py --store store.npz`` for the CLI.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.similarity import (
+    quantize_corpus_host,
+    quantize_corpus_host_q4,
+    similarity_topk_xla,
+    similarity_topk_xla_q4,
+    similarity_topk_xla_q8,
+)
+from ..retrieval.ann import build_ivf_index, ivf_search
+
+
+def _host_rerank(queries, image, text, vals, idx, alpha, k):
+    """Exact f32 rescore of fetched candidates (mirrors CLIPRetrieval)."""
+    idx = np.asarray(idx)
+    safe = np.maximum(idx, 0)
+    s = alpha * np.einsum("qd,qrd->qr", queries, image[safe]) + (
+        1.0 - alpha
+    ) * np.einsum("qd,qrd->qr", queries, text[safe])
+    s = np.where(idx >= 0, s, -np.inf).astype(np.float32)
+    order = np.argsort(-s, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(s, order, 1), np.take_along_axis(idx, order, 1)
+
+
+def _agreement(exact_idx: np.ndarray, got_idx: np.ndarray) -> Dict[str, float]:
+    q, k = exact_idx.shape
+    overlap = np.mean(
+        [len(set(exact_idx[i]) & set(got_idx[i][got_idx[i] >= 0])) / k for i in range(q)]
+    )
+    top1 = np.mean(exact_idx[:, 0] == got_idx[:, 0])
+    return {"recall_at_k": float(overlap), "top1_retained": float(top1)}
+
+
+def quality_sweep(
+    image: np.ndarray,
+    text: np.ndarray,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    alpha: float = 0.5,
+    rerank_factor: int = 4,
+    nprobes: Sequence[int] = (),
+    nlist: Optional[int] = None,
+) -> List[Dict]:
+    """Measure each packing mode against exact brute force.
+
+    ``image``/``text`` [N, D] L2-normalized corpus towers, ``queries``
+    [Q, D] L2-normalized query embeddings. Returns one row per config:
+    ``{"config", "recall_at_k", "top1_retained", "score_mae"}``
+    (score_mae over the rows both rankings agree on; 0 for exact).
+    ``nprobes`` adds IVF rows (``nlist`` defaults to sqrt(N)).
+    """
+    image = np.asarray(image, np.float32)
+    text = np.asarray(text, np.float32)
+    queries = np.asarray(queries, np.float32)
+    n = image.shape[0]
+    k = min(k, n)
+    qj = jnp.asarray(queries)
+
+    ev, ei = similarity_topk_xla(qj, jnp.asarray(image), jnp.asarray(text), k, alpha)
+    ev, ei = np.asarray(ev), np.asarray(ei)
+    exact_score = {
+        (qi, int(r)): float(v) for qi, (rr, vv) in enumerate(zip(ei, ev)) for r, v in zip(rr, vv)
+    }
+
+    def score_mae(idx, vals):
+        diffs = [
+            abs(exact_score[(qi, int(r))] - float(v))
+            for qi, (rr, vv) in enumerate(zip(np.asarray(idx), np.asarray(vals)))
+            for r, v in zip(rr, vv)
+            if (qi, int(r)) in exact_score
+        ]
+        return float(np.mean(diffs)) if diffs else float("nan")
+
+    rows = [{"config": "exact", "recall_at_k": 1.0, "top1_retained": 1.0, "score_mae": 0.0}]
+
+    i8 = quantize_corpus_host(image), quantize_corpus_host(text)
+    i4 = quantize_corpus_host_q4(image), quantize_corpus_host_q4(text)
+    kf = min(rerank_factor * k, n)
+
+    for name, fn, packs in (
+        ("int8", similarity_topk_xla_q8, i8),
+        ("int4", similarity_topk_xla_q4, i4),
+    ):
+        (ci, si), (ct, st) = packs
+        v, i = fn(qj, ci, si, ct, st, k, alpha)
+        rows.append({"config": name, **_agreement(ei, np.asarray(i)), "score_mae": score_mae(i, v)})
+        # + host rerank: fetch rerank_factor*k, exact-rescore, keep k
+        v, i = fn(qj, ci, si, ct, st, kf, alpha)
+        rv, ri = _host_rerank(queries, image, text, v, i, alpha, k)
+        rows.append({
+            "config": f"{name}+rerank{rerank_factor}x",
+            **_agreement(ei, ri), "score_mae": score_mae(ri, rv),
+        })
+
+    if nprobes:
+        index = build_ivf_index(image, text, nlist or max(1, int(np.sqrt(n))))
+        for p in nprobes:
+            p = min(p, index.nlist)
+            v, i = ivf_search(qj, index, k=k, nprobe=p, alpha=alpha)
+            rows.append({
+                "config": f"ivf-nprobe{p}/{index.nlist}",
+                **_agreement(ei, np.asarray(i)), "score_mae": score_mae(i, v),
+            })
+    return rows
+
+
+def format_table(rows: List[Dict]) -> str:
+    head = f"{'config':24} {'recall@k':>9} {'top1':>6} {'score_mae':>10}"
+    lines = [head, "-" * len(head)]
+    for r in rows:
+        lines.append(
+            f"{r['config']:24} {r['recall_at_k']:9.4f} {r['top1_retained']:6.3f} "
+            f"{r['score_mae']:10.5f}"
+        )
+    return "\n".join(lines)
