@@ -498,12 +498,50 @@ class CLIPTrainer:
                 f"data-axis size ({self.rt.num_data} devices)"
             )
         self.steps_per_epoch = train_data.num_batches(cfg.batch_size)
-        self.optimizer = make_optimizer(cfg, self.steps_per_epoch, params)
         # own copy: the donated train step invalidates its input buffers, so
         # the trainer must never alias arrays the caller still holds
         params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
         self.tensor_parallel = self.rt.mesh.shape[self.rt.model_axis] > 1
         self.fsdp = bool(getattr(self.rt, "fsdp", False))
+        self.lora = cfg.lora_rank > 0
+        if self.lora:
+            # LoRA (train/lora.py): state carries rank-r ADAPTERS; the frozen
+            # base tree rides beside the step, never donated. Adapter memory
+            # is ~0.1% of full fine-tuning, so DP covers every real case —
+            # tp/fsdp shard full param/moment trees that LoRA does not have.
+            if self.tensor_parallel or self.fsdp:
+                raise ValueError("lora_rank > 0 requires plain data parallelism (no tp/fsdp)")
+            from .lora import lora_init, lora_merge, lora_param_count, make_train_step_lora
+
+            adapters = lora_init(
+                jax.random.PRNGKey(cfg.seed), params, cfg.lora_rank, cfg.lora_targets
+            )
+            self.lora_scale = cfg.lora_alpha / cfg.lora_rank
+            self.optimizer = make_optimizer(cfg, self.steps_per_epoch, adapters)
+            self.base_params = jax.device_put(params, replicated(self.rt.mesh))
+            self.state = {
+                "params": jax.device_put(adapters, replicated(self.rt.mesh)),
+                "opt_state": jax.device_put(
+                    self.optimizer.init(adapters), replicated(self.rt.mesh)
+                ),
+                "step": jnp.zeros((), jnp.int32),
+            }
+            lora_step = make_train_step_lora(model, self.optimizer, cfg, self.rt, self.lora_scale)
+            self.train_step = lambda state, batch: lora_step(self.base_params, state, batch)
+            self._merge = jax.jit(
+                functools.partial(lora_merge, scale=self.lora_scale)
+            )
+            self.encode_step = make_encode_step(model, self.rt)
+            self.stopper = EarlyStopper(cfg.early_stop_patience)
+            self.start_epoch = 0
+            self.logger.info(
+                "LoRA rank %d (%s): %d trainable adapter params",
+                cfg.lora_rank, cfg.lora_targets, lora_param_count(adapters),
+            )
+            if cfg.resume and ckpt.checkpoint_exists(cfg.checkpoint_dir, "latest"):
+                self._resume()
+            return
+        self.optimizer = make_optimizer(cfg, self.steps_per_epoch, params)
         if self.tensor_parallel or self.fsdp:
             # model axis active and/or FSDP: sharded params + GSPMD step
             # (parallel/tp.py, parallel/fsdp.py). Loss is computed on the
@@ -578,6 +616,13 @@ class CLIPTrainer:
 
     # -- validation ---------------------------------------------------------
 
+    def eval_params(self):
+        """The parameter tree to evaluate/export: the trained params, or in
+        LoRA mode the base merged with the current adapters (W + s*A@B)."""
+        if self.lora:
+            return self._merge(self.base_params, self.state["params"])
+        return self.state["params"]
+
     def validate(self) -> Dict[str, float]:
         """MRR-only validation pass (reference ``trainer.py:230-258``).
 
@@ -611,7 +656,7 @@ class CLIPTrainer:
                 self.rt.data_axis,
             )
             img_e, q_e, t_e = self.encode_step(
-                self.state["params"], db["images"], db["query_ids"], db["target_ids"]
+                self.eval_params(), db["images"], db["query_ids"], db["target_ids"]
             )
             embs["img"].append(np.asarray(img_e)[:n])
             embs["q"].append(np.asarray(q_e)[:n])

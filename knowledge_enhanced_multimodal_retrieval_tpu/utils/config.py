@@ -267,6 +267,12 @@ class TrainConfig:
     freeze_image_encoder: bool = False
     freeze_text_encoder: bool = False
     global_negatives: bool = False  # all_gather negatives across the mesh (opt-in improvement)
+    # LoRA low-rank adaptation (train/lora.py): 0 = full fine-tune
+    # (reference behavior); > 0 trains rank-r adapters on the transformer
+    # projections instead — tiny optimizer state, tiny shippable artifact
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    lora_targets: str = "attn"  # attn | mlp | all
     checkpoint_dir: str = "checkpoints"
     resume: bool = False
     log_every: int = 50
