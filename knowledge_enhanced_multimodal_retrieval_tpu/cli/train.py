@@ -31,6 +31,23 @@ def main(argv=None) -> dict:
     trainer = CLIPTrainer(model, params, train_pipe, val_pipe, cfg.train, rt, out_dir=cfg.eval.output_dir)
     result = trainer.train()
     logger.info("done: best %.4f @ epoch %d", result["best_metric"], result["best_epoch"])
+    if trainer.lora:
+        # the shippable per-domain artifact: the tiny adapter tree (merge
+        # with the base via train.lora.load_adapters + lora_merge, or
+        # evaluate/export trainer.eval_params())
+        import os
+
+        from ..train.lora import save_adapters
+
+        path = os.path.join(cfg.eval.output_dir, "lora_adapters.npz")
+        save_adapters(path, trainer.state["params"], {
+            "rank": cfg.train.lora_rank,
+            "alpha": cfg.train.lora_alpha,
+            "targets": cfg.train.lora_targets,
+            "model": cfg.model.name,
+        })
+        logger.info("saved LoRA adapters to %s", path)
+        result = dict(result, adapters_path=path)
     return result
 
 
