@@ -97,7 +97,10 @@ def main(argv=None) -> None:
 
         sizes = [int(x) for x in warmup.split(",") if x.strip()]
         t0 = _time.monotonic()
-        n = engine.clip_retriever.warmup(sizes, alpha=cfg.fusion.alpha_clip)
+        # the daemon always wires /search_image, so warm its program too
+        n = engine.clip_retriever.warmup(
+            sizes, alpha=cfg.fusion.alpha_clip, image=http_port is not None
+        )
         logger.info(
             "warmed %d programs for batch buckets %s in %.1fs",
             n, sizes, _time.monotonic() - t0,

@@ -37,10 +37,21 @@ def main(argv=None) -> dict:
         # evaluate/export trainer.eval_params())
         import os
 
+        from ..train import checkpoint as ckpt
         from ..train.lora import save_adapters
 
+        # ship the BEST epoch's adapters (the metric the result reports),
+        # not the final epoch's — early stopping runs patience epochs past
+        # the best before the loop breaks
+        adapters = trainer.state["params"]
+        if ckpt.checkpoint_exists(cfg.train.checkpoint_dir, "best"):
+            ckpt.wait_for_checkpoints()  # async save may still be in flight
+            best_state, _ = ckpt.load_checkpoint(
+                cfg.train.checkpoint_dir, "best", trainer.state
+            )
+            adapters = best_state["params"]
         path = os.path.join(cfg.eval.output_dir, "lora_adapters.npz")
-        save_adapters(path, trainer.state["params"], {
+        save_adapters(path, adapters, {
             "rank": cfg.train.lora_rank,
             "alpha": cfg.train.lora_alpha,
             "targets": cfg.train.lora_targets,

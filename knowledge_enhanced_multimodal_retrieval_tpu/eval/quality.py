@@ -21,23 +21,12 @@ import numpy as np
 from ..ops.similarity import (
     quantize_corpus_host,
     quantize_corpus_host_q4,
+    rerank_scores_host,
     similarity_topk_xla,
     similarity_topk_xla_q4,
     similarity_topk_xla_q8,
 )
 from ..retrieval.ann import build_ivf_index, ivf_search
-
-
-def _host_rerank(queries, image, text, vals, idx, alpha, k):
-    """Exact f32 rescore of fetched candidates (mirrors CLIPRetrieval)."""
-    idx = np.asarray(idx)
-    safe = np.maximum(idx, 0)
-    s = alpha * np.einsum("qd,qrd->qr", queries, image[safe]) + (
-        1.0 - alpha
-    ) * np.einsum("qd,qrd->qr", queries, text[safe])
-    s = np.where(idx >= 0, s, -np.inf).astype(np.float32)
-    order = np.argsort(-s, axis=1, kind="stable")[:, :k]
-    return np.take_along_axis(s, order, 1), np.take_along_axis(idx, order, 1)
 
 
 def _agreement(exact_idx: np.ndarray, got_idx: np.ndarray) -> Dict[str, float]:
@@ -88,7 +77,8 @@ def quality_sweep(
             for r, v in zip(rr, vv)
             if (qi, int(r)) in exact_score
         ]
-        return float(np.mean(diffs)) if diffs else float("nan")
+        # None (JSON null), not NaN: the CLI promises a parseable JSON line
+        return float(np.mean(diffs)) if diffs else None
 
     rows = [{"config": "exact", "recall_at_k": 1.0, "top1_retained": 1.0, "score_mae": 0.0}]
 
@@ -104,8 +94,10 @@ def quality_sweep(
         v, i = fn(qj, ci, si, ct, st, k, alpha)
         rows.append({"config": name, **_agreement(ei, np.asarray(i)), "score_mae": score_mae(i, v)})
         # + host rerank: fetch rerank_factor*k, exact-rescore, keep k
-        v, i = fn(qj, ci, si, ct, st, kf, alpha)
-        rv, ri = _host_rerank(queries, image, text, v, i, alpha, k)
+        # (the SAME implementation the serving path uses)
+        _, i = fn(qj, ci, si, ct, st, kf, alpha)
+        rv, ri = rerank_scores_host(queries, image, text, i, alpha)
+        rv, ri = rv[:, :k], ri[:, :k]
         rows.append({
             "config": f"{name}+rerank{rerank_factor}x",
             **_agreement(ei, ri), "score_mae": score_mae(ri, rv),
@@ -127,8 +119,8 @@ def format_table(rows: List[Dict]) -> str:
     head = f"{'config':24} {'recall@k':>9} {'top1':>6} {'score_mae':>10}"
     lines = [head, "-" * len(head)]
     for r in rows:
+        mae = "-" if r["score_mae"] is None else f"{r['score_mae']:.5f}"
         lines.append(
-            f"{r['config']:24} {r['recall_at_k']:9.4f} {r['top1_retained']:6.3f} "
-            f"{r['score_mae']:10.5f}"
+            f"{r['config']:24} {r['recall_at_k']:9.4f} {r['top1_retained']:6.3f} {mae:>10}"
         )
     return "\n".join(lines)

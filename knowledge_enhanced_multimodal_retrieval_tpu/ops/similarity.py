@@ -232,6 +232,27 @@ def _unpack_q4(packed: jax.Array, dtype) -> Tuple[jax.Array, jax.Array]:
     return lo.astype(dtype), hi.astype(dtype)
 
 
+def rerank_scores_host(queries, image, text, idx, alpha: float):
+    """Exact f32 host rescore of fetched candidates — the one shared
+    implementation of the two-tier rerank semantics (serving path
+    ``CLIPRetrieval._rerank_host`` and the quality sweep measure it with
+    the same code). ``queries`` [Q, D], ``image``/``text`` [N, D] f32 host
+    rows, ``idx`` [Q, R] candidate rows (−1 = ann sentinel, masked to
+    −inf). Returns ``(scores, idx)`` sorted descending with stable ties.
+    """
+    import numpy as np
+
+    queries = np.asarray(queries, np.float32)
+    idx = np.asarray(idx)
+    safe = np.maximum(idx, 0)
+    s = alpha * np.einsum("qd,qrd->qr", queries, image[safe]) + (
+        1.0 - alpha
+    ) * np.einsum("qd,qrd->qr", queries, text[safe])
+    s = np.where(idx >= 0, s, -np.inf).astype(np.float32)
+    order = np.argsort(-s, axis=1, kind="stable")
+    return np.take_along_axis(s, order, 1), np.take_along_axis(idx, order, 1)
+
+
 def dequantize_corpus_q4(packed: jax.Array, scale: jax.Array, dtype=jnp.float32) -> jax.Array:
     lo, hi = _unpack_q4(packed, jnp.float32)
     return (jnp.concatenate([lo, hi], axis=1) * scale).astype(dtype)

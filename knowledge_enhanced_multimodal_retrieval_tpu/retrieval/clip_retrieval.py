@@ -519,17 +519,9 @@ class CLIPRetrieval:
         final ordering. Pad rows are zero vectors (score 0), filtered
         downstream by uuid exactly like the device path.
         """
-        q = np.asarray(q, np.float32)
-        idx_np = np.asarray(idx)
-        safe = np.maximum(idx_np, 0)
-        img = c.store.image[safe]  # [Q, R, D] f32 host gather
-        txt = c.store.text[safe]
-        s = alpha * np.einsum("qd,qrd->qr", q, img) + (1.0 - alpha) * np.einsum(
-            "qd,qrd->qr", q, txt
-        )
-        s = np.where(idx_np >= 0, s, -np.inf).astype(np.float32)
-        order = np.argsort(-s, axis=1, kind="stable")
-        return np.take_along_axis(s, order, 1), np.take_along_axis(idx_np, order, 1)
+        from ..ops.similarity import rerank_scores_host
+
+        return rerank_scores_host(q, c.store.image, c.store.text, idx, alpha)
 
     def _finish_results(
         self, c: _CorpusState, out, alpha: float, k: int, q_emb=None

@@ -69,6 +69,15 @@ class RetrievalHTTPServer:
             batch_fn, max_batch=max_batch, max_wait_ms=max_wait_ms, max_pending=max_pending
         )
         batcher = self.batcher
+        if image_batch_fn is not None and image_preprocess_fn is None:
+            # decode MUST happen on the request thread: inside the shared
+            # micro-batch, one corrupt image would raise in batch_fn and
+            # 502 every other caller in the same window
+            raise ValueError(
+                "image_batch_fn requires image_preprocess_fn (per-request "
+                "decode isolation); pass `lambda blobs: blobs` only if the "
+                "batch fn is failure-isolated itself"
+            )
         # image queries ride their own aggregator: batching them with text
         # would mix modalities in one list, and their compiled-program bucket
         # space ([B, S, S, 3] pixels vs token ids) is disjoint anyway

@@ -635,6 +635,9 @@ class CLIPTrainer:
         embs = {"img": [], "q": [], "t": []}
         global_bs = self.cfg.batch_size
         pc, pi = jax.process_count(), jax.process_index()
+        # hoisted: in LoRA mode eval_params() merges the full tree — once
+        # per validation pass, not once per batch
+        eval_params = self.eval_params()
         for batch in self.val_data.epoch_batches(global_bs, shuffle=False, drop_last=False):
             n = batch.images.shape[0]
             pad = global_bs - n
@@ -656,7 +659,7 @@ class CLIPTrainer:
                 self.rt.data_axis,
             )
             img_e, q_e, t_e = self.encode_step(
-                self.eval_params(), db["images"], db["query_ids"], db["target_ids"]
+                eval_params, db["images"], db["query_ids"], db["target_ids"]
             )
             embs["img"].append(np.asarray(img_e)[:n])
             embs["q"].append(np.asarray(q_e)[:n])

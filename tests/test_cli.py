@@ -94,6 +94,62 @@ def test_cli_train_smoke(tmp_path, devices8):
     assert os.path.isdir(os.path.join(tmp_path, "ckpt", "checkpoint_latest"))
 
 
+def test_cli_train_lora_saves_best_adapters(tmp_path, devices8):
+    """A LoRA run writes the adapter artifact, and it carries the BEST
+    checkpoint's adapters (early stopping keeps training past the best)."""
+    from knowledge_enhanced_multimodal_retrieval_tpu.cli.train import main
+    from knowledge_enhanced_multimodal_retrieval_tpu.train import checkpoint as ckpt
+    from knowledge_enhanced_multimodal_retrieval_tpu.train.lora import load_adapters
+
+    result = main([
+        "--data.dataset=synthetic:32",
+        "--data.image_size=32",
+        "--data.context_length=16",
+        "--model.name=tiny",
+        "--model.dtype=float32",
+        "--train.batch_size=16",
+        "--train.epochs=2",
+        "--train.lr=1e-2",
+        "--train.lora_rank=2",
+        f"--train.checkpoint_dir={tmp_path}/ckpt",
+        f"--eval.output_dir={tmp_path}/exp",
+    ])
+    path = result["adapters_path"]
+    assert os.path.exists(path)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from knowledge_enhanced_multimodal_retrieval_tpu.cli.common import build_model_and_params
+    from knowledge_enhanced_multimodal_retrieval_tpu.train.lora import lora_init
+    from knowledge_enhanced_multimodal_retrieval_tpu.train.trainer import make_optimizer
+    from knowledge_enhanced_multimodal_retrieval_tpu.utils.config import (
+        TrainConfig,
+        config_from_argv,
+    )
+
+    cfg = config_from_argv([
+        "--data.dataset=synthetic:32", "--model.name=tiny", "--model.dtype=float32",
+        "--data.image_size=32", "--data.context_length=16",
+    ])
+    _, params = build_model_and_params(cfg, rng_seed=42)
+    adapters, meta = load_adapters(path, params)
+    assert meta["rank"] == 2 and meta["targets"] == "attn"
+    # the artifact equals the BEST checkpoint's adapters, not merely the last
+    tcfg = TrainConfig(lora_rank=2)
+    tmpl_ad = lora_init(jax.random.PRNGKey(42), params, 2, "attn")
+    template = {
+        "params": tmpl_ad,
+        "opt_state": make_optimizer(tcfg, 2, tmpl_ad).init(tmpl_ad),
+        "step": jnp.zeros((), jnp.int32),
+    }
+    best_state, _ = ckpt.load_checkpoint(f"{tmp_path}/ckpt", "best", template)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(adapters), jax.tree_util.tree_leaves(best_state["params"])
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_cli_precompute_and_serve_query(tmp_path, devices8, capsys, monkeypatch):
     from knowledge_enhanced_multimodal_retrieval_tpu.cli.precompute import main as precompute
     from knowledge_enhanced_multimodal_retrieval_tpu.cli.serve import main as serve

@@ -325,6 +325,11 @@ def test_http_image_search():
             post(base, "/search_image", {"image": base64.b64encode(b"x").decode()})
         assert ei.value.code == 501
 
+    # image_batch_fn without per-request decode isolation is a footgun
+    # (one corrupt image would 502 the whole shared micro-batch): rejected
+    with pytest.raises(ValueError, match="image_preprocess_fn"):
+        RetrievalHTTPServer(batch_fn, port=0, image_batch_fn=lambda x: x)
+
     def image_batch_fn(imgs):
         # imgs arrive preprocessed (here: upper-cased by the fake preprocess)
         return [[{"uuid": f"img-{b.decode()}", "score": 1.0}] for b in imgs]
