@@ -32,7 +32,7 @@ from .common import build_model_and_params, build_tokenizer, pop_flag
 def build_engine(cfg, store_path: str) -> RetrievalEngine:
     model, params = build_model_and_params(cfg)
     tokenizer = build_tokenizer(cfg)
-    store = EmbeddingStore.load(store_path)
+    store = EmbeddingStore.load(store_path, mmap=cfg.eval.mmap_store)
     # eval.encoder selects the query-encode path: flax (exact module tower),
     # fast (fused bf16 serving towers), int8 (fastest, W8A8 — scores within
     # ~1%); eval.quantize_corpus packs the corpus int8 (half the HBM
@@ -66,7 +66,15 @@ def build_engine(cfg, store_path: str) -> RetrievalEngine:
         from ..knowledge.clients import HTTPSparqlClient, MistralAgentClient
         from ..knowledge.text2sparql import Text2SparqlRetrieval
 
-        t2s = Text2SparqlRetrieval(MistralAgentClient(), HTTPSparqlClient())
+        from ..knowledge.circuit import CircuitBreakerRetrieval
+
+        # raise_errors=True: the breaker needs to SEE failures; it degrades
+        # them to [] itself (and fast-fails while the endpoints stay down)
+        t2s = CircuitBreakerRetrieval(
+            Text2SparqlRetrieval(
+                MistralAgentClient(), HTTPSparqlClient(), raise_errors=True
+            )
+        )
     return RetrievalEngine(clip_r, t2s, cfg.fusion)
 
 

@@ -62,7 +62,50 @@ class EmbeddingStore:
         )
 
     @classmethod
-    def load(cls, path: str) -> "EmbeddingStore":
+    def load(cls, path: str, mmap: bool = False) -> "EmbeddingStore":
+        """Load a saved store. ``mmap=True`` memory-maps the tower arrays
+        instead of reading them into RAM — for corpora near the host-memory
+        budget: the packed-corpus serving modes only ever READ the f32 rows
+        (host quantization streams them once; host rerank gathers candidate
+        rows), so the OS pages in what is touched. Requires an uncompressed
+        ``.npz`` (``save`` writes one) and keeps the file open for the
+        store's lifetime.
+        """
+        if mmap:
+            import struct
+            import zipfile
+
+            # np.load(mmap_mode=...) ignores mmap for zip members, so map
+            # each member by its absolute offset in the archive: local zip
+            # header (30 bytes + name + extra) then the .npy header, then
+            # the raw array bytes.
+            with zipfile.ZipFile(path) as zf:
+
+                def as_mmap(name):
+                    info = zf.getinfo(name + ".npy")
+                    if info.compress_type != zipfile.ZIP_STORED:
+                        raise ValueError(
+                            f"{path!r} member {name} is compressed; mmap needs "
+                            "an uncompressed .npz (np.savez, not savez_compressed)"
+                        )
+                    with zf.open(name + ".npy") as f:
+                        version = np.lib.format.read_magic(f)
+                        shape, fortran, dtype = np.lib.format._read_array_header(f, version)
+                        npy_header = f.tell()  # bytes consumed by the .npy header
+                    with open(path, "rb") as raw:
+                        raw.seek(info.header_offset + 26)
+                        name_len, extra_len = struct.unpack("<HH", raw.read(4))
+                    data_off = info.header_offset + 30 + name_len + extra_len + npy_header
+                    return np.memmap(
+                        path, dtype=dtype, mode="r", shape=shape,
+                        offset=data_off, order="F" if fortran else "C",
+                    )
+
+                image = as_mmap("image")
+                text = as_mmap("text")
+                with zf.open("uuids.npy") as f:
+                    uuids = [str(u) for u in np.lib.format.read_array(f, allow_pickle=True)]
+            return cls(image=image, text=text, uuids=uuids)
         with np.load(path, allow_pickle=True) as data:
             return cls(image=data["image"], text=data["text"], uuids=[str(u) for u in data["uuids"]])
 

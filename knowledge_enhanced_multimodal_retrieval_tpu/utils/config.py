@@ -314,6 +314,10 @@ class EvalConfig:
     # winners); rerank_factor x k candidates are fetched per query
     rerank: bool = False
     rerank_factor: int = 4
+    # memory-map the store's tower arrays instead of reading them into RAM
+    # (for corpora near the host-memory budget; packed serving modes only
+    # ever stream-read the f32 rows)
+    mmap_store: bool = False
 
 
 def resolve_encoder(encoder: str):

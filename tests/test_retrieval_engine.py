@@ -44,6 +44,25 @@ def test_store_roundtrip(world, tmp_path):
     assert len(loaded) == 40 and loaded.dim == 16
 
 
+def test_store_mmap_roundtrip(world, tmp_path):
+    """mmap=True maps the tower arrays in place of reading them; contents
+    identical, and a packed retriever serves from the mapped store."""
+    model, params, tok, store, _ = world
+    path = os.path.join(tmp_path, "store.npz")
+    store.save(path)
+    m = EmbeddingStore.load(path, mmap=True)
+    assert isinstance(m.image, np.memmap) and isinstance(m.text, np.memmap)
+    np.testing.assert_array_equal(np.asarray(m.image), store.image)
+    np.testing.assert_array_equal(np.asarray(m.text), store.text)
+    assert m.uuids == store.uuids
+    # serving from the mapped store: host quantization + rerank read it fine
+    r = CLIPRetrieval(model, params, tok, m, top_k=5, quantize_corpus="int8", rerank=True)
+    base = CLIPRetrieval(model, params, tok, store, top_k=5, quantize_corpus="int8", rerank=True)
+    a = base.retrieval("hello cat")
+    b = r.retrieval("hello cat")
+    assert [x["uuid"] for x in a] == [x["uuid"] for x in b]
+
+
 def test_store_row_mismatch():
     with pytest.raises(ValueError):
         EmbeddingStore(np.zeros((3, 4)), np.zeros((2, 4)), ["a", "b", "c"])
