@@ -47,21 +47,54 @@ import numpy as np
 _SUBLANE = 8  # f32 sublane multiple for the packed cap axis
 
 
+def _maxmin_init(x: jax.Array, nlist: int, key: jax.Array) -> jax.Array:
+    """Farthest-point (greedy k-means++-style) seeding on device.
+
+    Start from one random row; each next seed is the row with the LOWEST
+    max cosine similarity to the chosen set — coverage-first seeding that
+    avoids dropping several seeds into one dense blob (random choice does,
+    and Lloyd rarely recovers: the blob splits while a distant cluster goes
+    unseeded, hurting IVF recall-per-probe). One ``x @ c`` per step on the
+    MXU: O(nlist * N * D) total, trivial at index-build time.
+    """
+    n, d = x.shape
+    xn = x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-9)
+    first = jax.random.randint(key, (), 0, n)
+    cent = jnp.zeros((nlist, d), jnp.float32).at[0].set(xn[first])
+    max_sim = xn @ xn[first]
+
+    def step(i, carry):
+        cent, max_sim = carry
+        nxt = jnp.argmin(max_sim)
+        c = xn[nxt]
+        return cent.at[i].set(c), jnp.maximum(max_sim, xn @ c)
+
+    cent, _ = jax.lax.fori_loop(1, nlist, step, (cent, max_sim))
+    return cent
+
+
 def kmeans_spherical(
-    x: jax.Array, nlist: int, iters: int = 10, seed: int = 0
+    x: jax.Array, nlist: int, iters: int = 10, seed: int = 0, init: str = "maxmin"
 ) -> jax.Array:
     """Spherical k-means: returns L2-normalized centroids ``[nlist, D]``.
 
     ``x`` ``[N, D]`` (rows need not be normalized; centroids are). Empty
-    clusters keep their previous centroid.
+    clusters keep their previous centroid. ``init``: ``"maxmin"``
+    (farthest-point seeding, the default — see :func:`_maxmin_init`) or
+    ``"random"`` (uniform row sample).
     """
     n = x.shape[0]
     if nlist > n:
         raise ValueError(f"nlist {nlist} > rows {n}")
+    if init not in ("maxmin", "random"):
+        raise ValueError(f"unknown init {init!r}: expected 'maxmin' or 'random'")
     x = jnp.asarray(x, jnp.float32)
     key = jax.random.PRNGKey(seed)
-    init = x[jax.random.choice(key, n, (nlist,), replace=False)]
-    init = init / jnp.maximum(jnp.linalg.norm(init, axis=1, keepdims=True), 1e-9)
+    if init == "maxmin":
+        init = _maxmin_init(x, nlist, key)
+    else:
+        init = x[jax.random.choice(key, n, (nlist,), replace=False)]
+        init = init / jnp.maximum(jnp.linalg.norm(init, axis=1, keepdims=True), 1e-9)
 
     def step(_, c):
         assign = jnp.argmax(x @ c.T, axis=1)  # [N]
@@ -142,6 +175,7 @@ def build_ivf_index(
     train_rows: Optional[int] = None,
     mesh=None,
     shard_axis: str = "data",
+    kmeans_init: str = "maxmin",
 ) -> IVFIndex:
     """Cluster the corpus and pack it cluster-major.
 
@@ -174,7 +208,7 @@ def build_ivf_index(
         train = xc_np[np.random.default_rng(seed).choice(n, train_rows, replace=False)]
     else:
         train = xc_np
-    cent = kmeans_spherical(jnp.asarray(train), nlist, iters=iters, seed=seed)
+    cent = kmeans_spherical(jnp.asarray(train), nlist, iters=iters, seed=seed, init=kmeans_init)
 
     # host-side packing: per-row cluster preference (best-first), greedy spill
     scores = xc_np @ np.asarray(cent).T  # [N, nlist]

@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from knowledge_enhanced_multimodal_retrieval_tpu.retrieval import ann
 from knowledge_enhanced_multimodal_retrieval_tpu.retrieval.ann import (
     IVFIndex,
     build_ivf_index,
@@ -398,3 +399,33 @@ def test_clip_retrieval_ivf_shard_too_small(devices8):
     rt = MeshRuntime.create()
     with pytest.raises(ValueError, match="cannot shard"):
         CLIPRetrieval(model, params, tok, store, ann="ivf", rt=rt, shard_corpus=True)
+
+
+def test_kmeans_maxmin_init_covers_blobs():
+    """Farthest-point seeding: with nlist == blob count on well-separated
+    blobs, every blob receives a seed (random seeding usually doubles up),
+    so Lloyd converges with one centroid per blob and zero spill."""
+    rng = np.random.default_rng(3)
+    blobs = 12
+    centers = rng.standard_normal((blobs, 24))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    x = centers[np.repeat(np.arange(blobs), 50)] + 0.03 * rng.standard_normal((blobs * 50, 24))
+    x = (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
+    cent = np.asarray(ann.kmeans_spherical(jnp.asarray(x), blobs, iters=8, init="maxmin"))
+    # each true blob center has a centroid within the blob's radius
+    sims = centers @ cent.T  # [blobs, nlist]
+    assert (sims.max(axis=1) > 0.98).all()
+
+
+def test_kmeans_init_validation():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(_normed(rng, 32, 8))
+    with pytest.raises(ValueError, match="init"):
+        ann.kmeans_spherical(x, 4, init="fancy")
+
+
+def test_build_accepts_random_init():
+    rng = np.random.default_rng(0)
+    img, txt = _normed(rng, 64, 8), _normed(rng, 64, 8)
+    index = ann.build_ivf_index(img, txt, 4, kmeans_init="random")
+    assert index.nlist == 4
