@@ -134,13 +134,28 @@ def main(argv=None) -> None:
             image_preprocess_fn=engine.clip_retriever.preprocess_images,
         )
         logger.info(
-            "serving HTTP on %s:%d (/search, /search_image, /documents, /healthz)",
+            "serving HTTP on %s:%d (/search, /search_image, /documents, "
+            "/healthz, /metrics)",
             *server.address,
         )
+        # graceful SIGTERM (the normal orchestrator stop signal): drain and
+        # exit. shutdown() would deadlock called from THIS thread's signal
+        # handler (serve_forever is suspended inside it), so close on a
+        # helper thread and let serve_forever return.
+        import signal
+        import threading as _threading
+
+        def _stop(signum, frame):
+            logger.info("signal %d: draining and shutting down", signum)
+            _threading.Thread(target=server.close, daemon=True).start()
+
+        signal.signal(signal.SIGTERM, _stop)
         try:
             server.serve_forever()
         except KeyboardInterrupt:
-            server.close()
+            pass
+        finally:
+            server.close()  # idempotent with the signal handler's close
         return
 
     def answer(q: str) -> None:

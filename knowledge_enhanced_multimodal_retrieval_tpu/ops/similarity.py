@@ -395,7 +395,11 @@ def _fused_kernel(
     qn = scores.shape[0]
     local_col = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 1)
     global_idx = local_col + j * tile_n
-    scores = jnp.where(global_idx < corpus_n, scores, _NEG_INF)  # mask pad rows
+    # mask pad rows; also sanitize NaN scores (a NaN query embedding would
+    # otherwise poison the argmax-merge into returning MASKED indices —
+    # out of corpus range — instead of degrading gracefully)
+    valid = (global_idx < corpus_n) & ~jnp.isnan(scores)
+    scores = jnp.where(valid, scores, _NEG_INF)
 
     new_vals, new_idx = _merge_topk(vals_scr[:], idx_scr[:], scores, global_idx, k)
     vals_scr[:] = new_vals

@@ -46,6 +46,36 @@ def _parse_n(raw):
     return n, None
 
 
+def _prometheus_metrics(batcher, image_batcher) -> str:
+    """Render MicroBatcher stats in Prometheus text exposition format."""
+    lines = [
+        "# TYPE kemr_requests_served_total counter",
+        "# TYPE kemr_requests_rejected_total counter",
+        "# TYPE kemr_batches_total counter",
+        "# TYPE kemr_requests_pending gauge",
+        "# TYPE kemr_request_latency_ms summary",
+    ]
+    for modality, b in (("text", batcher), ("image", image_batcher)):
+        if b is None:
+            continue
+        s = b.stats
+        tag = f'{{modality="{modality}"}}'
+        lines += [
+            f"kemr_requests_served_total{tag} {s['served']}",
+            f"kemr_requests_rejected_total{tag} {s['rejected']}",
+            f"kemr_batches_total{tag} {s['batches']}",
+            f"kemr_requests_pending{tag} {s['pending']}",
+        ]
+        quantiles = {"p50": "0.5", "p95": "0.95", "p99": "0.99"}
+        for q, v in s.get("latency_ms", {}).items():
+            if q not in quantiles:
+                continue
+            lines.append(
+                f'kemr_request_latency_ms{{modality="{modality}",quantile="{quantiles[q]}"}} {v}'
+            )
+    return "\n".join(lines) + "\n"
+
+
 class RetrievalHTTPServer:
     """HTTP front-end; construct, then :meth:`serve_forever` (or use as a
     context manager around background serving via :meth:`start`)."""
@@ -110,6 +140,15 @@ class RetrievalHTTPServer:
                     if image_batcher is not None:
                         payload["image_stats"] = image_batcher.stats
                     self._send(200, payload)
+                    return
+                if url.path == "/metrics":
+                    # Prometheus text exposition of the batcher counters
+                    body = _prometheus_metrics(batcher, image_batcher).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/plain; version=0.0.4")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                     return
                 if url.path == "/search":
                     params = parse_qs(url.query)
@@ -287,6 +326,8 @@ class RetrievalHTTPServer:
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._thread: Optional[threading.Thread] = None
         self._serving = False
+        self._closed = False
+        self._close_lock = threading.Lock()
 
     @property
     def address(self) -> tuple:
@@ -306,6 +347,12 @@ class RetrievalHTTPServer:
         return self
 
     def close(self) -> None:
+        # idempotent: a SIGTERM handler and the post-serve_forever path may
+        # both call it; only the first does the work
+        with self._close_lock:
+            if self._closed:
+                return
+            self._closed = True
         # shutdown() blocks on an event only serve_forever() ever sets —
         # calling it on a server that never served would deadlock forever.
         if self._serving:

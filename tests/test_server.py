@@ -372,6 +372,32 @@ def test_http_image_search():
         assert health["image_stats"]["served"] >= 4
 
 
+def test_http_metrics_endpoint_and_idempotent_close():
+    """GET /metrics renders Prometheus text; close() twice is a no-op."""
+    import json as json_mod
+    from urllib.request import urlopen
+
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval import RetrievalHTTPServer
+
+    def batch_fn(queries):
+        return [[{"uuid": q, "score": 1.0}] for q in queries]
+
+    srv = RetrievalHTTPServer(
+        batch_fn, port=0, max_wait_ms=1.0,
+        image_batch_fn=lambda imgs: [[] for _ in imgs],
+        image_preprocess_fn=lambda blobs: blobs,
+    )
+    with srv:
+        base = "http://{}:{}".format(*srv.address)
+        json_mod.load(urlopen(f"{base}/search?q=x", timeout=10))
+        body = urlopen(f"{base}/metrics", timeout=10).read().decode()
+        assert 'kemr_requests_served_total{modality="text"} 1' in body
+        assert 'kemr_requests_served_total{modality="image"} 0' in body
+        assert "# TYPE kemr_request_latency_ms summary" in body
+        assert 'quantile="0.5"' in body
+    srv.close()  # second close (after __exit__'s) must be a clean no-op
+
+
 def test_http_close_without_start_does_not_deadlock():
     from knowledge_enhanced_multimodal_retrieval_tpu.retrieval.http_server import RetrievalHTTPServer
 

@@ -141,6 +141,23 @@ def test_sharded_q8_big_k(rng, devices8):
     np.testing.assert_array_equal(np.asarray(si), np.asarray(xi))
 
 
+def test_fused_nan_query_stays_in_range(rng):
+    """A NaN query embedding must degrade (in-range indices, -inf values),
+    never emit masked out-of-corpus indices that crash uuid mapping."""
+    q, img, txt = _corpus(rng, n=24, q=2)
+    q[0, :] = np.nan
+    fv, fi = S.fused_similarity_topk(
+        jnp.asarray(q), jnp.asarray(img), jnp.asarray(txt), k=5, interpret=True
+    )
+    fi = np.asarray(fi)
+    assert ((fi >= 0) & (fi < 24)).all(), fi
+    # NaN row degrades to the mask sentinel (float32 min) everywhere
+    assert (np.asarray(fv)[0] <= np.finfo(np.float32).min).all()
+    # the clean row is unaffected
+    xv, xi = S.similarity_topk_xla(jnp.asarray(q[1:]), jnp.asarray(img), jnp.asarray(txt), 5, 0.5)
+    np.testing.assert_array_equal(fi[1], np.asarray(xi)[0])
+
+
 def test_topk_values_sorted_desc(rng):
     q, img, txt = _corpus(rng, n=200, q=2)
     fv, _ = S.fused_similarity_topk(jnp.asarray(q), jnp.asarray(img), jnp.asarray(txt), k=8, interpret=True)
