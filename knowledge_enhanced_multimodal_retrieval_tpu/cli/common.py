@@ -36,6 +36,14 @@ def build_model_and_params(cfg: Config, rng_seed: int = 0):
         params = load_clip_params(cfg.model.checkpoint)
     else:
         params = clip_mod.init_params(model, jax.random.PRNGKey(rng_seed))
+    if cfg.model.adapters:
+        # merge LoRA adapters into the base at load: every entry point
+        # (serve/evaluate/precompute/export) then runs the adapted model
+        from ..train.lora import load_adapters, lora_merge
+
+        adapters, meta = load_adapters(cfg.model.adapters, params)
+        scale = float(meta["alpha"]) / float(meta["rank"])
+        params = lora_merge(params, adapters, scale)
     return model, params
 
 

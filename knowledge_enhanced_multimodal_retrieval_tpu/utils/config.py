@@ -222,6 +222,10 @@ class ModelConfig:
     name: str = "ViT-B/32"  # ViT-B/32 | ViT-B/16 | ViT-L/14
     dtype: str = "bfloat16"  # compute dtype on TPU (params stay float32)
     checkpoint: Optional[str] = None  # path to converted params (orbax/npz)
+    # LoRA adapters (train/lora.save_adapters .npz) merged into the params
+    # at load: every CLI (serve/evaluate/precompute/export) then runs the
+    # adapted model — the trained artifact per domain is just this file
+    adapters: Optional[str] = None
     remat: bool = False  # jax.checkpoint the tower blocks
 
 

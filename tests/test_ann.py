@@ -429,3 +429,49 @@ def test_build_accepts_random_init():
     img, txt = _normed(rng, 64, 8), _normed(rng, 64, 8)
     index = ann.build_ivf_index(img, txt, 4, kmeans_init="random")
     assert index.nlist == 4
+
+
+def test_index_save_load_roundtrip(tmp_path, devices8):
+    """Persisted index reloads bit-identical (both precisions) and a mesh
+    reload re-places cluster-sharded with identical search results."""
+    import os
+
+    from knowledge_enhanced_multimodal_retrieval_tpu.parallel import MeshRuntime
+
+    rng = np.random.default_rng(0)
+    img, txt = _normed(rng, 96, 16), _normed(rng, 96, 16)
+    q = _normed(rng, 5, 16)
+    for quant in (None, "int8"):
+        index = ann.build_ivf_index(img, txt, 8, quantize=quant)
+        path = os.path.join(tmp_path, f"ivf_{quant}.npz")
+        ann.save_ivf_index(path, index)
+        loaded = ann.load_ivf_index(path)
+        assert loaded.quantized == (quant == "int8")
+        v1, i1 = ann.ivf_search(jnp.asarray(q), index, k=5, nprobe=3)
+        v2, i2 = ann.ivf_search(jnp.asarray(q), loaded, k=5, nprobe=3)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        # mesh reload: cluster-sharded, same results via the sharded probe
+        rt = MeshRuntime.create()
+        sharded = ann.load_ivf_index(path, mesh=rt.mesh)
+        assert not sharded.packed_rows.sharding.is_fully_replicated
+        v3, i3 = ann.sharded_ivf_search(
+            jnp.asarray(q), sharded, k=5, nprobe=8, mesh=rt.mesh
+        )
+        vf, if_ = ann.ivf_search(jnp.asarray(q), index, k=5, nprobe=8)
+        np.testing.assert_array_equal(np.asarray(i3), np.asarray(if_))
+
+
+def test_index_load_rejects_bad_mesh(tmp_path, devices8):
+    import os
+
+    from knowledge_enhanced_multimodal_retrieval_tpu.parallel import MeshRuntime
+
+    rng = np.random.default_rng(0)
+    img, txt = _normed(rng, 64, 16), _normed(rng, 64, 16)
+    index = ann.build_ivf_index(img, txt, 6)  # 6 clusters, 8-device mesh
+    path = os.path.join(tmp_path, "ivf.npz")
+    ann.save_ivf_index(path, index)
+    rt = MeshRuntime.create()
+    with pytest.raises(ValueError, match="divide"):
+        ann.load_ivf_index(path, mesh=rt.mesh)

@@ -152,6 +152,34 @@ def test_adapter_save_load_roundtrip(setup, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_model_adapters_flag_merges_at_load(setup, tmp_path, monkeypatch):
+    """--model.adapters merges the artifact into the base params for every
+    CLI entry point (the serve-the-adapted-model path)."""
+    import numpy as np
+
+    from knowledge_enhanced_multimodal_retrieval_tpu.cli.common import build_model_and_params
+    from knowledge_enhanced_multimodal_retrieval_tpu.models import clip as M
+    from knowledge_enhanced_multimodal_retrieval_tpu.utils.config import config_from_argv
+
+    model, params, pipe = setup
+    monkeypatch.setitem(M.ARCHS, "tiny-lora", model.arch)
+    cfg = config_from_argv(["--model.name=tiny-lora", "--model.dtype=float32"])
+    _, base = build_model_and_params(cfg, rng_seed=0)
+
+    ad = L.lora_init(jax.random.PRNGKey(5), base, rank=2, targets="attn")
+    ad = jax.tree_util.tree_map(lambda x: x + 0.3, ad)
+    path = os.path.join(str(tmp_path), "ad.npz")
+    L.save_adapters(path, ad, {"rank": 2, "alpha": 6.0, "targets": "attn"})
+
+    cfg2 = config_from_argv([
+        "--model.name=tiny-lora", "--model.dtype=float32", f"--model.adapters={path}",
+    ])
+    _, merged = build_model_and_params(cfg2, rng_seed=0)
+    want = L.lora_merge(base, ad, 3.0)  # alpha/rank = 6/2
+    for a, b in zip(jax.tree_util.tree_leaves(want), jax.tree_util.tree_leaves(merged)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_lora_param_budget(setup):
     """The point of LoRA: adapters are a sliver of the full tree."""
     model, params, pipe = setup
