@@ -128,6 +128,9 @@ def main(argv=None) -> None:
             # keep serving the old corpus until the update swaps in
             add_documents_fn=engine.clip_retriever.add_documents,
             remove_documents_fn=engine.clip_retriever.remove_documents,
+            # raw-artifact ingest: POST /documents with base64 images +
+            # target texts encodes server-side (no offline precompute)
+            encode_documents_fn=engine.clip_retriever.encode_documents,
             # visual search (POST /search_image): decode/preprocess on the
             # request thread, batch the encode+search device program
             image_batch_fn=engine.retrieve_image_batch,

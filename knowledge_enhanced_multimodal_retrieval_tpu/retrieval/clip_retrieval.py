@@ -596,6 +596,24 @@ class CLIPRetrieval:
                 out.append(preprocess_pil(im, size=size))
         return np.stack(out)
 
+    def encode_documents(
+        self, images: Sequence, texts: Sequence[str]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Encode raw documents into store-ready rows: ``(image_emb,
+        text_emb)`` L2-normalized f32 ``[n, D]``.
+
+        The image rows ride the vision tower exactly like
+        :func:`build_embedding_store`'s precompute; the text rows encode the
+        document's ``target_text`` through the same text tower queries use.
+        Feed straight into :meth:`add_documents` — live ingest of raw
+        artifacts without an offline precompute pass.
+        """
+        if len(images) != len(texts):
+            raise ValueError(f"{len(images)} images vs {len(texts)} texts")
+        img = np.asarray(self.encode_images(self.preprocess_images(images)), np.float32)
+        txt = np.asarray(self.encode_queries(list(texts)), np.float32)
+        return img, txt
+
     def search_embeddings_batch(
         self, q_emb, alpha: float = 0.5, top_k: Optional[int] = None
     ):

@@ -16,9 +16,12 @@ Endpoints:
   their own aggregator (separate jit bucket space from text)
 - ``POST /documents`` (when update hooks are wired) with
   ``{"documents": [{"uuid", "image_embedding", "text_embedding"}, ...]}``
-  -> live corpus ingest; ``DELETE /documents`` with ``{"uuids": [...]}``
-  retires rows. Concurrent searches keep serving the old corpus until the
-  update swaps in (``CLIPRetrieval`` corpus state is one atomic reference).
+  -> live corpus ingest; with an encode hook wired, RAW artifacts
+  ``{"uuid", "image": <base64>, "text": "..."}`` are encoded server-side
+  (no offline precompute pass). ``DELETE /documents`` with
+  ``{"uuids": [...]}`` retires rows. Concurrent searches keep serving the
+  old corpus until the update swaps in (``CLIPRetrieval`` corpus state is
+  one atomic reference).
 """
 
 from __future__ import annotations
@@ -91,6 +94,7 @@ class RetrievalHTTPServer:
         max_pending: int = 0,
         add_documents_fn: Optional[Callable] = None,
         remove_documents_fn: Optional[Callable] = None,
+        encode_documents_fn: Optional[Callable] = None,
         image_batch_fn: Optional[Callable] = None,
         image_preprocess_fn: Optional[Callable] = None,
         max_image_batch: int = 64,
@@ -222,12 +226,33 @@ class RetrievalHTTPServer:
                     return
                 try:
                     uuids = [str(d["uuid"]) for d in docs]
-                    img = np.asarray([d["image_embedding"] for d in docs], np.float32)
-                    txt = np.asarray([d["text_embedding"] for d in docs], np.float32)
+                    raw = [d for d in docs if "image" in d]  # raw-artifact form
+                    if raw and len(raw) != len(docs):
+                        raise ValueError(
+                            "mix of raw ('image'/'text') and embedding-form "
+                            "documents in one request"
+                        )
+                    if raw:
+                        if encode_documents_fn is None:
+                            self._send(501, {"error": "raw-document ingest not enabled"})
+                            return
+                        import base64
+
+                        blobs = [base64.b64decode(d["image"], validate=True) for d in docs]
+                        texts = [str(d["text"]) for d in docs]
+                        try:
+                            img, txt = encode_documents_fn(blobs, texts)
+                        except Exception as e:  # bad image bytes -> client error
+                            self._send(400, {"error": f"cannot encode documents: {e}"})
+                            return
+                    else:
+                        img = np.asarray([d["image_embedding"] for d in docs], np.float32)
+                        txt = np.asarray([d["text_embedding"] for d in docs], np.float32)
                 except (KeyError, TypeError, ValueError) as e:
                     self._send(400, {
-                        "error": "each document needs uuid, image_embedding, "
-                        f"text_embedding (equal-length vectors): {e}"
+                        "error": "each document needs uuid plus either "
+                        "image(base64)+text or image_embedding+text_embedding: "
+                        f"{e}"
                     })
                     return
                 try:

@@ -245,6 +245,22 @@ def test_embedding_search_composes_with_packed_corpus(world):
     assert len({x["uuid"] for x in a} & {x["uuid"] for x in b}) >= 8
 
 
+def test_encode_documents_live_ingest(world):
+    """Raw artifact -> encode_documents -> add_documents -> retrievable:
+    the ingested image embedding self-retrieves at alpha=1."""
+    model, params, tok, store, rt = world
+    r = CLIPRetrieval(model, params, tok, store, top_k=5, capacity_multiple=16)
+    rng = np.random.default_rng(21)
+    raw = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+    img, txt = r.encode_documents([raw], ["a newly ingested artifact"])
+    assert img.shape == (1, store.dim) and txt.shape == (1, store.dim)
+    np.testing.assert_allclose(np.linalg.norm(img, axis=1), 1.0, atol=1e-5)
+    r.add_documents(img, txt, ["fresh-artifact"])
+    out = r.retrieval_embeddings_batch(img, alpha=1.0)[0]
+    assert out[0]["uuid"] == "fresh-artifact"
+    assert out[0]["score"] == pytest.approx(1.0, abs=1e-3)
+
+
 def test_engine_retrieve_image_batch(world):
     """Engine-level visual search: threshold semantics applied, CLIP-only."""
     model, params, tok, store, rt = world

@@ -372,6 +372,68 @@ def test_http_image_search():
         assert health["image_stats"]["served"] >= 4
 
 
+def test_http_raw_document_ingest():
+    """POST /documents with base64 images + texts encodes server-side."""
+    import base64
+    import json as json_mod
+    import urllib.error
+    from urllib.request import Request, urlopen
+
+    import numpy as np
+
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval import RetrievalHTTPServer
+
+    added = []
+
+    def add_fn(img, txt, uuids):
+        added.append((img.shape, txt.shape, list(uuids)))
+
+    def encode_fn(blobs, texts):
+        if any(b == b"corrupt" for b in blobs):
+            raise ValueError("cannot decode image")
+        n = len(blobs)
+        return np.ones((n, 4), np.float32), np.ones((n, 4), np.float32)
+
+    def post(base, payload):
+        req = Request(
+            f"{base}/documents", data=json_mod.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        return json_mod.load(urlopen(req, timeout=10))
+
+    b64 = lambda b: base64.b64encode(b).decode()  # noqa: E731
+    batch_fn = lambda qs: [[] for _ in qs]  # noqa: E731
+    with RetrievalHTTPServer(
+        batch_fn, port=0, max_wait_ms=1.0,
+        add_documents_fn=add_fn, encode_documents_fn=encode_fn,
+    ) as srv:
+        base = "http://{}:{}".format(*srv.address)
+        out = post(base, {"documents": [
+            {"uuid": "r1", "image": b64(b"img1"), "text": "a vase"},
+            {"uuid": "r2", "image": b64(b"img2"), "text": "a coin"},
+        ]})
+        assert out == {"added": 2}
+        assert added[-1] == ((2, 4), (2, 4), ["r1", "r2"])
+        # mixed raw + embedding form in one request -> 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post(base, {"documents": [
+                {"uuid": "a", "image": b64(b"x"), "text": "t"},
+                {"uuid": "b", "image_embedding": [1, 0], "text_embedding": [0, 1]},
+            ]})
+        assert ei.value.code == 400
+        # corrupt image -> 400 (client data error, not 502)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post(base, {"documents": [{"uuid": "c", "image": b64(b"corrupt"), "text": "t"}]})
+        assert ei.value.code == 400
+
+    # raw form without the encode hook -> 501
+    with RetrievalHTTPServer(batch_fn, port=0, max_wait_ms=1.0, add_documents_fn=add_fn) as srv:
+        base = "http://{}:{}".format(*srv.address)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post(base, {"documents": [{"uuid": "d", "image": b64(b"x"), "text": "t"}]})
+        assert ei.value.code == 501
+
+
 def test_http_metrics_endpoint_and_idempotent_close():
     """GET /metrics renders Prometheus text; close() twice is a no-op."""
     import json as json_mod
