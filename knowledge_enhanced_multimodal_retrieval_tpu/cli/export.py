@@ -50,6 +50,14 @@ def main(argv=None) -> str:
         params = load_clip_params(cfg.model.checkpoint)
     else:
         raise ValueError("provide --train-dir or --model.checkpoint")
+    if cfg.model.adapters:
+        # merge LoRA adapters before re-layout: exports the ADAPTED model
+        # in whichever torch-ecosystem format is requested
+        from ..train.lora import load_adapters, lora_merge
+
+        adapters, meta = load_adapters(cfg.model.adapters, params)
+        params = lora_merge(params, adapters, float(meta["alpha"]) / float(meta["rank"]))
+        logger.info("merged LoRA adapters from %s (rank %s)", cfg.model.adapters, meta["rank"])
 
     if fmt == "hf":
         # named variants pin the head counts; otherwise infer everything

@@ -66,13 +66,17 @@ def build_engine(cfg, store_path: str) -> RetrievalEngine:
         from ..knowledge.clients import HTTPSparqlClient, MistralAgentClient
         from ..knowledge.text2sparql import Text2SparqlRetrieval
 
-        from ..knowledge.circuit import CircuitBreakerRetrieval
+        from ..knowledge.circuit import CachedRetrieval, CircuitBreakerRetrieval
 
         # raise_errors=True: the breaker needs to SEE failures; it degrades
-        # them to [] itself (and fast-fails while the endpoints stay down)
-        t2s = CircuitBreakerRetrieval(
-            Text2SparqlRetrieval(
-                MistralAgentClient(), HTTPSparqlClient(), raise_errors=True
+        # them to [] itself (and fast-fails while the endpoints stay down).
+        # The TTL'd cache sits outside so popular queries skip the LLM + KG
+        # round trips across batches.
+        t2s = CachedRetrieval(
+            CircuitBreakerRetrieval(
+                Text2SparqlRetrieval(
+                    MistralAgentClient(), HTTPSparqlClient(), raise_errors=True
+                )
             )
         )
     return RetrievalEngine(clip_r, t2s, cfg.fusion)

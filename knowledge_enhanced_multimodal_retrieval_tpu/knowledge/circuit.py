@@ -33,6 +33,68 @@ logger = setup_logger("kemr_tpu.knowledge.circuit")
 _CLOSED, _OPEN, _HALF_OPEN = "closed", "open", "half-open"
 
 
+class CachedRetrieval:
+    """TTL'd LRU cache in front of a retriever — popular queries skip the
+    LLM + KG round trips entirely.
+
+    The engine already dedupes WITHIN one batch; this carries results
+    ACROSS batches (real traffic repeats popular queries; each miss costs
+    seconds of agent latency). Entries expire after ``ttl_s`` so KG updates
+    eventually surface; empty results are cached too (a query the KG cannot
+    answer stays expensive to re-ask). Composes outside a breaker:
+    ``CachedRetrieval(CircuitBreakerRetrieval(inner))``. Thread-safe.
+    """
+
+    def __init__(
+        self,
+        inner,
+        maxsize: int = 2048,
+        ttl_s: float = 300.0,
+        clock: Callable[[], float] = time.monotonic,
+    ):
+        if maxsize < 1:
+            raise ValueError(f"maxsize must be >= 1, got {maxsize}")
+        if ttl_s <= 0:
+            raise ValueError(f"ttl_s must be > 0, got {ttl_s}")
+        from collections import OrderedDict
+
+        self.inner = inner
+        self.maxsize = maxsize
+        self.ttl_s = ttl_s
+        self._clock = clock
+        self._lock = threading.Lock()
+        self._entries: "OrderedDict[str, tuple]" = OrderedDict()
+        self._hits = 0
+        self._misses = 0
+
+    @property
+    def stats(self) -> dict:
+        with self._lock:
+            return {"hits": self._hits, "misses": self._misses, "size": len(self._entries)}
+
+    def invalidate(self) -> None:
+        """Drop every entry (call after known KG mutations)."""
+        with self._lock:
+            self._entries.clear()
+
+    def retrieval(self, query: str) -> List[str]:
+        now = self._clock()
+        with self._lock:
+            hit = self._entries.get(query)
+            if hit is not None and now - hit[0] < self.ttl_s:
+                self._entries.move_to_end(query)
+                self._hits += 1
+                return list(hit[1])
+            self._misses += 1
+        result = self.inner.retrieval(query)
+        with self._lock:
+            self._entries[query] = (now, list(result))
+            self._entries.move_to_end(query)
+            while len(self._entries) > self.maxsize:
+                self._entries.popitem(last=False)
+        return result
+
+
 class CircuitBreakerRetrieval:
     """Breaker-wrapped retriever; duck-types ``retrieval`` for the engine."""
 

@@ -146,3 +146,90 @@ def test_validation():
         CircuitBreakerRetrieval(FlakyRetriever([]), failure_threshold=0)
     with pytest.raises(ValueError, match="cooldown"):
         CircuitBreakerRetrieval(FlakyRetriever([]), cooldown_s=0)
+
+
+# -- CachedRetrieval ----------------------------------------------------------
+
+
+def test_cache_hits_skip_inner():
+    from knowledge_enhanced_multimodal_retrieval_tpu.knowledge.circuit import CachedRetrieval
+
+    inner = FlakyRetriever(["ok"] * 10)
+    clock = FakeClock()
+    c = CachedRetrieval(inner, maxsize=8, ttl_s=100, clock=clock)
+    assert c.retrieval("q") == ["uuid-q"]
+    assert c.retrieval("q") == ["uuid-q"]
+    assert inner.calls == 1
+    assert c.stats == {"hits": 1, "misses": 1, "size": 1}
+
+
+def test_cache_ttl_expiry_and_invalidate():
+    from knowledge_enhanced_multimodal_retrieval_tpu.knowledge.circuit import CachedRetrieval
+
+    inner = FlakyRetriever(["ok"] * 10)
+    clock = FakeClock()
+    c = CachedRetrieval(inner, ttl_s=10, clock=clock)
+    c.retrieval("q")
+    clock.t = 11.0
+    c.retrieval("q")  # expired -> re-fetch
+    assert inner.calls == 2
+    c.retrieval("q")  # fresh again
+    assert inner.calls == 2
+    c.invalidate()
+    c.retrieval("q")
+    assert inner.calls == 3
+
+
+def test_cache_lru_eviction():
+    from knowledge_enhanced_multimodal_retrieval_tpu.knowledge.circuit import CachedRetrieval
+
+    inner = FlakyRetriever(["ok"] * 20)
+    c = CachedRetrieval(inner, maxsize=2, ttl_s=100)
+    c.retrieval("a"), c.retrieval("b")
+    c.retrieval("a")  # refresh a's recency
+    c.retrieval("c")  # evicts b (least recent)
+    assert c.stats["size"] == 2
+    c.retrieval("a")  # hit
+    c.retrieval("b")  # miss (evicted)
+    assert inner.calls == 4  # a, b, c, b-again
+
+
+def test_cache_caches_empty_results():
+    from knowledge_enhanced_multimodal_retrieval_tpu.knowledge.circuit import CachedRetrieval
+
+    class Empty:
+        calls = 0
+
+        def retrieval(self, q):
+            self.calls += 1
+            return []
+
+    inner = Empty()
+    c = CachedRetrieval(inner, ttl_s=100)
+    assert c.retrieval("q") == [] and c.retrieval("q") == []
+    assert inner.calls == 1
+
+
+def test_cache_composes_with_breaker():
+    """cache(breaker(inner)): hits bypass the breaker; misses trip it."""
+    from knowledge_enhanced_multimodal_retrieval_tpu.knowledge.circuit import (
+        CachedRetrieval,
+        CircuitBreakerRetrieval,
+    )
+
+    clock = FakeClock()
+    inner = FlakyRetriever(["ok", "fail", "fail"])
+    c = CachedRetrieval(CircuitBreakerRetrieval(inner, failure_threshold=2, cooldown_s=10, clock=clock), ttl_s=100, clock=clock)
+    assert c.retrieval("good") == ["uuid-good"]
+    assert c.retrieval("bad1") == [] and c.retrieval("bad2") == []  # trips
+    assert c.retrieval("good") == ["uuid-good"]  # cached despite open circuit
+    assert inner.calls == 3
+
+
+def test_cache_validation():
+    from knowledge_enhanced_multimodal_retrieval_tpu.knowledge.circuit import CachedRetrieval
+
+    with pytest.raises(ValueError, match="maxsize"):
+        CachedRetrieval(FlakyRetriever([]), maxsize=0)
+    with pytest.raises(ValueError, match="ttl"):
+        CachedRetrieval(FlakyRetriever([]), ttl_s=0)

@@ -180,6 +180,33 @@ def test_model_adapters_flag_merges_at_load(setup, tmp_path, monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_export_cli_merges_adapters(setup, tmp_path, monkeypatch):
+    """cli/export --model.adapters exports the ADAPTED weights."""
+    import numpy as np
+
+    from knowledge_enhanced_multimodal_retrieval_tpu.cli.export import main as export_main
+    from knowledge_enhanced_multimodal_retrieval_tpu.models.convert import (
+        load_clip_params,
+        save_params_npz,
+    )
+
+    model, params, pipe = setup
+    base_path = os.path.join(str(tmp_path), "base.npz")
+    save_params_npz(params, base_path)
+    ad = L.lora_init(jax.random.PRNGKey(7), params, rank=2, targets="attn")
+    ad = jax.tree_util.tree_map(lambda x: x + 0.2, ad)
+    ad_path = os.path.join(str(tmp_path), "ad.npz")
+    L.save_adapters(ad_path, ad, {"rank": 2, "alpha": 4.0, "targets": "attn"})
+    out = export_main([
+        "--out", os.path.join(str(tmp_path), "merged.npz"), "--format", "npz",
+        f"--model.checkpoint={base_path}", f"--model.adapters={ad_path}",
+    ])
+    merged = load_clip_params(out)
+    want = L.lora_merge(params, ad, 2.0)
+    for a, b in zip(jax.tree_util.tree_leaves(want), jax.tree_util.tree_leaves(merged)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_lora_param_budget(setup):
     """The point of LoRA: adapters are a sliver of the full tree."""
     model, params, pipe = setup
