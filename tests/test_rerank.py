@@ -139,6 +139,34 @@ def test_rerank_with_exact_corpus_is_consistent(world):
     assert {x["uuid"] for x in a} == {x["uuid"] for x in b}
 
 
+def test_rerank_composes_with_sharded_corpus(world):
+    """rerank x shard_corpus x int8: sharded search returns GLOBAL row ids,
+    so the host rescore maps them through the one whole host store."""
+    model, params, tok, store, rt = world
+    exact = CLIPRetrieval(model, params, tok, store, top_k=6)
+    rr = CLIPRetrieval(
+        model, params, tok, store, top_k=6, rt=rt, shard_corpus=True,
+        quantize_corpus="int8", rerank=True, rerank_factor=8,
+    )
+    a = exact.retrieval("hello cat")
+    b = rr.retrieval("hello cat")
+    assert [x["uuid"] for x in a] == [x["uuid"] for x in b]
+    np.testing.assert_allclose(
+        [x["score"] for x in a], [x["score"] for x in b], atol=1e-5
+    )
+
+
+def test_warmup_composes_with_packed_corpus(world):
+    """warmup() precompiles the int4 + rerank search program too."""
+    model, params, tok, store, rt = world
+    r = CLIPRetrieval(
+        model, params, tok, store, top_k=5, quantize_corpus="int4",
+        rerank=True, rerank_factor=4,
+    )
+    assert r.warmup([2], alpha=0.5) == 1
+    assert len(r.retrieval_batch(["hello cat", "green vase"])) == 2
+
+
 def test_rerank_factor_validation(world):
     model, params, tok, store, rt = world
     with pytest.raises(ValueError, match="rerank_factor"):

@@ -245,6 +245,31 @@ def test_embedding_search_composes_with_packed_corpus(world):
     assert len({x["uuid"] for x in a} & {x["uuid"] for x in b}) >= 8
 
 
+def test_preprocess_images_accepts_all_input_forms(world, tmp_path):
+    """PIL image, encoded bytes, file path, raw uint8 array, and an
+    already-preprocessed float32 array all land in one [B, S, S, 3] batch
+    — and the preprocessed form passes through bit-identical."""
+    import io
+
+    from PIL import Image
+
+    model, params, tok, store, rt = world
+    r = CLIPRetrieval(model, params, tok, store, top_k=5)
+    rng = np.random.default_rng(2)
+    raw = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+    pil = Image.fromarray(raw)
+    buf = io.BytesIO()
+    pil.save(buf, format="PNG")
+    path = os.path.join(tmp_path, "img.png")
+    pil.save(path)
+    pre = r.preprocess_images([raw])[0]  # float32 [32, 32, 3]
+    batch = r.preprocess_images([pil, buf.getvalue(), path, raw, pre])
+    assert batch.shape == (5, 32, 32, 3) and batch.dtype == np.float32
+    # identical source image -> identical preprocessed rows across forms
+    for i in range(1, 5):
+        np.testing.assert_array_equal(batch[0], batch[i])
+
+
 def test_encode_documents_live_ingest(world):
     """Raw artifact -> encode_documents -> add_documents -> retrievable:
     the ingested image embedding self-retrieves at alpha=1."""
