@@ -37,14 +37,20 @@ def build_model_and_params(cfg: Config, rng_seed: int = 0):
     else:
         params = clip_mod.init_params(model, jax.random.PRNGKey(rng_seed))
     if cfg.model.adapters:
-        # merge LoRA adapters into the base at load: every entry point
-        # (serve/evaluate/precompute/export) then runs the adapted model
-        from ..train.lora import load_adapters, lora_merge
-
-        adapters, meta = load_adapters(cfg.model.adapters, params)
-        scale = float(meta["alpha"]) / float(meta["rank"])
-        params = lora_merge(params, adapters, scale)
+        params = merge_adapters(cfg.model.adapters, params)
     return model, params
+
+
+def merge_adapters(adapters_path: str, params):
+    """Merge a LoRA adapter artifact into ``params`` at load time — the one
+    implementation every entry point (serve/evaluate/precompute/export)
+    shares. Host-side numpy merge: eager per-op dispatch on a remote
+    backend would cost hundreds of round trips at startup."""
+    from ..train.lora import load_adapters, lora_merge_host
+
+    adapters, meta = load_adapters(adapters_path, params)
+    scale = float(meta["alpha"]) / float(meta["rank"])
+    return lora_merge_host(params, adapters, scale)
 
 
 def build_pipeline(cfg: Config, split: str, tokenizer: Optional[CLIPTokenizer] = None) -> DataPipeline:

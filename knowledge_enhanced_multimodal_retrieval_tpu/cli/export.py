@@ -53,11 +53,10 @@ def main(argv=None) -> str:
     if cfg.model.adapters:
         # merge LoRA adapters before re-layout: exports the ADAPTED model
         # in whichever torch-ecosystem format is requested
-        from ..train.lora import load_adapters, lora_merge
+        from .common import merge_adapters
 
-        adapters, meta = load_adapters(cfg.model.adapters, params)
-        params = lora_merge(params, adapters, float(meta["alpha"]) / float(meta["rank"]))
-        logger.info("merged LoRA adapters from %s (rank %s)", cfg.model.adapters, meta["rank"])
+        params = merge_adapters(cfg.model.adapters, params)
+        logger.info("merged LoRA adapters from %s", cfg.model.adapters)
 
     if fmt == "hf":
         # named variants pin the head counts; otherwise infer everything

@@ -72,11 +72,14 @@ def build_engine(cfg, store_path: str) -> RetrievalEngine:
         # them to [] itself (and fast-fails while the endpoints stay down).
         # The TTL'd cache sits outside so popular queries skip the LLM + KG
         # round trips across batches.
+        # raise_on_degrade=True: the cache must SEE degradation so a KG blip
+        # is never cached as a legitimate empty answer for the whole TTL
         t2s = CachedRetrieval(
             CircuitBreakerRetrieval(
                 Text2SparqlRetrieval(
                     MistralAgentClient(), HTTPSparqlClient(), raise_errors=True
-                )
+                ),
+                raise_on_degrade=True,
             )
         )
     return RetrievalEngine(clip_r, t2s, cfg.fusion)
@@ -145,16 +148,18 @@ def main(argv=None) -> None:
             "/healthz, /metrics)",
             *server.address,
         )
-        # graceful SIGTERM (the normal orchestrator stop signal): drain and
-        # exit. shutdown() would deadlock called from THIS thread's signal
-        # handler (serve_forever is suspended inside it), so close on a
-        # helper thread and let serve_forever return.
+        # graceful SIGTERM (the normal orchestrator stop signal): the
+        # handler only asks serve_forever to return (shutdown() would
+        # deadlock called from THIS thread's suspended signal frame, so it
+        # runs on a helper); the FULL close — socket + batcher drain — then
+        # runs on the main thread, which keeps the process alive until the
+        # drain completes (a daemon helper would die with the process).
         import signal
         import threading as _threading
 
         def _stop(signum, frame):
             logger.info("signal %d: draining and shutting down", signum)
-            _threading.Thread(target=server.close, daemon=True).start()
+            _threading.Thread(target=server.request_shutdown, daemon=True).start()
 
         signal.signal(signal.SIGTERM, _stop)
         try:
@@ -162,7 +167,7 @@ def main(argv=None) -> None:
         except KeyboardInterrupt:
             pass
         finally:
-            server.close()  # idempotent with the signal handler's close
+            server.close()
         return
 
     def answer(q: str) -> None:

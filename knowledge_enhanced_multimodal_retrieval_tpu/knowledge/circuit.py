@@ -33,6 +33,12 @@ logger = setup_logger("kemr_tpu.knowledge.circuit")
 _CLOSED, _OPEN, _HALF_OPEN = "closed", "open", "half-open"
 
 
+class KnowledgeUnavailable(RuntimeError):
+    """Raised (opt-in) by the breaker instead of returning the degraded
+    empty result — lets wrappers (the cache) distinguish 'the KG said
+    nothing matches' from 'the KG is down right now'."""
+
+
 class CachedRetrieval:
     """TTL'd LRU cache in front of a retriever — popular queries skip the
     LLM + KG round trips entirely.
@@ -40,9 +46,13 @@ class CachedRetrieval:
     The engine already dedupes WITHIN one batch; this carries results
     ACROSS batches (real traffic repeats popular queries; each miss costs
     seconds of agent latency). Entries expire after ``ttl_s`` so KG updates
-    eventually surface; empty results are cached too (a query the KG cannot
-    answer stays expensive to re-ask). Composes outside a breaker:
-    ``CachedRetrieval(CircuitBreakerRetrieval(inner))``. Thread-safe.
+    eventually surface; LEGITIMATE empty results are cached too (a query
+    the KG cannot answer stays expensive to re-ask). Composes outside a
+    breaker built with ``raise_on_degrade=True``: a degraded answer (the
+    endpoint is down) raises :class:`KnowledgeUnavailable`, which this
+    cache converts to the engine-compatible ``[]`` WITHOUT caching it —
+    otherwise a one-minute KG blip would pin popular queries to empty
+    knowledge for the whole TTL. Thread-safe.
     """
 
     def __init__(
@@ -86,7 +96,10 @@ class CachedRetrieval:
                 self._hits += 1
                 return list(hit[1])
             self._misses += 1
-        result = self.inner.retrieval(query)
+        try:
+            result = self.inner.retrieval(query)
+        except KnowledgeUnavailable:
+            return []  # degraded, NOT cached — re-asked once the KG is back
         with self._lock:
             self._entries[query] = (now, list(result))
             self._entries.move_to_end(query)
@@ -104,6 +117,7 @@ class CircuitBreakerRetrieval:
         failure_threshold: int = 5,
         cooldown_s: float = 30.0,
         clock: Callable[[], float] = time.monotonic,
+        raise_on_degrade: bool = False,
     ):
         if failure_threshold < 1:
             raise ValueError(f"failure_threshold must be >= 1, got {failure_threshold}")
@@ -112,6 +126,10 @@ class CircuitBreakerRetrieval:
         self.inner = inner
         self.failure_threshold = failure_threshold
         self.cooldown_s = cooldown_s
+        # False (engine-compatible): degrade to []. True: raise
+        # KnowledgeUnavailable so a wrapping cache never stores the
+        # degraded empty as if the KG had answered.
+        self.raise_on_degrade = raise_on_degrade
         self._clock = clock
         self._lock = threading.Lock()
         self._state = _CLOSED
@@ -148,6 +166,8 @@ class CircuitBreakerRetrieval:
             if state == _OPEN or (state == _HALF_OPEN and self._trial_in_flight):
                 # fast-fail: no network round trip, engine serves CLIP-only
                 self._fast_fails += 1
+                if self.raise_on_degrade:
+                    raise KnowledgeUnavailable("knowledge circuit open")
                 return []
             trial = state == _HALF_OPEN
             if trial:
@@ -175,11 +195,17 @@ class CircuitBreakerRetrieval:
                 else:
                     logger.warning("knowledge retrieval failed (%d/%d): %s",
                                    self._failures, self.failure_threshold, e)
+            if self.raise_on_degrade:
+                raise KnowledgeUnavailable(str(e)) from e
             return []
         with self._lock:
             if trial:
                 self._trial_in_flight = False
                 logger.info("knowledge circuit CLOSED (trial call succeeded)")
-            self._state = _CLOSED
-            self._failures = 0
+            # only a trial success (or a success while still closed) closes
+            # the circuit: a slow straggler admitted BEFORE the trip must not
+            # re-close an OPEN circuit mid-outage and defeat the cooldown
+            if trial or self._state == _CLOSED:
+                self._state = _CLOSED
+                self._failures = 0
         return result

@@ -610,8 +610,21 @@ class CLIPRetrieval:
         """
         if len(images) != len(texts):
             raise ValueError(f"{len(images)} images vs {len(texts)} texts")
-        img = np.asarray(self.encode_images(self.preprocess_images(images)), np.float32)
-        txt = np.asarray(self.encode_queries(list(texts)), np.float32)
+        n = len(images)
+        if n == 0:
+            raise ValueError("no documents")
+        # bucket the batch to the next power of two (echoing the last row):
+        # on a jit backend every DISTINCT ingest size would otherwise be a
+        # fresh minutes-long remote compile (the same rule the MicroBatcher
+        # applies to query batches)
+        bucket = 1 << (n - 1).bit_length()
+        pixels = self.preprocess_images(images)
+        pad = bucket - n
+        if pad:
+            pixels = np.concatenate([pixels, np.repeat(pixels[-1:], pad, axis=0)])
+            texts = list(texts) + [texts[-1]] * pad
+        img = np.asarray(self.encode_images(pixels), np.float32)[:n]
+        txt = np.asarray(self.encode_queries(list(texts)), np.float32)[:n]
         return img, txt
 
     def search_embeddings_batch(

@@ -90,7 +90,15 @@ class EmbeddingStore:
                         )
                     with zf.open(name + ".npy") as f:
                         version = np.lib.format.read_magic(f)
-                        shape, fortran, dtype = np.lib.format._read_array_header(f, version)
+                        # public per-version readers (no private API): the
+                        # format has exactly these two header layouts
+                        read_header = {
+                            (1, 0): np.lib.format.read_array_header_1_0,
+                            (2, 0): np.lib.format.read_array_header_2_0,
+                        }.get(version)
+                        if read_header is None:
+                            raise ValueError(f"unsupported .npy version {version}")
+                        shape, fortran, dtype = read_header(f)
                         npy_header = f.tell()  # bytes consumed by the .npy header
                     with open(path, "rb") as raw:
                         raw.seek(info.header_offset + 26)

@@ -37,6 +37,15 @@ import numpy as np
 from .embedding_store import DuplicateUUIDError
 from .server import MicroBatcher, Overloaded
 
+# exception types that mean "the CLIENT's data is bad" (HTTP 400) rather
+# than a backend failure (502): decode/shape errors, incl. PIL's
+# cannot-identify error when available
+try:
+    from PIL import UnidentifiedImageError as _PILError
+except Exception:  # pragma: no cover — PIL is a baked-in dependency
+    _PILError = ValueError
+_CLIENT_DATA_ERRORS = (ValueError, TypeError, KeyError, _PILError)
+
 
 def _parse_n(raw):
     """Validate a top-n parameter: positive int, else ``(None, error)``."""
@@ -242,8 +251,11 @@ class RetrievalHTTPServer:
                         texts = [str(d["text"]) for d in docs]
                         try:
                             img, txt = encode_documents_fn(blobs, texts)
-                        except Exception as e:  # bad image bytes -> client error
+                        except _CLIENT_DATA_ERRORS as e:  # bad image bytes
                             self._send(400, {"error": f"cannot encode documents: {e}"})
+                            return
+                        except Exception as e:  # backend/device failure
+                            self._send(502, {"error": str(e)})
                             return
                     else:
                         img = np.asarray([d["image_embedding"] for d in docs], np.float32)
@@ -361,6 +373,14 @@ class RetrievalHTTPServer:
     def serve_forever(self) -> None:
         self._serving = True
         self._httpd.serve_forever()
+
+    def request_shutdown(self) -> None:
+        """Ask a running :meth:`serve_forever` to return (safe from a signal
+        handler's helper thread). The FULL teardown — socket close, batcher
+        drain — must then run on the foreground thread via :meth:`close`:
+        doing it all on a daemon helper races process exit, which would kill
+        the drain mid-flight the moment the main thread returns."""
+        self._httpd.shutdown()
 
     def start(self) -> "RetrievalHTTPServer":
         """Serve on a background thread (for tests / embedding)."""

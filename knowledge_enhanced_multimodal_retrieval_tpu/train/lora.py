@@ -91,6 +91,25 @@ def lora_merge(params, adapters, scale: float):
     )
 
 
+def lora_merge_host(params, adapters, scale: float):
+    """Host-side (numpy) :func:`lora_merge` for load-time merging.
+
+    On a remote-dispatch backend every eager device op is a network round
+    trip, so tree-mapping the merge through jax eagerly costs hundreds of
+    round trips at startup; the adapters are tiny, numpy does it in
+    milliseconds and the result uploads once like any parameter tree.
+    """
+    import numpy as np
+
+    def merge(p, ad):
+        if ad is None:
+            return p
+        p = np.asarray(p)
+        return (p + scale * (np.asarray(ad["a"]) @ np.asarray(ad["b"]))).astype(p.dtype)
+
+    return jax.tree_util.tree_map(merge, params, adapters)
+
+
 def lora_param_count(adapters) -> int:
     return sum(
         x.size for x in jax.tree_util.tree_leaves(adapters) if hasattr(x, "size")

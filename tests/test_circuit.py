@@ -233,3 +233,80 @@ def test_cache_validation():
         CachedRetrieval(FlakyRetriever([]), maxsize=0)
     with pytest.raises(ValueError, match="ttl"):
         CachedRetrieval(FlakyRetriever([]), ttl_s=0)
+
+
+def test_breaker_raise_on_degrade():
+    from knowledge_enhanced_multimodal_retrieval_tpu.knowledge.circuit import (
+        CircuitBreakerRetrieval,
+        KnowledgeUnavailable,
+    )
+
+    clock = FakeClock()
+    inner = FlakyRetriever(["fail"])
+    cb = CircuitBreakerRetrieval(
+        inner, failure_threshold=1, cooldown_s=10, clock=clock, raise_on_degrade=True
+    )
+    with pytest.raises(KnowledgeUnavailable):
+        cb.retrieval("q")  # real failure raises
+    with pytest.raises(KnowledgeUnavailable):
+        cb.retrieval("q")  # open fast-fail raises too
+    assert inner.calls == 1
+
+
+def test_cache_never_stores_degraded_results():
+    """A KG blip must not pin popular queries to empty knowledge for the
+    whole TTL: degraded answers pass through as [] but are NOT cached."""
+    from knowledge_enhanced_multimodal_retrieval_tpu.knowledge.circuit import (
+        CachedRetrieval,
+        CircuitBreakerRetrieval,
+    )
+
+    clock = FakeClock()
+    inner = FlakyRetriever(["fail", "ok", "ok"])
+    cb = CircuitBreakerRetrieval(
+        inner, failure_threshold=1, cooldown_s=10, clock=clock, raise_on_degrade=True
+    )
+    c = CachedRetrieval(cb, ttl_s=300, clock=clock)
+    assert c.retrieval("q") == []  # outage: degraded, engine-compatible
+    assert c.stats["size"] == 0  # NOT cached
+    clock.t = 11.0  # breaker half-open; trial succeeds
+    assert c.retrieval("q") == ["uuid-q"]  # real answer now
+    assert c.stats["size"] == 1
+    assert c.retrieval("q") == ["uuid-q"] and inner.calls == 2  # cached
+
+
+def test_straggler_success_does_not_close_open_circuit():
+    """A slow call admitted before the trip must not re-close an OPEN
+    circuit mid-outage (only a half-open trial, or a closed-state success,
+    resets it)."""
+    import time as _t
+
+    release = threading.Event()
+    clock = FakeClock()
+
+    class Mixed:
+        calls = 0
+
+        def retrieval(self, q):
+            self.calls += 1
+            if q == "slow-ok":
+                release.wait(timeout=10)
+                return ["ok"]
+            raise ConnectionError("down")
+
+    inner = Mixed()
+    cb = CircuitBreakerRetrieval(inner, failure_threshold=1, cooldown_s=100, clock=clock)
+    results = {}
+    t = threading.Thread(target=lambda: results.update(slow=cb.retrieval("slow-ok")))
+    t.start()
+    for _ in range(100):  # wait for the slow call to be in flight
+        if inner.calls >= 1:
+            break
+        _t.sleep(0.01)
+    cb.retrieval("fail-now")  # trips the breaker while slow-ok is in flight
+    assert cb.state == "open"
+    release.set()
+    t.join(timeout=10)
+    assert results["slow"] == ["ok"]  # the straggler still got its answer
+    assert cb.state == "open"  # ...but did NOT re-close the circuit
+    assert cb.retrieval("q") == [] and inner.calls == 2  # still fast-failing

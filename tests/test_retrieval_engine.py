@@ -270,6 +270,26 @@ def test_preprocess_images_accepts_all_input_forms(world, tmp_path):
         np.testing.assert_array_equal(batch[0], batch[i])
 
 
+def test_encode_documents_buckets_batch_size(world, monkeypatch):
+    """Ingest batches pad to the next power of two before hitting jit
+    (every distinct size would otherwise be a fresh remote compile)."""
+    model, params, tok, store, rt = world
+    r = CLIPRetrieval(model, params, tok, store, top_k=5)
+    seen = []
+    orig = r.encode_images
+
+    def spy(pixels):
+        seen.append(np.asarray(pixels).shape[0])
+        return orig(pixels)
+
+    monkeypatch.setattr(r, "encode_images", spy)
+    rng = np.random.default_rng(1)
+    imgs = [rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8) for _ in range(3)]
+    img, txt = r.encode_documents(imgs, ["a", "b", "c"])
+    assert img.shape[0] == 3 and txt.shape[0] == 3  # sliced back to n
+    assert seen == [4]  # padded to the bucket
+
+
 def test_encode_documents_live_ingest(world):
     """Raw artifact -> encode_documents -> add_documents -> retrievable:
     the ingested image embedding self-retrieves at alpha=1."""
