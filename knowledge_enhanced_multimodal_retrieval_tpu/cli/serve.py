@@ -129,8 +129,18 @@ def main(argv=None) -> None:
             engine.retrieve_text_batch if engine.t2s_retriever
             else engine.retrieve_text_noknowledge_batch
         )
+
+        # per-request blend (?alpha=): None falls back to the configured
+        # default; mixed alphas ride one micro-batch (runtime operand)
+        default_alpha = cfg.fusion.alpha_clip
+
+        def alphas_batch_fn(queries, alphas):
+            resolved = [default_alpha if a is None else float(a) for a in alphas]
+            return batch_fn(queries, alpha_clip=resolved)
+
         server = RetrievalHTTPServer(
             batch_fn, port=http_port, max_pending=max_pending,
+            alphas_batch_fn=alphas_batch_fn,
             # live corpus ingest/retire (POST/DELETE /documents); searches
             # keep serving the old corpus until the update swaps in
             add_documents_fn=engine.clip_retriever.add_documents,

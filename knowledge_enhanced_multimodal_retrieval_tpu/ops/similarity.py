@@ -36,19 +36,40 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
+def alpha_column(alpha, n_queries: int) -> jax.Array:
+    """Normalize a blend weight into an f32 ``[Q, 1]`` column.
+
+    ``alpha`` may be a scalar (one blend for the whole batch — the
+    reference's semantics) or a length-``Q`` sequence (per-query blends in
+    ONE device program). Alpha is a RUNTIME operand throughout this module,
+    never a compile-time constant: changing it re-executes, not re-compiles
+    (on a remote-compile backend a fresh compile per alpha costs minutes).
+    """
+    a = jnp.asarray(alpha, jnp.float32)
+    if a.ndim == 0:
+        return jnp.full((n_queries, 1), a, jnp.float32)
+    a = a.reshape(-1, 1)
+    if a.shape[0] != n_queries:
+        raise ValueError(f"alpha length {a.shape[0]} != query count {n_queries}")
+    return a
+
+
 # ---------------------------------------------------------------------------
 # XLA reference path
 # ---------------------------------------------------------------------------
 
 
-def blended_scores(queries: jax.Array, img_emb: jax.Array, txt_emb: jax.Array, alpha: float) -> jax.Array:
-    """[Q, N] blended similarity: alpha * T2I + (1 - alpha) * T2T."""
+def blended_scores(queries: jax.Array, img_emb: jax.Array, txt_emb: jax.Array, alpha) -> jax.Array:
+    """[Q, N] blended similarity: alpha * T2I + (1 - alpha) * T2T.
+
+    ``alpha``: scalar or per-query (see :func:`alpha_column`)."""
+    a = alpha_column(alpha, queries.shape[0])
     t2i = jnp.dot(queries, img_emb.T, preferred_element_type=jnp.float32)
     t2t = jnp.dot(queries, txt_emb.T, preferred_element_type=jnp.float32)
-    return alpha * t2i + (1.0 - alpha) * t2t
+    return a * t2i + (1.0 - a) * t2t
 
 
-@functools.partial(jax.jit, static_argnames=("k", "alpha"))
+@functools.partial(jax.jit, static_argnames=("k",))
 def similarity_topk_xla(
     queries: jax.Array,
     img_emb: jax.Array,
@@ -60,7 +81,7 @@ def similarity_topk_xla(
     return jax.lax.top_k(scores, k)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "alpha", "segment"))
+@functools.partial(jax.jit, static_argnames=("k", "segment"))
 def similarity_topk_segmented(
     queries: jax.Array,
     img_emb: jax.Array,
@@ -150,21 +171,22 @@ def blended_scores_q8(
     img_scale: jax.Array,
     txt_q: jax.Array,
     txt_scale: jax.Array,
-    alpha: float,
+    alpha,
 ) -> jax.Array:
     """[Q, N] blended scores over an int8 corpus, op-order-matched to the
     Pallas q8 kernel: raw dot at the query dtype (int8 -> bf16 conversion is
     exact), then per-corpus-row scales applied to the f32 score columns."""
+    a = alpha_column(alpha, queries.shape[0])
     img = img_q.astype(queries.dtype)
     txt = txt_q.astype(queries.dtype)
     t2i = jnp.dot(queries, img.T, preferred_element_type=jnp.float32)
     t2t = jnp.dot(queries, txt.T, preferred_element_type=jnp.float32)
     img_s = jnp.asarray(img_scale, jnp.float32).reshape(1, -1)
     txt_s = jnp.asarray(txt_scale, jnp.float32).reshape(1, -1)
-    return alpha * (t2i * img_s) + (1.0 - alpha) * (t2t * txt_s)
+    return a * (t2i * img_s) + (1.0 - a) * (t2t * txt_s)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "alpha"))
+@functools.partial(jax.jit, static_argnames=("k",))
 def similarity_topk_xla_q8(
     queries: jax.Array,
     img_q: jax.Array,
@@ -244,9 +266,10 @@ def rerank_scores_host(queries, image, text, idx, alpha: float):
 
     queries = np.asarray(queries, np.float32)
     idx = np.asarray(idx)
+    a = np.asarray(alpha, np.float32).reshape(-1, 1)  # scalar or per-query
     safe = np.maximum(idx, 0)
-    s = alpha * np.einsum("qd,qrd->qr", queries, image[safe]) + (
-        1.0 - alpha
+    s = a * np.einsum("qd,qrd->qr", queries, image[safe]) + (
+        1.0 - a
     ) * np.einsum("qd,qrd->qr", queries, text[safe])
     s = np.where(idx >= 0, s, -np.inf).astype(np.float32)
     order = np.argsort(-s, axis=1, kind="stable")
@@ -264,11 +287,12 @@ def blended_scores_q4(
     img_scale: jax.Array,
     txt_p: jax.Array,
     txt_scale: jax.Array,
-    alpha: float,
+    alpha,
 ) -> jax.Array:
     """[Q, N] blended scores over a nibble-packed int4 corpus, op-order-
     matched to the Pallas q4 kernel: unpack planes to the query dtype, one
     half-width dot per plane, per-row scales on the f32 score columns."""
+    a = alpha_column(alpha, queries.shape[0])
     d2 = img_p.shape[1]
     q_lo, q_hi = queries[:, :d2], queries[:, d2:]
 
@@ -282,10 +306,10 @@ def blended_scores_q4(
     t2t = plane_scores(q_lo, q_hi, txt_p)
     img_s = jnp.asarray(img_scale, jnp.float32).reshape(1, -1)
     txt_s = jnp.asarray(txt_scale, jnp.float32).reshape(1, -1)
-    return alpha * (t2i * img_s) + (1.0 - alpha) * (t2t * txt_s)
+    return a * (t2i * img_s) + (1.0 - a) * (t2t * txt_s)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "alpha"))
+@functools.partial(jax.jit, static_argnames=("k",))
 def similarity_topk_xla_q4(
     queries: jax.Array,
     img_p: jax.Array,
@@ -329,7 +353,6 @@ def _merge_topk(run_vals, run_idx, cand_vals, cand_idx, k: int):
 
 def _fused_kernel(
     *refs,
-    alpha: float,
     k: int,
     tile_n: int,
     corpus_n: int,
@@ -339,15 +362,18 @@ def _fused_kernel(
     exact, int8-, and int4-corpus variants; they differ only in the tile
     dtype/unpacking and whether per-row scales multiply the score columns)."""
     if mode == "q4":
-        (q_img_lo, q_img_hi, q_txt_lo, q_txt_hi,
+        (alpha_ref, q_img_lo, q_img_hi, q_txt_lo, q_txt_hi,
          img_ref, img_s_ref, txt_ref, txt_s_ref,
          vals_ref, idx_ref, vals_scr, idx_scr) = refs
     elif mode == "q8":
-        (q_img_ref, q_txt_ref, img_ref, img_s_ref, txt_ref, txt_s_ref,
+        (alpha_ref, q_img_ref, q_txt_ref, img_ref, img_s_ref, txt_ref, txt_s_ref,
          vals_ref, idx_ref, vals_scr, idx_scr) = refs
     else:
-        (q_img_ref, q_txt_ref, img_ref, txt_ref,
+        (alpha_ref, q_img_ref, q_txt_ref, img_ref, txt_ref,
          vals_ref, idx_ref, vals_scr, idx_scr) = refs
+    # per-query blend weights [Q, 1] — a runtime operand, so one compiled
+    # program serves every alpha (and mixed alphas within one batch)
+    a = alpha_ref[:]
     j = pl.program_id(0)
     n_tiles = pl.num_programs(0)
 
@@ -373,7 +399,7 @@ def _fused_kernel(
 
         t2i = plane_dot(ql, qh, img_ref)
         t2t = plane_dot(q_txt_lo[:], q_txt_hi[:], txt_ref)
-        scores = alpha * (t2i * img_s_ref[:]) + (1.0 - alpha) * (t2t * txt_s_ref[:])
+        scores = a * (t2i * img_s_ref[:]) + (1.0 - a) * (t2t * txt_s_ref[:])
     else:
         # dot at the stored/query precision with f32 accumulation: bf16 x
         # bf16 MXU products are exact for bf16 inputs; int8 tiles convert to
@@ -388,9 +414,9 @@ def _fused_kernel(
         if mode == "q8":
             # per-corpus-row scales ride pre-transposed as [1, T] rows and
             # multiply the f32 score COLUMNS post-matmul
-            scores = alpha * (t2i * img_s_ref[:]) + (1.0 - alpha) * (t2t * txt_s_ref[:])
+            scores = a * (t2i * img_s_ref[:]) + (1.0 - a) * (t2t * txt_s_ref[:])
         else:
-            scores = alpha * t2i + (1.0 - alpha) * t2t  # [Q, T] f32
+            scores = a * t2i + (1.0 - a) * t2t  # [Q, T] f32
 
     qn = scores.shape[0]
     local_col = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 1)
@@ -415,6 +441,7 @@ def _fused_topk_call(
     queries_img, queries_txt, img, txt, scales, *, k, alpha, tile_n, interpret, corpus_bytes,
     mode=None,
 ):
+    # alpha rides as a [Q, 1] runtime operand (padded with the query rows)
     """Shared scaffolding (tile sizing, padding, specs, pallas_call) for the
     exact, int8, and int4 fused top-k variants."""
     if mode is None:
@@ -433,25 +460,29 @@ def _fused_topk_call(
     n_tiles = img_p.shape[0] // tile_n
 
     # sublane-align the query block (fp32 min tile is 8 x 128)
+    alpha_col = alpha_column(alpha, qn)
     pad_q = (-qn) % 8
     if pad_q:
         queries_img = jnp.pad(queries_img, ((0, pad_q), (0, 0)))
         queries_txt = jnp.pad(queries_txt, ((0, pad_q), (0, 0)))
+        alpha_col = jnp.pad(alpha_col, ((0, pad_q), (0, 0)))
     qn_p = qn + pad_q
 
     dc = img.shape[1]  # corpus lane width (= d/2 packed planes in q4 mode)
     corpus_spec = lambda: pl.BlockSpec((tile_n, dc), lambda j: (j, 0), memory_space=pltpu.VMEM)
     q_spec = lambda w: pl.BlockSpec((qn_p, w), lambda j: (0, 0), memory_space=pltpu.VMEM)
+    alpha_spec = pl.BlockSpec((qn_p, 1), lambda j: (0, 0), memory_space=pltpu.VMEM)
     if mode == "q4":
         d2 = d // 2
-        in_specs = [q_spec(d2)] * 4
+        in_specs = [alpha_spec] + [q_spec(d2)] * 4
         operands = [
+            alpha_col,
             queries_img[:, :d2], queries_img[:, d2:],
             queries_txt[:, :d2], queries_txt[:, d2:],
         ]
     else:
-        in_specs = [q_spec(d), q_spec(d)]
-        operands = [queries_img, queries_txt]
+        in_specs = [alpha_spec, q_spec(d), q_spec(d)]
+        operands = [alpha_col, queries_img, queries_txt]
     if scales is not None:
         img_s, txt_s = scales
         # scales as [1, N] rows so the kernel multiplies score COLUMNS
@@ -465,8 +496,7 @@ def _fused_topk_call(
         operands += [img_p, txt_p]
 
     kernel = functools.partial(
-        _fused_kernel, alpha=float(alpha), k=k, tile_n=tile_n, corpus_n=n,
-        mode=mode,
+        _fused_kernel, k=k, tile_n=tile_n, corpus_n=n, mode=mode,
     )
     vals, idx = pl.pallas_call(
         kernel,
@@ -637,26 +667,27 @@ def sharded_similarity_topk(
     shard_n = img_emb.shape[0] // n_shards
     k = min(k, img_emb.shape[0])
     k_local = min(k, shard_n)  # a shard can only contribute shard_n winners
+    alpha_arr = alpha_column(alpha, queries.shape[0])
 
-    def local(q, img, txt):
+    def local(q, a, img, txt):
         if use_pallas or (use_pallas is None and jax.default_backend() == "tpu" and k_local <= 128):  # noqa: E501 (mesh ops always run on the process backend)
-            vals, idx = fused_similarity_topk(q, img, txt, k=k_local, alpha=alpha)
+            vals, idx = fused_similarity_topk(q, img, txt, k=k_local, alpha=a)
         elif k_local > 128:
-            vals, idx = similarity_topk_segmented(q, img, txt, k=k_local, alpha=alpha)
+            vals, idx = similarity_topk_segmented(q, img, txt, k=k_local, alpha=a)
         else:
-            vals, idx = similarity_topk_xla(q, img, txt, k=k_local, alpha=alpha)
+            vals, idx = similarity_topk_xla(q, img, txt, k=k_local, alpha=a)
         return _merge_shard_winners(vals, idx, axis, shard_n, k)
 
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(axis, None), P(axis, None)),
+        in_specs=(P(), P(), P(axis, None), P(axis, None)),
         out_specs=(P(), P()),
         # after all_gather + top_k the result is replicated, but the varying-
         # axis analysis cannot prove it; disable the check.
         check_vma=False,
     )
-    return jax.jit(fn)(queries, img_emb, txt_emb)
+    return jax.jit(fn)(queries, alpha_arr, img_emb, txt_emb)
 
 
 def _merge_shard_winners(vals, idx, axis: str, shard_n: int, k: int):
@@ -695,27 +726,28 @@ def sharded_similarity_topk_q8(
     shard_n = img_q.shape[0] // n_shards
     k = min(k, img_q.shape[0])
     k_local = min(k, shard_n)
+    alpha_arr = alpha_column(alpha, queries.shape[0])
 
-    def local(q, img, img_s, txt, txt_s):
+    def local(q, a, img, img_s, txt, txt_s):
         if use_pallas or (use_pallas is None and jax.default_backend() == "tpu"):
             # fused handles k_local > 128 internally (q8-native segmented)
             vals, idx = fused_similarity_topk_q8(
-                q, img, img_s, txt, txt_s, k=k_local, alpha=alpha
+                q, img, img_s, txt, txt_s, k=k_local, alpha=a
             )
         else:
             vals, idx = similarity_topk_xla_q8(
-                q, img, img_s, txt, txt_s, k=k_local, alpha=alpha
+                q, img, img_s, txt, txt_s, k=k_local, alpha=a
             )
         return _merge_shard_winners(vals, idx, axis, shard_n, k)
 
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(axis, None), P(axis, None), P(axis, None), P(axis, None)),
+        in_specs=(P(), P(), P(axis, None), P(axis, None), P(axis, None), P(axis, None)),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(fn)(queries, img_q, img_scale, txt_q, txt_scale)
+    return jax.jit(fn)(queries, alpha_arr, img_q, img_scale, txt_q, txt_scale)
 
 
 def sharded_similarity_topk_q4(
@@ -737,23 +769,24 @@ def sharded_similarity_topk_q4(
     shard_n = img_p.shape[0] // n_shards
     k = min(k, img_p.shape[0])
     k_local = min(k, shard_n)
+    alpha_arr = alpha_column(alpha, queries.shape[0])
 
-    def local(q, img, img_s, txt, txt_s):
+    def local(q, a, img, img_s, txt, txt_s):
         if use_pallas or (use_pallas is None and jax.default_backend() == "tpu"):
             vals, idx = fused_similarity_topk_q4(
-                q, img, img_s, txt, txt_s, k=k_local, alpha=alpha
+                q, img, img_s, txt, txt_s, k=k_local, alpha=a
             )
         else:
             vals, idx = similarity_topk_xla_q4(
-                q, img, img_s, txt, txt_s, k=k_local, alpha=alpha
+                q, img, img_s, txt, txt_s, k=k_local, alpha=a
             )
         return _merge_shard_winners(vals, idx, axis, shard_n, k)
 
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(axis, None), P(axis, None), P(axis, None), P(axis, None)),
+        in_specs=(P(), P(), P(axis, None), P(axis, None), P(axis, None), P(axis, None)),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(fn)(queries, img_p, img_scale, txt_p, txt_scale)
+    return jax.jit(fn)(queries, alpha_arr, img_p, img_scale, txt_p, txt_scale)

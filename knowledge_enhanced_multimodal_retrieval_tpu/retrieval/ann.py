@@ -300,24 +300,27 @@ def ivf_search(
     *,
     k: int,
     nprobe: int,
-    alpha: float = 0.5,
+    alpha=0.5,
 ) -> Tuple[jax.Array, jax.Array]:
     """Probe the top-``nprobe`` clusters; return ``(values, row_ids)``.
 
     Semantics of ``ops.similarity.similarity_topk_xla`` restricted to the
     probed rows: scores are ``α·(q·img) + (1−α)·(q·txt)``, descending;
     ``row_ids`` are original corpus rows (−1 where fewer than ``k`` valid
-    candidates were probed). Wrap in ``jax.jit`` with static ``k``/
-    ``nprobe``/``alpha`` for serving.
+    candidates were probed). ``alpha`` is a runtime operand (scalar or
+    per-query); wrap in ``jax.jit`` with static ``k``/``nprobe``.
     """
+    from ..ops.similarity import alpha_column
+
     nlist = index.nlist
     if not 1 <= nprobe <= nlist:
         raise ValueError(f"nprobe {nprobe} out of range [1, {nlist}]")
+    a = alpha_column(alpha, queries.shape[0])  # [B, 1] f32
     compute_dtype = queries.dtype if index.quantized else index.packed_img.dtype
     q = queries.astype(compute_dtype)
-    cs = alpha * (q @ index.centroids_img.T.astype(q.dtype)) + (1.0 - alpha) * (
-        q @ index.centroids_txt.T.astype(q.dtype)
-    )
+    cs = a * (q @ index.centroids_img.T.astype(q.dtype)).astype(jnp.float32) + (
+        1.0 - a
+    ) * (q @ index.centroids_txt.T.astype(q.dtype)).astype(jnp.float32)
     _, probe = jax.lax.top_k(cs.astype(jnp.float32), nprobe)  # [B, nprobe]
 
     pi = jnp.take(index.packed_img, probe, axis=0)  # [B, nprobe, cap, D]
@@ -331,9 +334,11 @@ def ivf_search(
         st = jnp.take(index.packed_txt_scale, probe, axis=0)
         s_img = jnp.einsum("bd,bpcd->bpc", q, pi.astype(q.dtype)).astype(jnp.float32) * si
         s_txt = jnp.einsum("bd,bpcd->bpc", q, pt.astype(q.dtype)).astype(jnp.float32) * st
-        s = alpha * s_img + (1.0 - alpha) * s_txt
+        a3 = a[:, :, None]  # [B, 1, 1] broadcast over (probe, cap)
+        s = a3 * s_img + (1.0 - a3) * s_txt
     else:
-        s = alpha * jnp.einsum("bd,bpcd->bpc", q, pi) + (1.0 - alpha) * jnp.einsum(
+        a3 = a[:, :, None].astype(pi.dtype) if pi.dtype != jnp.float32 else a[:, :, None]
+        s = a3 * jnp.einsum("bd,bpcd->bpc", q, pi) + (1.0 - a3) * jnp.einsum(
             "bd,bpcd->bpc", q, pt
         )
     s = jnp.where(rows >= 0, s.astype(jnp.float32), -jnp.inf)
@@ -373,19 +378,22 @@ def sharded_ivf_search(
     (pinned in ``tests/test_ann.py``). ``packed_rows`` hold global row ids,
     so no index localization is needed at merge.
     """
+    from ..ops.similarity import alpha_column
+
     fn = _sharded_ivf_program(
-        mesh, axis, k, nprobe, float(alpha), index.quantized, index.nlist, index.cap
+        mesh, axis, k, nprobe, index.quantized, index.nlist, index.cap
     )
     si = index.packed_img_scale if index.quantized else jnp.zeros((), jnp.float32)
     st = index.packed_txt_scale if index.quantized else jnp.zeros((), jnp.float32)
     return fn(
-        queries, index.centroids_img, index.centroids_txt,
+        queries, alpha_column(alpha, queries.shape[0]),
+        index.centroids_img, index.centroids_txt,
         index.packed_img, index.packed_txt, index.packed_rows, si, st,
     )
 
 
 @functools.lru_cache(maxsize=128)
-def _sharded_ivf_program(mesh, axis, k, nprobe, alpha, has_scales, nlist, cap):
+def _sharded_ivf_program(mesh, axis, k, nprobe, has_scales, nlist, cap):
     """The jitted shard_map program, cached per static signature so repeat
     callers retrace/recompile only on genuinely new shapes (a Mesh is
     hashable; a fresh jit wrapper per call would never hit the jit cache)."""
@@ -399,7 +407,7 @@ def _sharded_ivf_program(mesh, axis, k, nprobe, alpha, has_scales, nlist, cap):
     spec3 = P(axis, None, None)
     spec2 = P(axis, None)
 
-    def local(q, ci, ct, pi, pt, pr, si, st):
+    def local(q, a, ci, ct, pi, pt, pr, si, st):
         li = IVFIndex(
             centroids_img=ci, centroids_txt=ct, packed_img=pi, packed_txt=pt,
             packed_rows=pr, spill_fraction=0.0,
@@ -407,7 +415,7 @@ def _sharded_ivf_program(mesh, axis, k, nprobe, alpha, has_scales, nlist, cap):
             packed_img_scale=si if has_scales else None,
             packed_txt_scale=st if has_scales else None,
         )
-        vals, ids = ivf_search(q, li, k=k_local, nprobe=nprobe_local, alpha=alpha)
+        vals, ids = ivf_search(q, li, k=k_local, nprobe=nprobe_local, alpha=a)
         all_vals = jax.lax.all_gather(vals, axis)  # [n_shards, Q, k_local]
         all_ids = jax.lax.all_gather(ids, axis)
         b = q.shape[0]
@@ -425,7 +433,7 @@ def _sharded_ivf_program(mesh, axis, k, nprobe, alpha, has_scales, nlist, cap):
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), spec2, spec2, spec3, spec3, spec2,
+        in_specs=(P(), P(), spec2, spec2, spec3, spec3, spec2,
                   spec2 if has_scales else P(), spec2 if has_scales else P()),
         out_specs=(P(), P()),
         check_vma=False,  # replicated after all_gather+top_k; see sharded_similarity_topk

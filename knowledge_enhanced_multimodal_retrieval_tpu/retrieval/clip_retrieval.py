@@ -25,6 +25,7 @@ from ..models.clip import CLIP, l2_normalize
 from ..models.fast_encode import encode_text_fast, make_text_plan
 from ..ops.dispatch import on_tpu
 from ..ops.similarity import (
+    alpha_column,
     fused_similarity_topk,
     fused_similarity_topk_q4,
     fused_similarity_topk_q8,
@@ -185,7 +186,7 @@ class CLIPRetrieval:
         # scales ride as ARGUMENTS (never close over arrays in jit on the
         # relay: constants serialize into the remote-compile request)
         def _score_fn(
-            q, cimg, ctxt, cimg_s, ctxt_s, *, k: int, alpha: float, nprobe: int
+            q, cimg, ctxt, cimg_s, ctxt_s, alpha, *, k: int, nprobe: int
         ):
             """Blend + top-k of query embeddings ``q`` against the corpus —
             shared by the text program (which encodes first) and the
@@ -227,24 +228,24 @@ class CLIPRetrieval:
             return similarity_topk_xla(q, cimg, ctxt, k=k, alpha=alpha)
 
         def _search_program(
-            params, ids, cimg, ctxt, cimg_s, ctxt_s, *, k: int, alpha: float, nprobe: int
+            params, ids, cimg, ctxt, cimg_s, ctxt_s, alpha, *, k: int, nprobe: int
         ):
             q = _encode_fn(params, ids)
             vals, idx = _score_fn(
-                q, cimg, ctxt, cimg_s, ctxt_s, k=k, alpha=alpha, nprobe=nprobe
+                q, cimg, ctxt, cimg_s, ctxt_s, alpha, k=k, nprobe=nprobe
             )
             # host rerank needs the query embeddings; ship them with the
             # winners ([Q, D] extra fetch — trivial next to the search)
             return (vals, idx, q) if self.rerank else (vals, idx)
 
         self._search_program = jax.jit(
-            _search_program, static_argnames=("k", "alpha", "nprobe")
+            _search_program, static_argnames=("k", "nprobe")
         )
         # embedding-direct search: same corpus scoring, the caller supplies
         # L2-normalized [Q, D] query embeddings (image queries, cached or
         # federated query vectors) instead of token ids
         self._search_program_emb = jax.jit(
-            _score_fn, static_argnames=("k", "alpha", "nprobe")
+            _score_fn, static_argnames=("k", "nprobe")
         )
         self._encode_image = None  # built lazily on first image query
 
@@ -435,7 +436,8 @@ class CLIPRetrieval:
         return self._search_program(
             self._enc_params, jnp.asarray(ids), cimg, c.corpus_txt,
             c.corpus_img_scale, c.corpus_txt_scale,
-            k=k_fetch, alpha=float(alpha), nprobe=c.nprobe,
+            alpha_column(alpha, len(queries)),
+            k=k_fetch, nprobe=c.nprobe,
         )
 
     def _k_fetch(self, c: _CorpusState, k: int) -> int:
@@ -472,13 +474,14 @@ class CLIPRetrieval:
         """Precompile the search program for the given shape buckets.
 
         On a jit backend the FIRST request of every (batch-bucket,
-        seq-bucket, k, alpha) signature pays a full compile — minutes on the
-        relay chip — so a production daemon should warm the buckets its
-        traffic will hit before accepting connections. ``batch_sizes``
-        should mirror the MicroBatcher's power-of-two buckets; ``alpha`` and
-        ``top_k`` must match production values (they are static in the
-        compiled program). ``image=True`` additionally warms the image-query
-        program per batch size. Returns the number of programs executed.
+        seq-bucket, k) signature pays a full compile — minutes on the relay
+        chip — so a production daemon should warm the buckets its traffic
+        will hit before accepting connections. ``batch_sizes`` should
+        mirror the MicroBatcher's power-of-two buckets; ``top_k`` must
+        match the production value (static in the compiled program), while
+        ``alpha`` is a runtime operand — any blend reuses the warmed
+        program. ``image=True`` additionally warms the image-query program
+        per batch size. Returns the number of programs executed.
         """
         c = self._corpus
         k = min(top_k or c.top_k, c.n_real)
@@ -494,7 +497,8 @@ class CLIPRetrieval:
                 out = self._search_program(
                     self._enc_params, jnp.asarray(ids), cimg, c.corpus_txt,
                     c.corpus_img_scale, c.corpus_txt_scale,
-                    k=self._k_fetch(c, k), alpha=float(alpha), nprobe=c.nprobe,
+                    alpha_column(alpha, int(b)),
+                    k=self._k_fetch(c, k), nprobe=c.nprobe,
                 )
                 jax.block_until_ready(out)
                 count += 1
@@ -509,7 +513,7 @@ class CLIPRetrieval:
     # -- host-side exact rerank (TPU-native extension) ---------------------------
 
     def _rerank_host(
-        self, c: _CorpusState, q, vals, idx, alpha: float
+        self, c: _CorpusState, q, vals, idx, alpha
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Exactly rescore the fetched candidates against the f32 host corpus.
 
@@ -524,7 +528,7 @@ class CLIPRetrieval:
         return rerank_scores_host(q, c.store.image, c.store.text, idx, alpha)
 
     def _finish_results(
-        self, c: _CorpusState, out, alpha: float, k: int, q_emb=None
+        self, c: _CorpusState, out, alpha, k: int, q_emb=None
     ) -> List[List[Dict]]:
         """Device program output -> per-query result dicts (rerank-aware)."""
         if self.rerank:
@@ -532,7 +536,7 @@ class CLIPRetrieval:
                 vals, idx, q = out
             else:
                 (vals, idx), q = out, q_emb
-            vals, idx = self._rerank_host(c, q, vals, idx, float(alpha))
+            vals, idx = self._rerank_host(c, q, vals, idx, alpha)
         else:
             vals, idx = out
         return self.results_from_topk(
@@ -640,10 +644,12 @@ class CLIPRetrieval:
     ):
         k = min(top_k or c.top_k, c.n_real)
         cimg = c.ivf_arrays if self.ann == "ivf" else c.corpus_img
+        q_emb = jnp.asarray(q_emb)
         return self._search_program_emb(
-            jnp.asarray(q_emb), cimg, c.corpus_txt,
+            q_emb, cimg, c.corpus_txt,
             c.corpus_img_scale, c.corpus_txt_scale,
-            k=self._k_fetch(c, k), alpha=float(alpha), nprobe=c.nprobe,
+            alpha_column(alpha, q_emb.shape[0]),
+            k=self._k_fetch(c, k), nprobe=c.nprobe,
         )
 
     def retrieval_embeddings_batch(
@@ -654,7 +660,7 @@ class CLIPRetrieval:
         k = min(top_k or c.top_k, c.n_real)
         out = self._search_state_emb(c, q_emb, alpha, top_k)
         return self._finish_results(
-            c, out, float(alpha), k, q_emb=np.asarray(q_emb, np.float32)
+            c, out, alpha, k, q_emb=np.asarray(q_emb, np.float32)
         )
 
     def retrieval_image_batch(
@@ -727,7 +733,7 @@ class CLIPRetrieval:
 
         def finish(item):
             c, k, out = item
-            return self._finish_results(c, out, float(alpha), k)
+            return self._finish_results(c, out, alpha, k)
 
         for queries in query_batches:
             pending.append(dispatch(queries))
@@ -780,7 +786,7 @@ class CLIPRetrieval:
         c = self._corpus  # one snapshot: search and uuid mapping stay aligned
         k = min(top_k or c.top_k, c.n_real)
         out = self._search_state(c, queries, alpha, top_k)
-        return self._finish_results(c, out, float(alpha), k)
+        return self._finish_results(c, out, alpha, k)
 
     def retrieval(self, query: str, alpha: float = 0.5, top_k: Optional[int] = None) -> List[Dict]:
         """Single-query search -> ``[{"uuid", "score"}]`` sorted descending

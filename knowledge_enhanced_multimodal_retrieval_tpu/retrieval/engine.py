@@ -103,7 +103,9 @@ class RetrievalEngine:
         CLIP scoring runs as ONE device program for the whole batch;
         Text2SPARQL calls (network-bound LLM + KG round trips) fan out over
         a thread pool. Per-query semantics are identical to
-        :meth:`retrieve_text`.
+        :meth:`retrieve_text`. ``alpha_clip`` may be a scalar or a
+        per-query sequence — the blend is a runtime operand of the one
+        compiled program, so mixed blends batch together.
         """
         alpha = self.fusion.alpha if alpha is None else alpha
         beta = self.fusion.beta if beta is None else beta
@@ -135,10 +137,13 @@ class RetrievalEngine:
         queries: Sequence[str],
         alpha: Optional[float] = None,
         beta: Optional[float] = None,
-        alpha_clip: Optional[float] = None,
+        alpha_clip=None,
         threshold: Optional[float] = None,
     ) -> List[List[Dict]]:
-        """CLIP-only batch retrieval — the measured q/s/chip path."""
+        """CLIP-only batch retrieval — the measured q/s/chip path.
+
+        ``alpha_clip``: scalar or per-query sequence (mixed blends ride one
+        device program)."""
         alpha_clip = self.fusion.alpha_clip if alpha_clip is None else alpha_clip
         threshold = self.fusion.threshold if threshold is None else threshold
         clip_lists = self.clip_retriever.retrieval_batch(queries, alpha=alpha_clip)

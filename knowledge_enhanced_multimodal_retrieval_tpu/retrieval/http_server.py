@@ -7,7 +7,10 @@ futures, so concurrent HTTP clients aggregate into batched device programs.
 
 Endpoints:
 - ``GET /healthz``                      -> ``{"ok": true, "stats": {...}}``
-- ``GET /search?q=<query>[&n=<top-n>]`` -> ``{"query", "results"}``
+- ``GET /search?q=<query>[&n=<top-n>][&alpha=<blend>]`` ->
+  ``{"query", "results"}`` (per-request ``alpha`` needs the alphas hook;
+  the blend is a runtime operand, so mixed alphas share one compiled
+  program and one micro-batch)
 - ``POST /search`` with JSON body ``{"query": "...", "n": 20}`` or
   ``{"queries": ["...", ...]}``        -> one or many result lists
 - ``POST /search_image`` (when an image search hook is wired) with
@@ -45,6 +48,20 @@ try:
 except Exception:  # pragma: no cover — PIL is a baked-in dependency
     _PILError = ValueError
 _CLIENT_DATA_ERRORS = (ValueError, TypeError, KeyError, _PILError)
+
+
+class _AlphaNotEnabled(ValueError):
+    """Per-request alpha requested but no alphas hook is wired."""
+
+
+def _parse_alpha(raw):
+    """Optional blend parameter: float, else ``(None, error)``."""
+    if raw is None:
+        return None, None
+    try:
+        return float(raw), None
+    except (TypeError, ValueError):
+        return None, f"alpha must be a number, got {raw!r}"
 
 
 def _parse_n(raw):
@@ -104,14 +121,36 @@ class RetrievalHTTPServer:
         add_documents_fn: Optional[Callable] = None,
         remove_documents_fn: Optional[Callable] = None,
         encode_documents_fn: Optional[Callable] = None,
+        alphas_batch_fn: Optional[Callable] = None,
         image_batch_fn: Optional[Callable] = None,
         image_preprocess_fn: Optional[Callable] = None,
         max_image_batch: int = 64,
     ):
-        self.batcher = MicroBatcher(
-            batch_fn, max_batch=max_batch, max_wait_ms=max_wait_ms, max_pending=max_pending
-        )
+        # with an alphas hook, batch items are (query, alpha-or-None) pairs
+        # and the hook resolves defaults — per-request blends ride the same
+        # micro-batch because alpha is a runtime operand of the program
+        per_request_alpha = alphas_batch_fn is not None
+        if per_request_alpha:
+            def _pairs_fn(items):
+                return alphas_batch_fn([q for q, _ in items], [a for _, a in items])
+
+            self.batcher = MicroBatcher(
+                _pairs_fn, max_batch=max_batch, max_wait_ms=max_wait_ms,
+                max_pending=max_pending,
+            )
+        else:
+            self.batcher = MicroBatcher(
+                batch_fn, max_batch=max_batch, max_wait_ms=max_wait_ms,
+                max_pending=max_pending,
+            )
         batcher = self.batcher
+
+        def submit_query(q, alpha=None):
+            if per_request_alpha:
+                return batcher.submit((q, alpha))
+            if alpha is not None:
+                raise _AlphaNotEnabled("per-request alpha not enabled")
+            return batcher.submit(q)
         if image_batch_fn is not None and image_preprocess_fn is None:
             # decode MUST happen on the request thread: inside the shared
             # micro-batch, one corrupt image would raise in batch_fn and
@@ -173,10 +212,17 @@ class RetrievalHTTPServer:
                     if err:
                         self._send(400, {"error": err})
                         return
+                    alpha, err = _parse_alpha((params.get("alpha") or [None])[0])
+                    if err:
+                        self._send(400, {"error": err})
+                        return
                     try:
-                        results = batcher.retrieve(q)
+                        results = submit_query(q, alpha).result()
                     except Overloaded as e:  # load shed -> 503, retryable
                         self._send(503, {"error": str(e)})
+                        return
+                    except _AlphaNotEnabled as e:
+                        self._send(400, {"error": str(e)})
                         return
                     except Exception as e:  # backend failure -> 502
                         self._send(502, {"error": str(e)})
@@ -347,16 +393,31 @@ class RetrievalHTTPServer:
                     return
                 try:
                     if "queries" in payload:
-                        futs = [batcher.submit(q) for q in payload["queries"]]
+                        qs = payload["queries"]
+                        raw_alphas = payload.get("alphas", payload.get("alpha"))
+                        if raw_alphas is None:
+                            alphas = [None] * len(qs)
+                        elif isinstance(raw_alphas, list):
+                            if len(raw_alphas) != len(qs):
+                                self._send(400, {"error": "alphas length != queries length"})
+                                return
+                            alphas = [float(a) for a in raw_alphas]
+                        else:
+                            alphas = [float(raw_alphas)] * len(qs)
+                        futs = [submit_query(q, a) for q, a in zip(qs, alphas)]
                         out = [f.result()[:n] for f in futs]
-                        self._send(200, {"queries": payload["queries"], "results": out})
+                        self._send(200, {"queries": qs, "results": out})
                     elif "query" in payload:
-                        results = batcher.retrieve(payload["query"])
+                        alpha = payload.get("alpha")
+                        alpha = None if alpha is None else float(alpha)
+                        results = submit_query(payload["query"], alpha).result()
                         self._send(200, {"query": payload["query"], "results": results[:n]})
                     else:
                         self._send(400, {"error": "body needs 'query' or 'queries'"})
                 except Overloaded as e:
                     self._send(503, {"error": str(e)})
+                except (_AlphaNotEnabled, TypeError, ValueError) as e:
+                    self._send(400, {"error": str(e)})
                 except Exception as e:
                     self._send(502, {"error": str(e)})
 
