@@ -148,6 +148,12 @@ def main(argv=None) -> None:
             # raw-artifact ingest: POST /documents with base64 images +
             # target texts encodes server-side (no offline precompute)
             encode_documents_fn=engine.clip_retriever.encode_documents,
+            # POST /snapshot persists the live corpus back to the store file
+            # (atomic replace) so ingested documents survive restarts
+            snapshot_fn=lambda: {
+                "path": store_path,
+                "rows": engine.clip_retriever.save_store(store_path),
+            },
             # visual search (POST /search_image): decode/preprocess on the
             # request thread, batch the encode+search device program
             image_batch_fn=engine.retrieve_image_batch,

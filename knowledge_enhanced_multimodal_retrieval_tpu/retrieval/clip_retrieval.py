@@ -387,6 +387,20 @@ class CLIPRetrieval:
         with self._update_lock:
             self._install_corpus(self._corpus_real_store().with_removed(uuids))
 
+    def save_store(self, path: str) -> int:
+        """Persist the CURRENT corpus (incl. live-ingested documents, minus
+        capacity pads) to ``path`` atomically; returns the row count.
+
+        Live updates only mutate device/host state — without a snapshot a
+        restart reloads the original store file and every ingested artifact
+        is lost. Serialize against concurrent updates so the snapshot is a
+        consistent corpus version.
+        """
+        with self._update_lock:
+            store = self._corpus_real_store()
+        store.save(path)
+        return len(store)
+
     def _corpus_real_store(self) -> EmbeddingStore:
         """The corpus without capacity-pad sentinel rows."""
         c = self._corpus

@@ -54,12 +54,26 @@ class EmbeddingStore:
     # -- persistence ---------------------------------------------------------
 
     def save(self, path: str) -> None:
-        np.savez(
-            path,
-            image=self.image.astype(np.float32),
-            text=self.text.astype(np.float32),
-            uuids=np.array(self.uuids, dtype=object),
-        )
+        """Persist atomically: write a sibling temp file, then rename — a
+        crash mid-save never corrupts the store a restart will load."""
+        import os
+        import tempfile
+
+        d = os.path.dirname(os.path.abspath(path)) or "."
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                np.savez(
+                    f,
+                    image=np.asarray(self.image, np.float32),
+                    text=np.asarray(self.text, np.float32),
+                    uuids=np.array(self.uuids, dtype=object),
+                )
+            os.replace(tmp, path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
 
     @classmethod
     def load(cls, path: str, mmap: bool = False) -> "EmbeddingStore":

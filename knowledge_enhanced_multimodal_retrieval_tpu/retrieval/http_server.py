@@ -122,6 +122,7 @@ class RetrievalHTTPServer:
         remove_documents_fn: Optional[Callable] = None,
         encode_documents_fn: Optional[Callable] = None,
         alphas_batch_fn: Optional[Callable] = None,
+        snapshot_fn: Optional[Callable] = None,
         image_batch_fn: Optional[Callable] = None,
         image_preprocess_fn: Optional[Callable] = None,
         max_image_batch: int = 64,
@@ -374,6 +375,20 @@ class RetrievalHTTPServer:
 
             def do_POST(self):
                 url = urlparse(self.path)
+                if url.path == "/snapshot":
+                    # persist the live corpus (ingested docs survive restarts);
+                    # the destination is fixed server-side — clients cannot
+                    # choose filesystem paths over the wire
+                    if snapshot_fn is None:
+                        self._send(501, {"error": "snapshot not enabled"})
+                        return
+                    try:
+                        info = snapshot_fn()
+                    except Exception as e:
+                        self._send(502, {"error": str(e)})
+                        return
+                    self._send(200, {"saved": True, **(info if isinstance(info, dict) else {})})
+                    return
                 if url.path == "/documents":
                     self._post_documents()
                     return

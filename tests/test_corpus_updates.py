@@ -318,3 +318,52 @@ def test_concurrent_search_and_update(world):
         t.join(timeout=30)
     assert not errors
     assert len(r.store.uuids) >= 40  # 40 original + survivors (+ pads)
+
+
+def test_save_store_snapshot_roundtrip(world, tmp_path):
+    """Live-ingested documents survive a snapshot -> reload cycle; the
+    snapshot excludes capacity pads and writes atomically."""
+    import os
+
+    model, params, tok, store, rt = world
+    r = CLIPRetrieval(model, params, tok, store, top_k=5, capacity_multiple=16)
+    rng = np.random.default_rng(4)
+    new = rng.standard_normal((3, store.dim)).astype(np.float32)
+    new /= np.linalg.norm(new, axis=1, keepdims=True)
+    r.add_documents(new, new, ["snap-a", "snap-b", "snap-c"])
+    path = os.path.join(tmp_path, "snap.npz")
+    n = r.save_store(path)
+    assert n == len(store) + 3
+    loaded = EmbeddingStore.load(path)
+    assert len(loaded) == n
+    assert not any(u.startswith("__pad_") for u in loaded.uuids)
+    assert loaded.uuids[-3:] == ["snap-a", "snap-b", "snap-c"]
+    # a retriever restarted from the snapshot retrieves the ingested doc
+    r2 = CLIPRetrieval(model, params, tok, loaded, top_k=5)
+    out = r2.retrieval_embeddings_batch(new[:1], alpha=1.0)[0]
+    assert out[0]["uuid"] == "snap-a"
+
+
+def test_http_snapshot_endpoint():
+    import json as json_mod
+    import urllib.error
+    from urllib.request import Request, urlopen
+
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval import RetrievalHTTPServer
+
+    calls = []
+    batch_fn = lambda qs: [[] for _ in qs]  # noqa: E731
+    with RetrievalHTTPServer(
+        batch_fn, port=0, max_wait_ms=1.0,
+        snapshot_fn=lambda: calls.append(1) or {"path": "x.npz", "rows": 7},
+    ) as srv:
+        base = "http://{}:{}".format(*srv.address)
+        req = Request(f"{base}/snapshot", data=b"{}", headers={"Content-Type": "application/json"})
+        out = json_mod.load(urlopen(req, timeout=10))
+        assert out == {"saved": True, "path": "x.npz", "rows": 7} and calls == [1]
+    with RetrievalHTTPServer(batch_fn, port=0, max_wait_ms=1.0) as srv:
+        base = "http://{}:{}".format(*srv.address)
+        req = Request(f"{base}/snapshot", data=b"{}", headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urlopen(req, timeout=10)
+        assert ei.value.code == 501
