@@ -55,6 +55,7 @@ def build_engine(cfg, store_path: str) -> RetrievalEngine:
         ann=cfg.eval.ann or None,
         ann_nlist=cfg.eval.ann_nlist or None,
         ann_nprobe=cfg.eval.ann_nprobe,
+        ann_index_path=cfg.eval.ann_index or None,
         capacity_multiple=cfg.eval.capacity_multiple,
         rerank=cfg.eval.rerank,
         rerank_factor=cfg.eval.rerank_factor,

@@ -441,12 +441,33 @@ def _sharded_ivf_program(mesh, axis, k, nprobe, has_scales, nlist, cap):
     return jax.jit(fn)
 
 
-def save_ivf_index(path: str, index: IVFIndex) -> None:
+def corpus_fingerprint(image, text) -> str:
+    """Cheap content fingerprint binding an index to ITS corpus.
+
+    Shapes plus a strided byte sample through both towers — enough to catch
+    a store/index mismatch (same-shaped different corpora would serve WRONG
+    uuids silently) without hashing gigabytes."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for arr in (image, text):
+        arr = np.ascontiguousarray(np.asarray(arr, np.float32))
+        h.update(str(arr.shape).encode())
+        stride = max(1, arr.shape[0] // 64)
+        h.update(arr[::stride].tobytes())
+    return h.hexdigest()
+
+
+def save_ivf_index(path: str, index: IVFIndex, fingerprint: Optional[str] = None) -> None:
     """Persist a built index as one ``.npz`` (clustering + packing are the
     expensive build steps at scale; a serving restart should reload, not
     rebuild). Sharded indices save from host copies; reload with ``mesh=``
-    to re-place."""
-    arrays = {
+    to re-place. ``fingerprint`` (from :func:`corpus_fingerprint`) lets
+    :func:`load_ivf_index` refuse an index built for a different corpus."""
+    arrays = {}
+    if fingerprint is not None:
+        arrays["fingerprint"] = np.frombuffer(fingerprint.encode(), np.uint8)
+    arrays |= {
         "centroids_img": np.asarray(index.centroids_img),
         "centroids_txt": np.asarray(index.centroids_txt),
         "packed_img": np.asarray(index.packed_img),
@@ -460,10 +481,26 @@ def save_ivf_index(path: str, index: IVFIndex) -> None:
     np.savez(path, **arrays)
 
 
-def load_ivf_index(path: str, mesh=None, shard_axis: str = "data") -> IVFIndex:
+def load_ivf_index(
+    path: str,
+    mesh=None,
+    shard_axis: str = "data",
+    expected_fingerprint: Optional[str] = None,
+) -> IVFIndex:
     """Load a :func:`save_ivf_index` artifact; ``mesh`` re-places it
-    cluster-sharded over ``shard_axis`` (``nlist`` must divide the axis)."""
+    cluster-sharded over ``shard_axis`` (``nlist`` must divide the axis).
+    ``expected_fingerprint`` rejects an index built for a different corpus
+    (or saved without one)."""
     with np.load(path) as data:
+        if expected_fingerprint is not None:
+            got = (
+                bytes(data["fingerprint"]).decode() if "fingerprint" in data else None
+            )
+            if got != expected_fingerprint:
+                raise ValueError(
+                    f"index fingerprint mismatch for {path!r}: the index was "
+                    "built for a different corpus (rebuild it)"
+                )
         if mesh is not None and data["packed_rows"].shape[0] % mesh.shape[shard_axis]:
             raise ValueError(
                 f"nlist {data['packed_rows'].shape[0]} must divide by mesh "

@@ -86,6 +86,7 @@ class CLIPRetrieval:
         ann_nlist: Optional[int] = None,
         ann_nprobe: int = 8,
         ann_capacity_factor: float = 1.5,
+        ann_index_path: Optional[str] = None,
         capacity_multiple: int = 1,
         rerank: bool = False,
         rerank_factor: int = 4,
@@ -167,6 +168,11 @@ class CLIPRetrieval:
         self.ann_nprobe = ann_nprobe
         self._ann_nlist = ann_nlist
         self._ann_capacity_factor = ann_capacity_factor
+        # disk cache for the built IVF index (clustering + packing are the
+        # expensive steps at scale): loaded when fresh — a corpus
+        # fingerprint rejects an index built for different data — rebuilt
+        # and re-saved otherwise (incl. after every live corpus update)
+        self.ann_index_path = ann_index_path
         self.corpus_dtype = corpus_dtype
         self._update_lock = threading.Lock()
         self._install_corpus(store)
@@ -272,12 +278,7 @@ class CLIPRetrieval:
                     raise ValueError(
                         f"corpus of {n_real} rows cannot shard {n_shards} ways in ann mode"
                     )
-            index = build_ivf_index(
-                store.image, store.text, nlist,
-                capacity_factor=self._ann_capacity_factor, dtype=self.corpus_dtype,
-                quantize="int8" if self.quantize_corpus else None,
-                mesh=mesh,
-            )
+            index = self._load_or_build_index(store, nlist, mesh)
             if self.ann_nprobe < 1:
                 raise ValueError(f"ann_nprobe must be >= 1, got {self.ann_nprobe}")
             # clamp rather than raise: a corpus-shrinking update can rebuild
@@ -327,6 +328,32 @@ class CLIPRetrieval:
                 nprobe=0,
             )
         self._corpus = state  # atomic reference swap — see _CorpusState
+
+    def _load_or_build_index(self, store: EmbeddingStore, nlist: int, mesh):
+        import os
+
+        from .ann import corpus_fingerprint, load_ivf_index, save_ivf_index
+
+        fp = corpus_fingerprint(store.image, store.text)
+        if self.ann_index_path and os.path.exists(self.ann_index_path):
+            try:
+                index = load_ivf_index(
+                    self.ann_index_path, mesh=mesh, expected_fingerprint=fp
+                )
+                # config must match what the cached file holds
+                if index.quantized == bool(self.quantize_corpus):
+                    return index
+            except ValueError:
+                pass  # stale / different corpus / bad mesh split: rebuild
+        index = build_ivf_index(
+            store.image, store.text, nlist,
+            capacity_factor=self._ann_capacity_factor, dtype=self.corpus_dtype,
+            quantize="int8" if self.quantize_corpus else None,
+            mesh=mesh,
+        )
+        if self.ann_index_path:
+            save_ivf_index(self.ann_index_path, index, fingerprint=fp)
+        return index
 
     # corpus-derived views (all read the one _CorpusState reference)
     @property

@@ -309,6 +309,9 @@ class EvalConfig:
     ann: str = ""
     ann_nlist: int = 0  # 0 = sqrt(corpus size)
     ann_nprobe: int = 8
+    # disk cache for the built IVF index: loaded when fresh (corpus
+    # fingerprint checked), rebuilt + re-saved otherwise
+    ann_index: str = ""
     # round serving-corpus device rows up to this multiple so live corpus
     # updates within a bucket reuse the compiled search program (1 = exact
     # current-size arrays)

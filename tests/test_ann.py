@@ -475,3 +475,77 @@ def test_index_load_rejects_bad_mesh(tmp_path, devices8):
     rt = MeshRuntime.create()
     with pytest.raises(ValueError, match="divide"):
         ann.load_ivf_index(path, mesh=rt.mesh)
+
+
+def test_retriever_ann_index_cache(tmp_path, devices8, monkeypatch):
+    """ann_index_path: first construction builds + saves; a 'restart' loads
+    the cache (no rebuild); a corpus change invalidates the fingerprint and
+    rebuilds; identical results either way."""
+    import os
+
+    from knowledge_enhanced_multimodal_retrieval_tpu.data.datasets import (
+        DataPipeline,
+        make_synthetic_source,
+    )
+    from knowledge_enhanced_multimodal_retrieval_tpu.data.tokenizer import CLIPTokenizer
+    from knowledge_enhanced_multimodal_retrieval_tpu.models import clip as M
+    from knowledge_enhanced_multimodal_retrieval_tpu.parallel import MeshRuntime
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval import clip_retrieval as CR
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval.embedding_store import (
+        build_embedding_store,
+    )
+    from tests.test_retrieval_engine import MERGES
+
+    tok = CLIPTokenizer(MERGES)
+    arch = M.CLIPArch(16, 32, 1, 32, 16, 16, tok.vocab_size, 32, 2, 1, vision_heads=2)
+    model = M.CLIP(arch, dtype=jnp.float32)
+    params = M.init_params(model, jax.random.PRNGKey(0))
+    src = make_synthetic_source(40, image_size=32)
+    pipe = DataPipeline(src, tok, image_size=32, context_length=16, num_workers=2)
+    rt = MeshRuntime.create()
+    store = build_embedding_store(model, params, pipe, rt, batch_size=16)
+
+    builds = []
+    orig_build = CR.build_ivf_index
+
+    def counting_build(*a, **kw):
+        builds.append(1)
+        return orig_build(*a, **kw)
+
+    monkeypatch.setattr(CR, "build_ivf_index", counting_build)
+    path = os.path.join(tmp_path, "ivf_cache.npz")
+    kw = dict(top_k=5, ann="ivf", ann_nlist=4, ann_nprobe=4, ann_index_path=path)
+    r1 = CR.CLIPRetrieval(model, params, tok, store, **kw)
+    assert len(builds) == 1 and os.path.exists(path)
+    a = r1.retrieval("hello cat")
+    r2 = CR.CLIPRetrieval(model, params, tok, store, **kw)  # "restart"
+    assert len(builds) == 1  # loaded from cache, no rebuild
+    b = r2.retrieval("hello cat")
+    assert [x["uuid"] for x in a] == [x["uuid"] for x in b]
+    # live update changes the corpus -> fingerprint stale -> rebuild + re-save
+    rng2 = np.random.default_rng(5)
+    new = rng2.standard_normal((1, store.dim)).astype(np.float32)
+    new /= np.linalg.norm(new, axis=1, keepdims=True)
+    r2.add_documents(new, new, ["fresh"])
+    assert len(builds) == 2
+    r3 = CR.CLIPRetrieval(model, params, tok, r2._corpus_real_store(), **kw)
+    assert len(builds) == 2  # the re-saved cache covers the updated corpus
+
+
+def test_index_fingerprint_mismatch_raises(tmp_path):
+    import os
+
+    rng = np.random.default_rng(0)
+    img, txt = _normed(rng, 64, 16), _normed(rng, 64, 16)
+    index = ann.build_ivf_index(img, txt, 4)
+    path = os.path.join(tmp_path, "ivf.npz")
+    fp = ann.corpus_fingerprint(img, txt)
+    ann.save_ivf_index(path, index, fingerprint=fp)
+    assert ann.load_ivf_index(path, expected_fingerprint=fp).nlist == 4
+    other = ann.corpus_fingerprint(txt, img)  # different corpus
+    with pytest.raises(ValueError, match="fingerprint"):
+        ann.load_ivf_index(path, expected_fingerprint=other)
+    # an index saved WITHOUT a fingerprint is rejected when one is expected
+    ann.save_ivf_index(path, index)
+    with pytest.raises(ValueError, match="fingerprint"):
+        ann.load_ivf_index(path, expected_fingerprint=fp)
