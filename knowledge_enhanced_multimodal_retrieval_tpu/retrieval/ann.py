@@ -442,17 +442,20 @@ def _sharded_ivf_program(mesh, axis, k, nprobe, has_scales, nlist, cap):
 
 
 def corpus_fingerprint(image, text) -> str:
-    """Cheap content fingerprint binding an index to ITS corpus.
+    """Content fingerprint binding an index to ITS corpus.
 
-    Shapes plus a strided byte sample through both towers — enough to catch
-    a store/index mismatch (same-shaped different corpora would serve WRONG
-    uuids silently) without hashing gigabytes."""
+    Shapes + float64 PER-ROW SUMS (every element contributes, so changing
+    any row — including ones a strided sample would skip — changes the
+    fingerprint) + a strided raw-byte sample (guards sum-preserving edits).
+    One streaming pass over data the index build reads anyway; never hashes
+    gigabytes through sha1 directly."""
     import hashlib
 
     h = hashlib.sha1()
     for arr in (image, text):
         arr = np.ascontiguousarray(np.asarray(arr, np.float32))
         h.update(str(arr.shape).encode())
+        h.update(arr.sum(axis=1, dtype=np.float64).tobytes())
         stride = max(1, arr.shape[0] // 64)
         h.update(arr[::stride].tobytes())
     return h.hexdigest()
@@ -464,6 +467,10 @@ def save_ivf_index(path: str, index: IVFIndex, fingerprint: Optional[str] = None
     rebuild). Sharded indices save from host copies; reload with ``mesh=``
     to re-place. ``fingerprint`` (from :func:`corpus_fingerprint`) lets
     :func:`load_ivf_index` refuse an index built for a different corpus."""
+    if not str(path).endswith(".npz"):
+        # np.savez appends ".npz" to bare paths, which would desync the
+        # cache's existence check from the file actually written
+        raise ValueError(f"index path must end with .npz, got {path!r}")
     arrays = {}
     if fingerprint is not None:
         arrays["fingerprint"] = np.frombuffer(fingerprint.encode(), np.uint8)
@@ -478,7 +485,21 @@ def save_ivf_index(path: str, index: IVFIndex, fingerprint: Optional[str] = None
     if index.quantized:
         arrays["packed_img_scale"] = np.asarray(index.packed_img_scale)
         arrays["packed_txt_scale"] = np.asarray(index.packed_txt_scale)
-    np.savez(path, **arrays)
+    # atomic: temp file + rename, so a kill mid-save never leaves a
+    # truncated cache that crashes the next startup
+    import os
+    import tempfile
+
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
 
 
 def load_ivf_index(

@@ -39,6 +39,7 @@ from ..ops.similarity import (
     similarity_topk_xla_q8,
 )
 from ..parallel.mesh import MeshRuntime
+from .ann import _SUBLANE as _CAP_SUBLANE
 from .ann import IVFIndex, build_ivf_index, ivf_search, sharded_ivf_search
 from .embedding_store import EmbeddingStore
 
@@ -169,10 +170,16 @@ class CLIPRetrieval:
         self._ann_nlist = ann_nlist
         self._ann_capacity_factor = ann_capacity_factor
         # disk cache for the built IVF index (clustering + packing are the
-        # expensive steps at scale): loaded when fresh — a corpus
-        # fingerprint rejects an index built for different data — rebuilt
-        # and re-saved otherwise (incl. after every live corpus update)
+        # expensive steps at scale): consulted ONCE at construction — loaded
+        # when fresh (corpus fingerprint + config checks), rebuilt and
+        # re-saved otherwise. Live updates rebuild in memory WITHOUT
+        # re-saving (a multi-GB synchronous write per single-doc update
+        # would serialize updates behind disk I/O); a restart after updates
+        # fingerprint-mismatches and rebuilds once.
+        if ann_index_path and not str(ann_index_path).endswith(".npz"):
+            ann_index_path = str(ann_index_path) + ".npz"
         self.ann_index_path = ann_index_path
+        self._index_cache_armed = ann_index_path is not None
         self.corpus_dtype = corpus_dtype
         self._update_lock = threading.Lock()
         self._install_corpus(store)
@@ -334,24 +341,40 @@ class CLIPRetrieval:
 
         from .ann import corpus_fingerprint, load_ivf_index, save_ivf_index
 
-        fp = corpus_fingerprint(store.image, store.text)
-        if self.ann_index_path and os.path.exists(self.ann_index_path):
+        use_cache, self._index_cache_armed = self._index_cache_armed, False
+        fp = corpus_fingerprint(store.image, store.text) if use_cache else None
+        if use_cache and os.path.exists(self.ann_index_path):
             try:
                 index = load_ivf_index(
                     self.ann_index_path, mesh=mesh, expected_fingerprint=fp
                 )
-                # config must match what the cached file holds
-                if index.quantized == bool(self.quantize_corpus):
+                # the CONFIG must match the cached file too, or retuned
+                # nlist/capacity/dtype flags would be silently ignored
+                expected_cap = max(
+                    _CAP_SUBLANE,
+                    -(-int(np.ceil(self._ann_capacity_factor * len(store) / nlist)) // _CAP_SUBLANE)
+                    * _CAP_SUBLANE,
+                )
+                config_ok = (
+                    index.quantized == bool(self.quantize_corpus)
+                    and index.nlist == nlist
+                    and index.cap >= expected_cap
+                    and (
+                        index.quantized
+                        or index.packed_img.dtype == jnp.dtype(self.corpus_dtype)
+                    )
+                )
+                if config_ok:
                     return index
-            except ValueError:
-                pass  # stale / different corpus / bad mesh split: rebuild
+            except Exception:  # truncated/corrupt/stale/bad mesh: rebuild
+                pass
         index = build_ivf_index(
             store.image, store.text, nlist,
             capacity_factor=self._ann_capacity_factor, dtype=self.corpus_dtype,
             quantize="int8" if self.quantize_corpus else None,
             mesh=mesh,
         )
-        if self.ann_index_path:
+        if use_cache:
             save_ivf_index(self.ann_index_path, index, fingerprint=fp)
         return index
 

@@ -55,13 +55,22 @@ class _AlphaNotEnabled(ValueError):
 
 
 def _parse_alpha(raw):
-    """Optional blend parameter: float, else ``(None, error)``."""
+    """Optional blend parameter: FINITE float, else ``(None, error)``.
+
+    NaN/inf are rejected here: NaN poisons every blended score (the fused
+    kernel degrades to sentinel results, the XLA path would even emit
+    invalid JSON), so it is a client error, not a servable value."""
+    import math
+
     if raw is None:
         return None, None
     try:
-        return float(raw), None
+        a = float(raw)
     except (TypeError, ValueError):
         return None, f"alpha must be a number, got {raw!r}"
+    if not math.isfinite(a):
+        return None, f"alpha must be finite, got {raw!r}"
+    return a, None
 
 
 def _parse_n(raw):
@@ -131,19 +140,14 @@ class RetrievalHTTPServer:
         # and the hook resolves defaults — per-request blends ride the same
         # micro-batch because alpha is a runtime operand of the program
         per_request_alpha = alphas_batch_fn is not None
-        if per_request_alpha:
-            def _pairs_fn(items):
-                return alphas_batch_fn([q for q, _ in items], [a for _, a in items])
 
-            self.batcher = MicroBatcher(
-                _pairs_fn, max_batch=max_batch, max_wait_ms=max_wait_ms,
-                max_pending=max_pending,
-            )
-        else:
-            self.batcher = MicroBatcher(
-                batch_fn, max_batch=max_batch, max_wait_ms=max_wait_ms,
-                max_pending=max_pending,
-            )
+        def _pairs_fn(items):
+            return alphas_batch_fn([q for q, _ in items], [a for _, a in items])
+
+        self.batcher = MicroBatcher(
+            _pairs_fn if per_request_alpha else batch_fn,
+            max_batch=max_batch, max_wait_ms=max_wait_ms, max_pending=max_pending,
+        )
         batcher = self.batcher
 
         def submit_query(q, alpha=None):
@@ -406,35 +410,51 @@ class RetrievalHTTPServer:
                 if err:
                     self._send(400, {"error": err})
                     return
-                try:
-                    if "queries" in payload:
-                        qs = payload["queries"]
-                        raw_alphas = payload.get("alphas", payload.get("alpha"))
-                        if raw_alphas is None:
-                            alphas = [None] * len(qs)
-                        elif isinstance(raw_alphas, list):
-                            if len(raw_alphas) != len(qs):
-                                self._send(400, {"error": "alphas length != queries length"})
-                                return
-                            alphas = [float(a) for a in raw_alphas]
-                        else:
-                            alphas = [float(raw_alphas)] * len(qs)
-                        futs = [submit_query(q, a) for q, a in zip(qs, alphas)]
-                        out = [f.result()[:n] for f in futs]
-                        self._send(200, {"queries": qs, "results": out})
-                    elif "query" in payload:
-                        alpha = payload.get("alpha")
-                        alpha = None if alpha is None else float(alpha)
-                        results = submit_query(payload["query"], alpha).result()
-                        self._send(200, {"query": payload["query"], "results": results[:n]})
+                # resolve queries + alphas FIRST: parse problems are client
+                # errors (400) and must not share a scope with backend waits
+                if "queries" in payload:
+                    qs = payload["queries"]
+                    raw_alphas = payload.get("alphas", payload.get("alpha"))
+                    if raw_alphas is None:
+                        alphas = [None] * len(qs)
                     else:
-                        self._send(400, {"error": "body needs 'query' or 'queries'"})
+                        raw_list = raw_alphas if isinstance(raw_alphas, list) else [raw_alphas] * len(qs)
+                        if len(raw_list) != len(qs):
+                            self._send(400, {"error": "alphas length != queries length"})
+                            return
+                        alphas = []
+                        for ra in raw_list:
+                            a, err = _parse_alpha(ra)
+                            if err:
+                                self._send(400, {"error": err})
+                                return
+                            alphas.append(a)
+                    pairs = list(zip(qs, alphas))
+                elif "query" in payload:
+                    a, err = _parse_alpha(payload.get("alpha"))
+                    if err:
+                        self._send(400, {"error": err})
+                        return
+                    pairs = [(payload["query"], a)]
+                else:
+                    self._send(400, {"error": "body needs 'query' or 'queries'"})
+                    return
+                try:
+                    futs = [submit_query(q, a) for q, a in pairs]
+                    out = [f.result()[:n] for f in futs]
                 except Overloaded as e:
                     self._send(503, {"error": str(e)})
-                except (_AlphaNotEnabled, TypeError, ValueError) as e:
+                    return
+                except _AlphaNotEnabled as e:
                     self._send(400, {"error": str(e)})
-                except Exception as e:
+                    return
+                except Exception as e:  # backend failure via the futures
                     self._send(502, {"error": str(e)})
+                    return
+                if "queries" in payload:
+                    self._send(200, {"queries": payload["queries"], "results": out})
+                else:
+                    self._send(200, {"query": payload["query"], "results": out[0]})
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._thread: Optional[threading.Thread] = None

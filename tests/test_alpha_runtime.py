@@ -150,7 +150,7 @@ def test_http_per_request_alpha():
         return [[{"uuid": f"{q}@{a}", "score": 1.0}] for q, a in zip(queries, alphas)]
 
     with RetrievalHTTPServer(
-        lambda qs: [[] for _ in qs], port=0, max_wait_ms=30.0,
+        lambda qs: [[] for _ in qs], port=0, max_wait_ms=300.0,  # wide window: 1-core runner must not split the batch
         alphas_batch_fn=alphas_batch_fn,
     ) as srv:
         base = "http://{}:{}".format(*srv.address)
@@ -173,6 +173,10 @@ def test_http_per_request_alpha():
         # bad alpha -> 400
         with pytest.raises(urllib.error.HTTPError) as ei:
             urlopen(f"{base}/search?q=x&alpha=wide", timeout=10)
+        assert ei.value.code == 400
+        # non-finite alpha -> 400 (would poison every blended score)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urlopen(f"{base}/search?q=x&alpha=nan", timeout=10)
         assert ei.value.code == 400
 
     # without the hook: ?alpha= is a clean 400, plain search still works

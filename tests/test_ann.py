@@ -522,14 +522,20 @@ def test_retriever_ann_index_cache(tmp_path, devices8, monkeypatch):
     assert len(builds) == 1  # loaded from cache, no rebuild
     b = r2.retrieval("hello cat")
     assert [x["uuid"] for x in a] == [x["uuid"] for x in b]
-    # live update changes the corpus -> fingerprint stale -> rebuild + re-save
+    # live update rebuilds IN MEMORY only (no per-update disk write —
+    # a multi-GB sync save per single-doc ingest would serialize updates)
     rng2 = np.random.default_rng(5)
     new = rng2.standard_normal((1, store.dim)).astype(np.float32)
     new /= np.linalg.norm(new, axis=1, keepdims=True)
     r2.add_documents(new, new, ["fresh"])
     assert len(builds) == 2
+    # a restart on the UPDATED corpus finds the cache stale (fingerprint
+    # mismatch) and rebuilds + re-saves once
     r3 = CR.CLIPRetrieval(model, params, tok, r2._corpus_real_store(), **kw)
-    assert len(builds) == 2  # the re-saved cache covers the updated corpus
+    assert len(builds) == 3
+    # ...after which the next restart loads the fresh cache
+    CR.CLIPRetrieval(model, params, tok, r2._corpus_real_store(), **kw)
+    assert len(builds) == 3
 
 
 def test_index_fingerprint_mismatch_raises(tmp_path):
@@ -549,3 +555,55 @@ def test_index_fingerprint_mismatch_raises(tmp_path):
     ann.save_ivf_index(path, index)
     with pytest.raises(ValueError, match="fingerprint"):
         ann.load_ivf_index(path, expected_fingerprint=fp)
+
+
+def test_fingerprint_catches_trailing_row_change():
+    """Every row contributes (row sums): trailing/mid edits a strided
+    sample would miss change the fingerprint."""
+    rng = np.random.default_rng(0)
+    img, txt = _normed(rng, 1000, 16), _normed(rng, 1000, 16)
+    base = ann.corpus_fingerprint(img, txt)
+    img2 = img.copy()
+    img2[-1] = _normed(rng, 1, 16)[0]  # last row (never in a 64-stride sample)
+    assert ann.corpus_fingerprint(img2, txt) != base
+    img3 = img.copy()
+    img3[501] = _normed(rng, 1, 16)[0]  # mid-corpus single row
+    assert ann.corpus_fingerprint(img3, txt) != base
+
+
+def test_save_index_rejects_bare_path(tmp_path):
+    import os
+
+    rng = np.random.default_rng(0)
+    img, txt = _normed(rng, 32, 8), _normed(rng, 32, 8)
+    index = ann.build_ivf_index(img, txt, 4)
+    with pytest.raises(ValueError, match="npz"):
+        ann.save_ivf_index(os.path.join(tmp_path, "bare"), index)
+
+
+def test_corrupt_index_cache_rebuilds(tmp_path, devices8, monkeypatch):
+    """A truncated cache file must rebuild, not crash startup."""
+    import os
+
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval import clip_retrieval as CR
+    from tests.test_retrieval_engine import MERGES
+    from knowledge_enhanced_multimodal_retrieval_tpu.data.tokenizer import CLIPTokenizer
+    from knowledge_enhanced_multimodal_retrieval_tpu.models import clip as M
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval.embedding_store import EmbeddingStore
+
+    tok = CLIPTokenizer(MERGES)
+    arch = M.CLIPArch(16, 32, 1, 32, 16, 16, tok.vocab_size, 32, 2, 1, vision_heads=2)
+    model = M.CLIP(arch, dtype=jnp.float32)
+    params = M.init_params(model, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    store = EmbeddingStore(_normed(rng, 40, 16), _normed(rng, 40, 16), [f"u{i}" for i in range(40)])
+    path = os.path.join(tmp_path, "cache.npz")
+    with open(path, "wb") as f:
+        f.write(b"definitely not a zip file")
+    r = CR.CLIPRetrieval(
+        model, params, tok, store, top_k=5,
+        ann="ivf", ann_nlist=4, ann_nprobe=4, ann_index_path=path,
+    )
+    assert r.retrieval("hello")  # rebuilt and serving
+    # the rebuild overwrote the corrupt file with a loadable one
+    assert ann.load_ivf_index(path).nlist == 4
