@@ -1,0 +1,60 @@
+"""Offline IVF index builder.
+
+Clustering + packing are the expensive index-build steps at corpus scale;
+this CLI runs them once — on whatever box has the store — and writes the
+fingerprinted cache the serving daemon loads instantly
+(``serve --eval.ann=ivf --eval.ann_index=ivf.npz``):
+
+    python -m knowledge_enhanced_multimodal_retrieval_tpu.cli.index \
+        --store store.npz --out ivf.npz \
+        [--eval.ann_nlist=256] [--eval.quantize_corpus=int8]
+
+The index binds to the store by content fingerprint: serving a different
+(or updated) store with this cache triggers an automatic rebuild instead of
+silently wrong results.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ..retrieval.ann import build_ivf_index, corpus_fingerprint, save_ivf_index
+from ..retrieval.embedding_store import EmbeddingStore
+from ..utils.config import config_from_argv, resolve_quantize_corpus
+from ..utils.logging_utils import setup_logger
+from .common import pop_flag
+
+
+def main(argv=None) -> str:
+    args = list(sys.argv[1:] if argv is None else argv)
+    store_path = pop_flag(args, "--store")
+    out = pop_flag(args, "--out")
+    if not store_path or not out:
+        raise ValueError("--store and --out are required")
+    cfg = config_from_argv(args)
+    logger = setup_logger("kemr_tpu.cli.index")
+
+    store = EmbeddingStore.load(store_path, mmap=cfg.eval.mmap_store)
+    nlist = cfg.eval.ann_nlist or max(1, int(np.sqrt(len(store))))
+    quantize = resolve_quantize_corpus(cfg.eval.quantize_corpus)
+    if quantize == "int4":
+        raise ValueError("IVF composes with int8 corpus packing only")
+    logger.info("clustering %d rows into %d lists%s", len(store), nlist,
+                " (int8-packed)" if quantize else "")
+    index = build_ivf_index(
+        store.image, store.text, nlist,
+        quantize="int8" if quantize else None,
+    )
+    fp = corpus_fingerprint(store.image, store.text)
+    save_ivf_index(out, index, fingerprint=fp)
+    logger.info(
+        "saved index to %s (nlist=%d cap=%d spill=%.3f)",
+        out, index.nlist, index.cap, index.spill_fraction,
+    )
+    return out
+
+
+if __name__ == "__main__":
+    main()

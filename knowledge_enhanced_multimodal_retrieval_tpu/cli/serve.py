@@ -96,6 +96,8 @@ def main(argv=None) -> None:
     http_port = pop_flag(args, "--http")
     if http_port is not None:
         http_port = int(http_port)
+    # bind address for the daemon (containers usually need 0.0.0.0)
+    http_host = pop_flag(args, "--http-host", "127.0.0.1")
     # 0 = queue without bound; >0 = load-shed (HTTP 503) past that many
     # pending requests, keeping tail latency bounded under overload
     max_pending = int(pop_flag(args, "--max-pending", "0"))
@@ -140,7 +142,7 @@ def main(argv=None) -> None:
             return batch_fn(queries, alpha_clip=resolved)
 
         server = RetrievalHTTPServer(
-            batch_fn, port=http_port, max_pending=max_pending,
+            batch_fn, host=http_host, port=http_port, max_pending=max_pending,
             alphas_batch_fn=alphas_batch_fn,
             # live corpus ingest/retire (POST/DELETE /documents); searches
             # keep serving the old corpus until the update swaps in

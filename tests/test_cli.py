@@ -301,3 +301,28 @@ def test_cli_export_equals_form(tmp_path, devices8):
     CV.save_params_npz(params, npz)
     pt = export([f"--model.checkpoint={npz}", "--format=openai", f"--out={tmp_path}/w.pt"])
     assert pt.endswith("w.pt") and os.path.exists(pt)
+
+
+def test_cli_index_builder(tmp_path, devices8):
+    """cli/index builds a fingerprinted IVF cache the serve path loads."""
+    from knowledge_enhanced_multimodal_retrieval_tpu.cli.index import main as index_main
+    from knowledge_enhanced_multimodal_retrieval_tpu.cli.precompute import main as precompute
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval.ann import load_ivf_index
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval.embedding_store import (
+        EmbeddingStore,
+    )
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval.ann import corpus_fingerprint
+
+    store_path = os.path.join(tmp_path, "store.npz")
+    precompute([
+        "--out", store_path,
+        "--data.dataset=synthetic:24", "--data.image_size=32",
+        "--data.context_length=16", "--model.name=tiny",
+        "--model.dtype=float32", "--eval.batch_size=8",
+    ])
+    out = os.path.join(tmp_path, "ivf.npz")
+    index_main(["--store", store_path, "--out", out, "--eval.ann_nlist=4"])
+    store = EmbeddingStore.load(store_path)
+    fp = corpus_fingerprint(store.image, store.text)
+    index = load_ivf_index(out, expected_fingerprint=fp)
+    assert index.nlist == 4
