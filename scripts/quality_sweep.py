@@ -19,6 +19,15 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+
+def _force_cpu():
+    """Run the sweep on host CPU (the measurements are exact-math quality
+    numbers, not perf): useful when the TPU is busy or absent. Must run
+    before the first jax device touch; works under a latched platform."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 from knowledge_enhanced_multimodal_retrieval_tpu.eval.quality import (  # noqa: E402
     format_table,
     quality_sweep,
@@ -35,7 +44,10 @@ def main(argv=None) -> None:
     p.add_argument("--rerank-factor", type=int, default=4)
     p.add_argument("--nprobes", default="", help="comma-separated IVF probe widths")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true", help="run on host CPU")
     args = p.parse_args(argv)
+    if args.cpu:
+        _force_cpu()
 
     rng = np.random.default_rng(args.seed)
     if args.synthetic:

@@ -56,7 +56,7 @@ def test_format_table(rng):
 def test_cli_synthetic_smoke():
     proc = subprocess.run(
         [sys.executable, "scripts/quality_sweep.py", "--synthetic", "256,32",
-         "--queries", "8", "--k", "5", "--nprobes", "4"],
+         "--queries", "8", "--k", "5", "--nprobes", "4", "--cpu"],
         capture_output=True, text=True, timeout=300,
     )
     assert proc.returncode == 0, proc.stderr
