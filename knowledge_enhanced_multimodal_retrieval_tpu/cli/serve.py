@@ -105,6 +105,9 @@ def main(argv=None) -> None:
     # first request of a cold bucket pays a full jit compile — minutes on a
     # relay backend); should mirror the MicroBatcher's power-of-two buckets
     warmup = pop_flag(args, "--warmup")
+    # opt-in HTTP result cache (entries = (query, alpha) pairs; invalidated
+    # on every corpus mutation): popular queries skip the device entirely
+    cache_results = int(pop_flag(args, "--cache-results", "0"))
     cfg = config_from_argv(args)
     logger = setup_logger("kemr_tpu.cli.serve")
     engine = build_engine(cfg, store_path)
@@ -143,6 +146,7 @@ def main(argv=None) -> None:
 
         server = RetrievalHTTPServer(
             batch_fn, host=http_host, port=http_port, max_pending=max_pending,
+            result_cache_size=cache_results,
             alphas_batch_fn=alphas_batch_fn,
             # live corpus ingest/retire (POST/DELETE /documents); searches
             # keep serving the old corpus until the update swaps in

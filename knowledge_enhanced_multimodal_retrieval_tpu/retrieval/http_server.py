@@ -135,6 +135,7 @@ class RetrievalHTTPServer:
         image_batch_fn: Optional[Callable] = None,
         image_preprocess_fn: Optional[Callable] = None,
         max_image_batch: int = 64,
+        result_cache_size: int = 0,
     ):
         # with an alphas hook, batch items are (query, alpha-or-None) pairs
         # and the hook resolves defaults — per-request blends ride the same
@@ -150,12 +151,67 @@ class RetrievalHTTPServer:
         )
         batcher = self.batcher
 
+        # opt-in result cache: popular (query, alpha) pairs skip the device
+        # entirely (the MicroBatcher already amortizes, this removes repeat
+        # work). Invalidated on every corpus mutation — a stale hit would
+        # serve retired uuids.
+        from collections import OrderedDict
+
+        cache_lock = threading.Lock()
+        result_cache: "OrderedDict[tuple, list]" = OrderedDict()
+        cache_gen = [0]  # bumped on every corpus mutation
+
+        def cache_get(key):
+            if not result_cache_size:
+                return None
+            with cache_lock:
+                hit = result_cache.get(key)
+                if hit is not None:
+                    result_cache.move_to_end(key)
+                return hit
+
+        def cache_put(key, value, gen):
+            if not result_cache_size:
+                return
+            with cache_lock:
+                if gen != cache_gen[0]:
+                    return  # result computed against a RETIRED corpus: drop
+                result_cache[key] = value
+                result_cache.move_to_end(key)
+                while len(result_cache) > result_cache_size:
+                    result_cache.popitem(last=False)
+
+        def cache_clear():
+            with cache_lock:
+                result_cache.clear()
+                cache_gen[0] += 1
+
+        class _Done:
+            """Future-alike resolving to an already-cached result."""
+
+            def __init__(self, value):
+                self._value = value
+
+            def result(self, timeout=None):
+                return self._value
+
         def submit_query(q, alpha=None):
+            key = (q, alpha)
+            hit = cache_get(key)
+            if hit is not None:
+                return _Done(hit)
             if per_request_alpha:
-                return batcher.submit((q, alpha))
-            if alpha is not None:
-                raise _AlphaNotEnabled("per-request alpha not enabled")
-            return batcher.submit(q)
+                fut = batcher.submit((q, alpha))
+            else:
+                if alpha is not None:
+                    raise _AlphaNotEnabled("per-request alpha not enabled")
+                fut = batcher.submit(q)
+            if result_cache_size:
+                gen = cache_gen[0]  # snapshot BEFORE the search runs
+                fut.add_done_callback(
+                    lambda f: cache_put(key, f.result(), gen) if f.exception() is None else None
+                )
+            return fut
         if image_batch_fn is not None and image_preprocess_fn is None:
             # decode MUST happen on the request thread: inside the shared
             # micro-batch, one corrupt image would raise in batch_fn and
@@ -261,6 +317,7 @@ class RetrievalHTTPServer:
                     return
                 try:
                     remove_documents_fn([str(u) for u in uuids])
+                    cache_clear()
                 except KeyError as e:
                     self._send(404, {"error": str(e)})
                     return
@@ -320,6 +377,7 @@ class RetrievalHTTPServer:
                     return
                 try:
                     add_documents_fn(img, txt, uuids)
+                    cache_clear()
                 except DuplicateUUIDError as e:  # conflict with existing docs
                     self._send(409, {"error": str(e)})
                     return

@@ -538,3 +538,39 @@ def test_http_backpressure_returns_503():
         assert 503 in codes and 200 in codes, codes
         health = json_mod.loads(urlopen(f"http://{host}:{port}/healthz").read())
         assert health["stats"]["rejected"] >= 1
+
+
+def test_http_result_cache_hit_and_invalidation():
+    """Repeated (query, alpha) pairs skip the backend; corpus mutations
+    invalidate, and an in-flight search cannot repopulate stale results."""
+    import json as json_mod
+    from urllib.request import Request, urlopen
+
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval import RetrievalHTTPServer
+
+    calls = []
+
+    def batch_fn(queries):
+        calls.append(list(queries))
+        return [[{"uuid": f"v{len(calls)}-{q}", "score": 1.0}] for q in queries]
+
+    def post(base, path, payload, method="POST"):
+        req = Request(
+            f"{base}{path}", data=json_mod.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"}, method=method,
+        )
+        return json_mod.load(urlopen(req, timeout=10))
+
+    with RetrievalHTTPServer(
+        batch_fn, port=0, max_wait_ms=1.0, result_cache_size=8,
+        add_documents_fn=lambda img, txt, uuids: None,
+    ) as srv:
+        base = "http://{}:{}".format(*srv.address)
+        a = json_mod.load(urlopen(f"{base}/search?q=vase", timeout=10))
+        b = json_mod.load(urlopen(f"{base}/search?q=vase", timeout=10))
+        assert a == b and len(calls) == 1  # second request never hit the backend
+        # corpus mutation invalidates the cache
+        doc = {"uuid": "d1", "image_embedding": [1.0, 0.0], "text_embedding": [0.0, 1.0]}
+        post(base, "/documents", {"documents": [doc]})
+        c = json_mod.load(urlopen(f"{base}/search?q=vase", timeout=10))
+        assert len(calls) == 2 and c["results"][0]["uuid"] == "v2-vase"
