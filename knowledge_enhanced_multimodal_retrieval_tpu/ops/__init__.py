@@ -20,8 +20,13 @@ from .similarity import (  # noqa: F401
     fused_similarity_topk,
     fused_similarity_topk_q4,
     fused_similarity_topk_q8,
+    masked_similarity_topk,
+    masked_similarity_topk_q4,
+    masked_similarity_topk_q8,
+    normalize_mask,
     quantize_corpus,
     quantize_corpus_host_q4,
+    sharded_masked_similarity_topk,
     sharded_similarity_topk,
     sharded_similarity_topk_q4,
     sharded_similarity_topk_q8,

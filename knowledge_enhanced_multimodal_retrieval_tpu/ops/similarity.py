@@ -325,6 +325,139 @@ def similarity_topk_xla_q4(
 
 
 # ---------------------------------------------------------------------------
+# Masked (filtered) search — uuid allow/deny lists as a runtime operand
+# ---------------------------------------------------------------------------
+#
+# The reference has no filtered retrieval at all (its only "constraint" is
+# the post-hoc SPARQL score bonus, ``src/retrieval.py:23-76``); production
+# retrieval needs hard filters (tenant visibility, metadata predicates,
+# knowledge-constrained search). The mask is a RUNTIME operand like alpha:
+# a bool [N] row mask (shared across the batch) or [Q, N] (per-query) —
+# changing the filter re-executes the compiled program, never re-compiles.
+# Masked-out rows score -inf, and their top-k slots come back with the
+# ann-style ``-1`` index sentinel so downstream uuid mapping skips them.
+# Selection runs through the segmented exact top-k over the [Q, N] score
+# matrix (the occasional-filter path does not need the streaming kernel;
+# at 43k rows the matmul still dominates).
+
+
+def normalize_mask(mask, n_queries: int, n_rows: int) -> jax.Array:
+    """Normalize a row filter into a bool ``[1 or Q, N]`` mask.
+
+    ``mask``: bool/int array of shape ``[N]`` (one filter for the whole
+    batch) or ``[Q, N]`` (per-query filters in one device program). True =
+    row eligible.
+    """
+    m = jnp.asarray(mask)
+    if m.ndim == 1:
+        m = m[None, :]
+    if m.shape[-1] != n_rows or (m.shape[0] not in (1, n_queries)):
+        raise ValueError(
+            f"mask shape {m.shape} incompatible with {n_queries} queries x {n_rows} rows"
+        )
+    return m.astype(bool)
+
+
+def _masked_topk_from_scores(scores, mask, k: int) -> Tuple[jax.Array, jax.Array]:
+    scores = jnp.where(
+        normalize_mask(mask, scores.shape[0], scores.shape[1]), scores, _NEG_INF
+    )
+    vals, idx = _segmented_topk_from_scores(scores, k, segment=4096)
+    # fewer than k eligible rows: sentinel the dead slots like the ann path
+    return vals, jnp.where(vals > _NEG_INF / 2, idx, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def masked_similarity_topk(
+    queries: jax.Array,
+    img_emb: jax.Array,
+    txt_emb: jax.Array,
+    mask,
+    k: int,
+    alpha: float = 0.5,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact blended top-k restricted to ``mask``-eligible corpus rows."""
+    return _masked_topk_from_scores(
+        blended_scores(queries, img_emb, txt_emb, alpha), mask, k
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def masked_similarity_topk_q8(
+    queries: jax.Array,
+    img_q: jax.Array,
+    img_scale: jax.Array,
+    txt_q: jax.Array,
+    txt_scale: jax.Array,
+    mask,
+    k: int,
+    alpha: float = 0.5,
+) -> Tuple[jax.Array, jax.Array]:
+    """Masked top-k over an int8-packed corpus (same rounding as the q8 scan)."""
+    return _masked_topk_from_scores(
+        blended_scores_q8(queries, img_q, img_scale, txt_q, txt_scale, alpha), mask, k
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def masked_similarity_topk_q4(
+    queries: jax.Array,
+    img_p: jax.Array,
+    img_scale: jax.Array,
+    txt_p: jax.Array,
+    txt_scale: jax.Array,
+    mask,
+    k: int,
+    alpha: float = 0.5,
+) -> Tuple[jax.Array, jax.Array]:
+    """Masked top-k over a nibble-packed int4 corpus."""
+    return _masked_topk_from_scores(
+        blended_scores_q4(queries, img_p, img_scale, txt_p, txt_scale, alpha), mask, k
+    )
+
+
+def sharded_masked_similarity_topk(
+    queries: jax.Array,
+    corpus_args: Tuple[jax.Array, ...],
+    mask,
+    k: int,
+    alpha,
+    mesh: Mesh,
+    axis: str = "data",
+    mode: str = "exact",
+) -> Tuple[jax.Array, jax.Array]:
+    """Masked top-k over a row-sharded corpus: local masked top-k per device
+    (the mask shards with the rows), all_gather the [Q, k] winners, final
+    merge. ``corpus_args``: ``(img, txt)`` exact or ``(img, img_scale, txt,
+    txt_scale)`` for ``mode`` in {"q8", "q4"}.
+    """
+    n = corpus_args[0].shape[0]
+    n_shards = mesh.shape[axis]
+    shard_n = n // n_shards
+    k = min(k, n)
+    k_local = min(k, shard_n)
+    alpha_arr = alpha_column(alpha, queries.shape[0])
+    mask2d = normalize_mask(mask, queries.shape[0], n)
+    score_fn = {
+        "exact": blended_scores,
+        "q8": blended_scores_q8,
+        "q4": blended_scores_q4,
+    }[mode]
+
+    def local(q, a, m, *c_args):
+        scores = jnp.where(m, score_fn(q, *c_args, a), _NEG_INF)
+        vals, idx = _segmented_topk_from_scores(scores, k_local, segment=4096)
+        vals, idx = _merge_shard_winners(vals, idx, axis, shard_n, k)
+        return vals, jnp.where(vals > _NEG_INF / 2, idx, -1)
+
+    in_specs = (P(), P(), P(None, axis)) + (P(axis, None),) * len(corpus_args)
+    fn = shard_map(
+        local, mesh=mesh, in_specs=in_specs, out_specs=(P(), P()), check_vma=False
+    )
+    return jax.jit(fn)(queries, alpha_arr, mask2d, *corpus_args)
+
+
+# ---------------------------------------------------------------------------
 # Pallas fused kernel
 # ---------------------------------------------------------------------------
 

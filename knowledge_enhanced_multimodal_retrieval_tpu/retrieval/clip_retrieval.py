@@ -29,8 +29,12 @@ from ..ops.similarity import (
     fused_similarity_topk,
     fused_similarity_topk_q4,
     fused_similarity_topk_q8,
+    masked_similarity_topk,
+    masked_similarity_topk_q4,
+    masked_similarity_topk_q8,
     quantize_corpus_host,
     quantize_corpus_host_q4,
+    sharded_masked_similarity_topk,
     sharded_similarity_topk,
     sharded_similarity_topk_q4,
     sharded_similarity_topk_q8,
@@ -259,6 +263,42 @@ class CLIPRetrieval:
         # federated query vectors) instead of token ids
         self._search_program_emb = jax.jit(
             _score_fn, static_argnames=("k", "nprobe")
+        )
+
+        # filtered search: a bool row mask rides as a RUNTIME operand (like
+        # alpha) — changing the allow/deny filter re-executes, never
+        # re-compiles. Masked-out slots come back with the -1 idx sentinel.
+        def _score_fn_masked(q, cimg, ctxt, cimg_s, ctxt_s, alpha, mask, *, k: int):
+            if self.quantize_corpus:
+                q = q.astype(model.dtype)
+                mode = "q4" if self.quantize_corpus == "int4" else "q8"
+                if self.shard_corpus:
+                    return sharded_masked_similarity_topk(
+                        q, (cimg, cimg_s, ctxt, ctxt_s), mask, k=k, alpha=alpha,
+                        mesh=self.rt.mesh, mode=mode,
+                    )
+                fn = masked_similarity_topk_q4 if mode == "q4" else masked_similarity_topk_q8
+                return fn(q, cimg, cimg_s, ctxt, ctxt_s, mask, k=k, alpha=alpha)
+            q = q.astype(cimg.dtype)
+            if self.shard_corpus:
+                return sharded_masked_similarity_topk(
+                    q, (cimg, ctxt), mask, k=k, alpha=alpha,
+                    mesh=self.rt.mesh, mode="exact",
+                )
+            return masked_similarity_topk(q, cimg, ctxt, mask, k=k, alpha=alpha)
+
+        def _search_program_masked(
+            params, ids, cimg, ctxt, cimg_s, ctxt_s, alpha, mask, *, k: int
+        ):
+            q = _encode_fn(params, ids)
+            vals, idx = _score_fn_masked(q, cimg, ctxt, cimg_s, ctxt_s, alpha, mask, k=k)
+            return (vals, idx, q) if self.rerank else (vals, idx)
+
+        self._search_program_masked = jax.jit(
+            _search_program_masked, static_argnames=("k",)
+        )
+        self._search_program_masked_emb = jax.jit(
+            _score_fn_masked, static_argnames=("k",)
         )
         self._encode_image = None  # built lazily on first image query
 
@@ -805,6 +845,184 @@ class CLIPRetrieval:
                 yield finish(pending.popleft())
         while pending:
             yield finish(pending.popleft())
+
+    # -- filtered search (TPU-native extension) ----------------------------------
+    # The reference has no hard filters — its only constraint mechanism is
+    # the post-hoc SPARQL score bonus (``src/retrieval.py:23-76``).
+    # Production retrieval needs them (tenant visibility, metadata
+    # predicates, knowledge-constrained search): the bool row mask is a
+    # runtime operand of a dedicated compiled program, so changing the
+    # filter re-executes — never re-compiles. Pad rows are always masked, so
+    # the filtered path needs no pad over-fetch.
+
+    def _mask_from_uuids(
+        self,
+        c: _CorpusState,
+        allow_uuids: Optional[Iterable[str]],
+        deny_uuids: Optional[Iterable[str]],
+    ) -> np.ndarray:
+        """Bool row mask over the padded store (pads always False).
+
+        Unknown uuids in either list are ignored — a filter is a predicate
+        over the corpus, not a membership assertion (retired documents may
+        legitimately linger in caller-side ACLs).
+        """
+        if allow_uuids is None and deny_uuids is None:
+            raise ValueError("filtered search needs allow_uuids and/or deny_uuids")
+        uuids = c.store.uuids
+        if allow_uuids is not None:
+            allowed = set(allow_uuids)
+            mask = np.fromiter((u in allowed for u in uuids), bool, len(uuids))
+        else:
+            mask = np.fromiter(
+                (not u.startswith("__pad_") for u in uuids), bool, len(uuids)
+            )
+        if deny_uuids is not None:
+            denied = set(deny_uuids)
+            if denied:
+                mask &= np.fromiter((u not in denied for u in uuids), bool, len(uuids))
+        return mask
+
+    def _k_fetch_masked(self, c: _CorpusState, k: int) -> int:
+        # pads are masked out (never displace winners); only rerank over-fetches
+        return min(k * self.rerank_factor, len(c.store)) if self.rerank else k
+
+    def search_filtered_batch(
+        self,
+        queries: Sequence[str],
+        allow_uuids: Optional[Iterable[str]] = None,
+        deny_uuids: Optional[Iterable[str]] = None,
+        alpha: float = 0.5,
+        top_k: Optional[int] = None,
+    ):
+        """Batched search restricted by uuid allow/deny lists (raw winners).
+
+        Returns the same device-future tuple as :meth:`search_batch`;
+        filtered-out slots carry the ``-1`` index sentinel when fewer than k
+        rows are eligible. Requires an exact corpus scan (``ann='ivf'``
+        probes clusters and cannot honor arbitrary row predicates — use
+        :meth:`retrieval_candidates_batch` for small per-query allow-lists
+        in ann mode).
+        """
+        c = self._corpus
+        return self._search_filtered_state(c, queries, allow_uuids, deny_uuids, alpha, top_k)
+
+    def _search_filtered_state(
+        self, c: _CorpusState, queries, allow_uuids, deny_uuids, alpha, top_k
+    ):
+        if self.ann == "ivf":
+            raise ValueError(
+                "filtered search needs an exact corpus scan (ann='ivf' probes "
+                "clusters); use retrieval_candidates_batch for allow-lists in ann mode"
+            )
+        k = min(top_k or c.top_k, c.n_real)
+        mask = self._mask_from_uuids(c, allow_uuids, deny_uuids)
+        ids = self._tokenize(queries)
+        return self._search_program_masked(
+            self._enc_params, jnp.asarray(ids), c.corpus_img, c.corpus_txt,
+            c.corpus_img_scale, c.corpus_txt_scale,
+            alpha_column(alpha, len(queries)), jnp.asarray(mask),
+            k=self._k_fetch_masked(c, k),
+        )
+
+    def retrieval_filtered_batch(
+        self,
+        queries: Sequence[str],
+        allow_uuids: Optional[Iterable[str]] = None,
+        deny_uuids: Optional[Iterable[str]] = None,
+        alpha: float = 0.5,
+        top_k: Optional[int] = None,
+    ) -> List[List[Dict]]:
+        """Filtered batched search -> one ``[{"uuid", "score"}]`` per query.
+
+        Only rows passing the filter can appear; queries with fewer than
+        ``top_k`` eligible rows return shorter lists. Composes with every
+        exact corpus mode (bf16/f32, int8, int4, mesh-sharded) and with
+        ``rerank=True``.
+        """
+        c = self._corpus
+        k = min(top_k or c.top_k, c.n_real)
+        out = self._search_filtered_state(c, queries, allow_uuids, deny_uuids, alpha, top_k)
+        return self._finish_results(c, out, alpha, k)
+
+    def retrieval_filtered(
+        self,
+        query: str,
+        allow_uuids: Optional[Iterable[str]] = None,
+        deny_uuids: Optional[Iterable[str]] = None,
+        alpha: float = 0.5,
+        top_k: Optional[int] = None,
+    ) -> List[Dict]:
+        """Single-query filtered search -> ``[{"uuid", "score"}]`` descending."""
+        return self.retrieval_filtered_batch(
+            [query], allow_uuids, deny_uuids, alpha=alpha, top_k=top_k
+        )[0]
+
+    def retrieval_filtered_embeddings_batch(
+        self,
+        q_emb,
+        allow_uuids: Optional[Iterable[str]] = None,
+        deny_uuids: Optional[Iterable[str]] = None,
+        alpha: float = 0.5,
+        top_k: Optional[int] = None,
+    ) -> List[List[Dict]]:
+        """Filtered embedding-direct search (image queries route here via
+        :meth:`encode_images`)."""
+        c = self._corpus
+        if self.ann == "ivf":
+            raise ValueError(
+                "filtered search needs an exact corpus scan (ann='ivf' probes clusters)"
+            )
+        k = min(top_k or c.top_k, c.n_real)
+        mask = self._mask_from_uuids(c, allow_uuids, deny_uuids)
+        q_emb = jnp.asarray(q_emb)
+        out = self._search_program_masked_emb(
+            q_emb, c.corpus_img, c.corpus_txt,
+            c.corpus_img_scale, c.corpus_txt_scale,
+            alpha_column(alpha, q_emb.shape[0]), jnp.asarray(mask),
+            k=self._k_fetch_masked(c, k),
+        )
+        return self._finish_results(
+            c, out, alpha, k, q_emb=np.asarray(q_emb, np.float32)
+        )
+
+    def retrieval_candidates_batch(
+        self,
+        queries: Sequence[str],
+        candidates: Sequence[Sequence[str]],
+        alpha: float = 0.5,
+        top_k: Optional[int] = None,
+    ) -> List[List[Dict]]:
+        """Exact scoring restricted to per-query candidate uuid lists.
+
+        The knowledge-constrained serving mode: score query i against ONLY
+        ``candidates[i]`` (e.g. its Text2SPARQL hits). Queries encode on
+        device as one program; the scoring itself runs on the host f32
+        store via the shared rerank kernel (:func:`ops.similarity.
+        rerank_scores_host`) — candidate sets are small (tens of uuids), so
+        a device round trip per distinct set shape would cost more than the
+        arithmetic, and the host path works in EVERY corpus mode including
+        ``ann='ivf'``. Unknown uuids are ignored; scores are exact f32
+        (no packing rounding). Returns one descending ``[{"uuid",
+        "score"}]`` per query.
+        """
+        from ..ops.similarity import rerank_scores_host
+
+        if len(queries) != len(candidates):
+            raise ValueError(f"{len(queries)} queries vs {len(candidates)} candidate lists")
+        c = self._corpus
+        k = min(top_k or c.top_k, c.n_real)
+        row_of = {u: i for i, u in enumerate(c.store.uuids[: c.n_real])}
+        width = max(1, max((len(cd) for cd in candidates), default=1))
+        idx = np.full((len(queries), width), -1, np.int64)
+        for qi, cand in enumerate(candidates):
+            rows = [row_of[u] for u in dict.fromkeys(cand) if u in row_of]
+            idx[qi, : len(rows)] = rows
+        q = np.asarray(self.encode_queries(queries), np.float32)
+        vals, idx = rerank_scores_host(q, c.store.image, c.store.text, idx, alpha)
+        return self.results_from_topk(
+            np.asarray(vals, np.float32), idx, _state=c, top_k=k
+        )
 
     # -- reference-parity API --------------------------------------------------
 
