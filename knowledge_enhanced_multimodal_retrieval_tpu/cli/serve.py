@@ -144,6 +144,23 @@ def main(argv=None) -> None:
             resolved = [default_alpha if a is None else float(a) for a in alphas]
             return batch_fn(queries, alpha_clip=resolved)
 
+        def _resolve_alphas(alphas):
+            return [default_alpha if a is None else float(a) for a in alphas]
+
+        # hard filters (allow/deny uuid lists) — exact-scan corpora only;
+        # under ann='ivf' the hook raises ValueError -> HTTP 400
+        def filtered_batch_fn(queries, alphas, allow, deny):
+            return engine.retrieve_text_filtered_batch(
+                queries, allow, deny, alpha_clip=_resolve_alphas(alphas)
+            )
+
+        # caller-supplied per-query candidate sets, scored exactly on the
+        # host store (works in every corpus mode incl. ivf)
+        def candidates_batch_fn(queries, candidates, alphas):
+            return engine.clip_retriever.retrieval_candidates_batch(
+                queries, candidates, alpha=_resolve_alphas(alphas)
+            )
+
         server = RetrievalHTTPServer(
             batch_fn, host=http_host, port=http_port, max_pending=max_pending,
             result_cache_size=cache_results,
@@ -165,6 +182,8 @@ def main(argv=None) -> None:
             # request thread, batch the encode+search device program
             image_batch_fn=engine.retrieve_image_batch,
             image_preprocess_fn=engine.clip_retriever.preprocess_images,
+            filtered_batch_fn=filtered_batch_fn,
+            candidates_batch_fn=candidates_batch_fn,
         )
         logger.info(
             "serving HTTP on %s:%d (/search, /search_image, /documents, "

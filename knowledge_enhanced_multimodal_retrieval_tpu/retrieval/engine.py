@@ -113,24 +113,29 @@ class RetrievalEngine:
         threshold = self.fusion.threshold if threshold is None else threshold
 
         clip_lists = self.clip_retriever.retrieval_batch(queries, alpha=alpha_clip)
-        if self.t2s_retriever is None:
-            t2s_lists: List[Sequence[str]] = [[] for _ in queries]
-        else:
-            import concurrent.futures as cf
-
-            # Dedupe before the network fan-out: the MicroBatcher pads
-            # batches by echoing the last query (bucketed jit shapes), and
-            # real traffic repeats popular queries — each distinct query
-            # costs an LLM + SPARQL round trip, so pay it once per batch.
-            unique = list(dict.fromkeys(queries))
-            with cf.ThreadPoolExecutor(max_workers=max_workers) as pool:
-                per_unique = dict(zip(unique, pool.map(self.t2s_retriever.retrieval, unique)))
-            t2s_lists = [per_unique[q] for q in queries]
+        t2s_lists = self._t2s_batch(queries, max_workers)
         out: List[List[Dict]] = []
         for clip_results, t2s_results in zip(clip_lists, t2s_lists):
             fused = self._fuse_clip_sparql_linear(clip_results, t2s_results, alpha=alpha, beta=beta)
             out.append(self._apply_threshold(fused, threshold))
         return out
+
+    def _t2s_batch(self, queries: Sequence[str], max_workers: int = 8) -> List[Sequence[str]]:
+        """Text2SPARQL uuid hits for a batch (thread-pool network fan-out).
+
+        Dedupes before the fan-out: the MicroBatcher pads batches by echoing
+        the last query (bucketed jit shapes), and real traffic repeats
+        popular queries — each distinct query costs an LLM + SPARQL round
+        trip, so pay it once per batch. ``[[] ...]`` when no retriever.
+        """
+        if self.t2s_retriever is None:
+            return [[] for _ in queries]
+        import concurrent.futures as cf
+
+        unique = list(dict.fromkeys(queries))
+        with cf.ThreadPoolExecutor(max_workers=max_workers) as pool:
+            per_unique = dict(zip(unique, pool.map(self.t2s_retriever.retrieval, unique)))
+        return [per_unique[q] for q in queries]
 
     def retrieve_text_noknowledge_batch(
         self,
@@ -148,6 +153,121 @@ class RetrievalEngine:
         threshold = self.fusion.threshold if threshold is None else threshold
         clip_lists = self.clip_retriever.retrieval_batch(queries, alpha=alpha_clip)
         return [self._apply_threshold(results, threshold) for results in clip_lists]
+
+    # -- filtered / knowledge-constrained retrieval (TPU-native extension;
+    # the reference's only constraint mechanism is the post-hoc SPARQL score
+    # bonus, src/retrieval.py:23-76 — it has no hard filters) -----------------
+
+    def retrieve_text_filtered(
+        self,
+        query: str,
+        allow_uuids=None,
+        deny_uuids=None,
+        alpha: Optional[float] = None,
+        beta: Optional[float] = None,
+        alpha_clip: Optional[float] = None,
+        threshold: Optional[float] = None,
+    ) -> List[Dict]:
+        """Knowledge-enhanced retrieval restricted by uuid allow/deny lists
+        (tenant visibility, metadata predicates). Only eligible documents can
+        appear; the SPARQL bonus then reorders within them exactly like
+        :meth:`retrieve_text`. Needs an exact corpus scan (not ``ann='ivf'``)."""
+        return self.retrieve_text_filtered_batch(
+            [query], allow_uuids, deny_uuids, alpha, beta, alpha_clip, threshold
+        )[0]
+
+    def retrieve_text_filtered_batch(
+        self,
+        queries: Sequence[str],
+        allow_uuids=None,
+        deny_uuids=None,
+        alpha: Optional[float] = None,
+        beta: Optional[float] = None,
+        alpha_clip=None,
+        threshold: Optional[float] = None,
+        max_workers: int = 8,
+    ) -> List[List[Dict]]:
+        """Batched filtered retrieval: one masked device program for the
+        whole batch (the filter rides as a runtime operand — no recompile);
+        Text2SPARQL fans out over threads when configured."""
+        alpha = self.fusion.alpha if alpha is None else alpha
+        beta = self.fusion.beta if beta is None else beta
+        alpha_clip = self.fusion.alpha_clip if alpha_clip is None else alpha_clip
+        threshold = self.fusion.threshold if threshold is None else threshold
+        clip_lists = self.clip_retriever.retrieval_filtered_batch(
+            queries, allow_uuids, deny_uuids, alpha=alpha_clip
+        )
+        t2s_lists = self._t2s_batch(queries, max_workers)
+        return [
+            self._apply_threshold(
+                self._fuse_clip_sparql_linear(c, t, alpha=alpha, beta=beta), threshold
+            )
+            for c, t in zip(clip_lists, t2s_lists)
+        ]
+
+    def retrieve_text_constrained(
+        self,
+        query: str,
+        alpha: Optional[float] = None,
+        beta: Optional[float] = None,
+        alpha_clip: Optional[float] = None,
+        threshold: Optional[float] = None,
+        fallback: bool = True,
+    ) -> List[Dict]:
+        """Knowledge-CONSTRAINED retrieval: the hard-filter dual of
+        :meth:`retrieve_text`'s soft bonus — only the Text2SPARQL uuid hits
+        are scored (exact f32, host path, any corpus mode incl. IVF), so the
+        knowledge graph defines the candidate set and CLIP ranks within it.
+        When the KG returns nothing, ``fallback=True`` degrades to
+        :meth:`retrieve_text` (availability over strictness); ``False``
+        returns ``[]``. Scores fuse as ``alpha*clip + beta`` (every candidate
+        is a SPARQL hit by construction), so magnitudes stay comparable with
+        :meth:`retrieve_text` output."""
+        return self.retrieve_text_constrained_batch(
+            [query], alpha, beta, alpha_clip, threshold, fallback
+        )[0]
+
+    def retrieve_text_constrained_batch(
+        self,
+        queries: Sequence[str],
+        alpha: Optional[float] = None,
+        beta: Optional[float] = None,
+        alpha_clip=None,
+        threshold: Optional[float] = None,
+        fallback: bool = True,
+        max_workers: int = 8,
+    ) -> List[List[Dict]]:
+        if self.t2s_retriever is None:
+            raise ValueError("constrained retrieval needs a Text2SPARQL retriever")
+        alpha = self.fusion.alpha if alpha is None else alpha
+        beta = self.fusion.beta if beta is None else beta
+        alpha_clip = self.fusion.alpha_clip if alpha_clip is None else alpha_clip
+        threshold = self.fusion.threshold if threshold is None else threshold
+        t2s_lists = self._t2s_batch(queries, max_workers)
+        clip_lists = self.clip_retriever.retrieval_candidates_batch(
+            queries, t2s_lists, alpha=alpha_clip
+        )
+        out: List[List[Dict]] = []
+        empties = [i for i, t in enumerate(t2s_lists) if not t]
+        fb: Dict[int, List[Dict]] = {}
+        if fallback and empties:
+            fb_alpha = (
+                [alpha_clip[i] for i in empties]
+                if isinstance(alpha_clip, (list, tuple)) else alpha_clip
+            )
+            fb_lists = self.clip_retriever.retrieval_batch(
+                [queries[i] for i in empties], alpha=fb_alpha
+            )
+            fb = dict(zip(empties, fb_lists))
+        for i, (clip_results, t2s_results) in enumerate(zip(clip_lists, t2s_lists)):
+            if not t2s_results:
+                fused = self._fuse_clip_sparql_linear(fb.get(i, []), [], alpha=alpha, beta=beta)
+            else:
+                fused = self._fuse_clip_sparql_linear(
+                    clip_results, t2s_results, alpha=alpha, beta=beta
+                )
+            out.append(self._apply_threshold(fused, threshold))
+        return out
 
     # -- visual search (TPU-native extension; the reference has no image-
     # query path — its corpus towers only ever meet text queries) -------------

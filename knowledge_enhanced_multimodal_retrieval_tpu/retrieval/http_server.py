@@ -12,7 +12,12 @@ Endpoints:
   the blend is a runtime operand, so mixed alphas share one compiled
   program and one micro-batch)
 - ``POST /search`` with JSON body ``{"query": "...", "n": 20}`` or
-  ``{"queries": ["...", ...]}``        -> one or many result lists
+  ``{"queries": ["...", ...]}``        -> one or many result lists;
+  optional ``"allow_uuids"`` / ``"deny_uuids"`` (hard filter — only
+  eligible documents can appear; the mask is a runtime operand of a
+  dedicated compiled program) or ``"candidates"`` (per-query uuid lists,
+  scored exactly on the host — the knowledge-constrained mode); filtered
+  requests bypass the shared micro-batch and the result cache
 - ``POST /search_image`` (when an image search hook is wired) with
   ``{"image": "<base64 PNG/JPEG>", "n": 20}`` or ``{"images": [...]}`` ->
   visual search over the same corpus; image requests micro-batch through
@@ -136,6 +141,8 @@ class RetrievalHTTPServer:
         image_preprocess_fn: Optional[Callable] = None,
         max_image_batch: int = 64,
         result_cache_size: int = 0,
+        filtered_batch_fn: Optional[Callable] = None,
+        candidates_batch_fn: Optional[Callable] = None,
     ):
         # with an alphas hook, batch items are (query, alpha-or-None) pairs
         # and the hook resolves defaults — per-request blends ride the same
@@ -496,6 +503,69 @@ class RetrievalHTTPServer:
                     pairs = [(payload["query"], a)]
                 else:
                     self._send(400, {"error": "body needs 'query' or 'queries'"})
+                    return
+                # hard filters / candidate constraints: these requests carry
+                # their own corpus subset, so they bypass the shared
+                # MicroBatcher AND the result cache (a mask is not part of
+                # the cache key) — the request's own queries still ride one
+                # masked device program
+                allow = payload.get("allow_uuids")
+                deny = payload.get("deny_uuids")
+                cands = payload.get("candidates")
+                if cands is not None and (allow is not None or deny is not None):
+                    self._send(400, {"error": "candidates and allow/deny_uuids are exclusive"})
+                    return
+                for name, v in (("allow_uuids", allow), ("deny_uuids", deny)):
+                    if v is not None and (not isinstance(v, list) or not all(isinstance(u, str) for u in v)):
+                        self._send(400, {"error": f"{name} must be a list of uuid strings"})
+                        return
+                if allow is not None or deny is not None:
+                    if filtered_batch_fn is None:
+                        self._send(501, {"error": "filtered search not enabled"})
+                        return
+                    try:
+                        out = filtered_batch_fn(
+                            [q for q, _ in pairs], [a for _, a in pairs], allow, deny
+                        )
+                        out = [r[:n] for r in out]
+                    except ValueError as e:  # e.g. ann='ivf' backend
+                        self._send(400, {"error": str(e)})
+                        return
+                    except Exception as e:
+                        self._send(502, {"error": str(e)})
+                        return
+                    if "queries" in payload:
+                        self._send(200, {"queries": payload["queries"], "results": out})
+                    else:
+                        self._send(200, {"query": payload["query"], "results": out[0]})
+                    return
+                if cands is not None:
+                    if candidates_batch_fn is None:
+                        self._send(501, {"error": "candidate scoring not enabled"})
+                        return
+                    if "query" in payload and cands and isinstance(cands[0], str):
+                        cands = [cands]  # single-query form: one flat list
+                    if len(cands) != len(pairs) or not all(
+                        isinstance(c, list) and all(isinstance(u, str) for u in c)
+                        for c in cands
+                    ):
+                        self._send(400, {"error": "candidates must be one uuid list per query"})
+                        return
+                    try:
+                        out = candidates_batch_fn(
+                            [q for q, _ in pairs], cands, [a for _, a in pairs]
+                        )
+                        out = [r[:n] for r in out]
+                    except ValueError as e:
+                        self._send(400, {"error": str(e)})
+                        return
+                    except Exception as e:
+                        self._send(502, {"error": str(e)})
+                        return
+                    if "queries" in payload:
+                        self._send(200, {"queries": payload["queries"], "results": out})
+                    else:
+                        self._send(200, {"query": payload["query"], "results": out[0]})
                     return
                 try:
                     futs = [submit_query(q, a) for q, a in pairs]

@@ -308,3 +308,168 @@ def test_candidates_batch_validates_lengths(world):
     r = CLIPRetrieval(model, params, tok, store, top_k=5)
     with pytest.raises(ValueError):
         r.retrieval_candidates_batch(["a", "b"], [["uuid-000001"]])
+
+
+# ---------------------------------------------------------------------------
+# RetrievalEngine + HTTP daemon
+# ---------------------------------------------------------------------------
+
+
+def _mk_engine(world, kg_uuid, top_k=40):
+    import json as _json
+
+    from knowledge_enhanced_multimodal_retrieval_tpu.knowledge import (
+        FakeKGSparqlClient,
+        FakeLLMClient,
+        Text2SparqlRetrieval,
+    )
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval.engine import (
+        RetrievalEngine,
+    )
+
+    model, params, tok, store, rt = world
+    clip_r = CLIPRetrieval(model, params, tok, store, top_k=top_k)
+    llm_json = {
+        "distinct": True,
+        "variables": [{"termType": "Variable", "value": "DigitalArtefact"}],
+        "branches": [{"line": {"s": "DigitalArtefact", "p": "http://crm/P1", "o": "X_1",
+                               "sType": ["http://kg/DigitalArtefact"]}}],
+    }
+    llm = FakeLLMClient({}, default=_json.dumps(llm_json))
+    kg = FakeKGSparqlClient(entities={}, artefacts=[f"http://kg/artefact/{kg_uuid}"])
+    return RetrievalEngine(clip_r, Text2SparqlRetrieval(llm, kg))
+
+
+def test_engine_filtered_applies_bonus_within_allowed(world):
+    """Hard filter restricts the pool; the SPARQL bonus reorders within it
+    with the same alpha*clip + beta arithmetic as retrieve_text."""
+    engine = _mk_engine(world, "uuid-000025")
+    full = engine.retrieve_text_noknowledge("hello cat", threshold=-10)
+    allow = [x["uuid"] for x in full[:10]] + ["uuid-000025"]
+    out = engine.retrieve_text_filtered("hello cat", allow_uuids=allow, threshold=-10)
+    assert set(x["uuid"] for x in out) <= set(allow)
+    base = {x["uuid"]: x["score"] for x in full}
+    got = {x["uuid"]: x["score"] for x in out}
+    assert got["uuid-000025"] == pytest.approx(round(0.8 * base["uuid-000025"] + 0.2, 4), abs=2e-4)
+    other = next(u for u in got if u != "uuid-000025")
+    assert got[other] == pytest.approx(round(0.8 * base[other], 4), abs=2e-4)
+
+
+def test_engine_filtered_without_t2s(world):
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval.engine import (
+        RetrievalEngine,
+    )
+
+    model, params, tok, store, rt = world
+    engine = RetrievalEngine(
+        CLIPRetrieval(model, params, tok, store, top_k=10), t2s_retriever=None
+    )
+    out = engine.retrieve_text_filtered(
+        "hello cat", deny_uuids=["uuid-000000"], threshold=-10
+    )
+    assert out and "uuid-000000" not in {x["uuid"] for x in out}
+
+
+def test_engine_constrained_scores_only_kg_hits(world):
+    """Constrained mode: the KG hit is the ONLY result, scored
+    alpha*clip + beta (every candidate is a SPARQL hit by construction)."""
+    engine = _mk_engine(world, "uuid-000025")
+    base = {x["uuid"]: x["score"] for x in engine.retrieve_text_noknowledge("hello cat", threshold=-10)}
+    out = engine.retrieve_text_constrained("hello cat", threshold=-10)
+    assert [x["uuid"] for x in out] == ["uuid-000025"]
+    assert out[0]["score"] == pytest.approx(round(0.8 * base["uuid-000025"] + 0.2, 4), abs=2e-4)
+
+
+def test_engine_constrained_fallback_on_empty_kg(world):
+    """KG returns nothing: fallback=True degrades to plain CLIP ranking
+    (alpha-scaled), fallback=False returns []."""
+    engine = _mk_engine(world, "uuid-000025")
+    engine.t2s_retriever = type("T", (), {"retrieval": staticmethod(lambda q: [])})()
+    out = engine.retrieve_text_constrained("hello cat", threshold=-10)
+    plain = engine.retrieve_text_noknowledge("hello cat", threshold=-10)
+    assert [x["uuid"] for x in out[:5]] == [x["uuid"] for x in plain[:5]]
+    assert engine.retrieve_text_constrained("hello cat", fallback=False, threshold=-10) == []
+
+
+def test_engine_constrained_requires_t2s(world):
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval.engine import (
+        RetrievalEngine,
+    )
+
+    model, params, tok, store, rt = world
+    engine = RetrievalEngine(
+        CLIPRetrieval(model, params, tok, store, top_k=5), t2s_retriever=None
+    )
+    with pytest.raises(ValueError):
+        engine.retrieve_text_constrained("hello")
+
+
+def test_http_filtered_and_candidates_routes():
+    """POST /search with allow/deny/candidates routes to the hooks; missing
+    hooks -> 501; malformed filter payloads -> 400."""
+    import json as _json
+    import urllib.error
+    from urllib.request import Request, urlopen
+
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval import (
+        RetrievalHTTPServer,
+    )
+
+    calls = {}
+
+    def batch_fn(queries):
+        return [[{"uuid": f"hit-{q}", "score": 1.0}] for q in queries]
+
+    def filtered_fn(queries, alphas, allow, deny):
+        calls["filtered"] = (list(queries), list(alphas), allow, deny)
+        return [[{"uuid": "filtered", "score": 0.5}] for _ in queries]
+
+    def candidates_fn(queries, cands, alphas):
+        calls["cands"] = (list(queries), [list(c) for c in cands], list(alphas))
+        return [[{"uuid": c[0], "score": 0.4}] if c else [] for c in cands]
+
+    def post(base, payload, path="/search"):
+        req = Request(
+            base + path, data=_json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        return _json.load(urlopen(req, timeout=10))
+
+    with RetrievalHTTPServer(
+        batch_fn, port=0, max_wait_ms=1.0,
+        filtered_batch_fn=filtered_fn, candidates_batch_fn=candidates_fn,
+    ) as srv:
+        base = "http://%s:%d" % srv.address
+        out = post(base, {"query": "vase", "allow_uuids": ["u1", "u2"], "alpha": 0.7})
+        assert out["results"][0]["uuid"] == "filtered"
+        assert calls["filtered"] == (["vase"], [0.7], ["u1", "u2"], None)
+
+        out = post(base, {"queries": ["a", "b"], "deny_uuids": ["u3"]})
+        assert len(out["results"]) == 2
+        assert calls["filtered"][3] is None or calls["filtered"][2] is None
+
+        out = post(base, {"query": "vase", "candidates": ["c1", "c2"]})
+        assert out["results"][0]["uuid"] == "c1"
+        assert calls["cands"][1] == [["c1", "c2"]]
+
+        out = post(base, {"queries": ["a", "b"], "candidates": [["c1"], ["c2"]]})
+        assert [r[0]["uuid"] for r in out["results"]] == ["c1", "c2"]
+
+        for bad in (
+            {"query": "v", "allow_uuids": ["u"], "candidates": [["c"]]},
+            {"query": "v", "allow_uuids": "not-a-list"},
+            {"queries": ["a", "b"], "candidates": [["c1"]]},  # length mismatch
+        ):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                post(base, bad)
+            assert ei.value.code == 400
+
+    with RetrievalHTTPServer(batch_fn, port=0, max_wait_ms=1.0) as srv:
+        base = "http://%s:%d" % srv.address
+        for payload in (
+            {"query": "v", "allow_uuids": ["u"]},
+            {"query": "v", "candidates": ["c"]},
+        ):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                post(base, payload)
+            assert ei.value.code == 501
