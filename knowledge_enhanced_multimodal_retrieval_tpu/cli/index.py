@@ -31,6 +31,12 @@ def main(argv=None) -> str:
     args = list(sys.argv[1:] if argv is None else argv)
     store_path = pop_flag(args, "--store")
     out = pop_flag(args, "--out")
+    # --calibrate=<target recall>: after building, sweep nprobe on a sample
+    # of the store's own text rows and report the smallest width that meets
+    # the target (pass it to serving as --eval.ann_nprobe)
+    calibrate = pop_flag(args, "--calibrate")
+    calibrate_k = int(pop_flag(args, "--calibrate-k", "10"))
+    calibrate_sample = int(pop_flag(args, "--calibrate-sample", "256"))
     if not store_path or not out:
         raise ValueError("--store and --out are required")
     cfg = config_from_argv(args)
@@ -53,6 +59,23 @@ def main(argv=None) -> str:
         "saved index to %s (nlist=%d cap=%d spill=%.3f)",
         out, index.nlist, index.cap, index.spill_fraction,
     )
+    if calibrate is not None:
+        from ..retrieval.ann import calibrate_nprobe
+
+        rng = np.random.default_rng(0)
+        rows = rng.choice(len(store), size=min(calibrate_sample, len(store)), replace=False)
+        result = calibrate_nprobe(
+            index, np.asarray(store.text[rows], np.float32),
+            store.image, store.text,
+            k=calibrate_k, target_recall=float(calibrate),
+        )
+        for r in result["report"]:
+            logger.info("  nprobe=%-4d recall@%d=%.4f", r["nprobe"], calibrate_k, r["recall"])
+        logger.info(
+            "recommended probe width: serve with --eval.ann_nprobe=%d "
+            "(recall@%d %.4f >= target %s)",
+            result["nprobe"], calibrate_k, result["achieved"], calibrate,
+        )
     return out
 
 

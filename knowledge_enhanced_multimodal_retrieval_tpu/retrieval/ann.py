@@ -541,6 +541,88 @@ def load_ivf_index(
         )
 
 
+def calibrate_nprobe(
+    index: IVFIndex,
+    queries,
+    image,
+    text,
+    *,
+    k: int = 10,
+    alpha: float = 0.5,
+    target_recall: float = 0.95,
+    search_fn=None,
+) -> dict:
+    """Auto-tune the probe width: the smallest ``nprobe`` whose recall@k
+    against the exact f32 ranking meets ``target_recall``.
+
+    The reference exposes no ANN at all (every query is a full scan); FAISS
+    users hand-tune nprobe per dataset. This sweeps doubling probe widths
+    (1, 2, 4, ... nlist) on a calibration query sample, measuring recall@k
+    against the exact blended ranking computed on the host f32 towers, and
+    stops at the first width that meets the target (recall is monotone in
+    nprobe up to tie-breaking noise). Returns
+    ``{"nprobe", "achieved", "report": [{"nprobe", "recall"}, ...]}`` —
+    ``nprobe`` falls back to ``nlist`` (exact probe) when even a full sweep
+    misses the target, so the result is always servable.
+
+    ``queries`` [Q, D] L2-normalized query embeddings; ``image``/``text``
+    [N, D] host f32 rows (the ground truth). ``search_fn(q, k, nprobe)``
+    overrides the probe implementation (e.g. a retriever's compiled
+    program); the default jits :func:`ivf_search` with the index arrays
+    passed as arguments (never jit constants — relay rule).
+    """
+    import functools
+
+    q = np.asarray(queries, np.float32)
+    image = np.asarray(image, np.float32)
+    text = np.asarray(text, np.float32)
+    n = image.shape[0]
+    k = min(k, n)
+    s = alpha * q @ image.T + (1.0 - alpha) * q @ text.T
+    exact = np.argpartition(-s, kth=k - 1, axis=1)[:, :k]  # order-free: recall is a set metric
+
+    if search_fn is None:
+
+        @functools.partial(jax.jit, static_argnames=("k", "nprobe"))
+        def _run(qq, ci, ct, pi, pt, pr, si, st, *, k, nprobe):
+            idx = IVFIndex(ci, ct, pi, pt, pr, 0.0, si, st)
+            return ivf_search(qq, idx, k=k, nprobe=nprobe, alpha=alpha)
+
+        def search_fn(qq, kk, nprobe):
+            return _run(
+                jnp.asarray(qq), index.centroids_img, index.centroids_txt,
+                index.packed_img, index.packed_txt, index.packed_rows,
+                index.packed_img_scale, index.packed_txt_scale,
+                k=kk, nprobe=nprobe,
+            )
+
+    sweep = []
+    p = 1
+    while True:
+        sweep.append(min(p, index.nlist))
+        if sweep[-1] >= index.nlist:
+            break
+        p *= 2
+
+    exact_sets = [set(row.tolist()) for row in exact]
+    report = []
+    chosen = None
+    for nprobe in sweep:
+        _, ids = search_fn(q, k, nprobe)
+        ids = np.asarray(ids)
+        hits = sum(
+            len(exact_sets[i] & set(r[r >= 0].tolist())) for i, r in enumerate(ids)
+        )
+        recall = hits / (len(exact_sets) * k) if exact_sets else 1.0
+        report.append({"nprobe": int(nprobe), "recall": float(recall)})
+        if recall >= target_recall:
+            chosen = int(nprobe)
+            break
+    if chosen is None:
+        chosen = index.nlist  # exact probe: always meets any target
+    return {"nprobe": chosen, "achieved": report[-1]["recall"], "report": report}
+
+
 def probed_fraction(index: IVFIndex, nprobe: int, n_rows: Optional[int] = None) -> float:
     """Fraction of the (padded) corpus one query reads — the ANN speedup
     lever: HBM traffic per query scales with this instead of 1.0."""

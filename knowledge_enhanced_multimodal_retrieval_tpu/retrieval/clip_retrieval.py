@@ -614,6 +614,75 @@ class CLIPRetrieval:
                 count += 1
         return count
 
+    # -- IVF auto-calibration (TPU-native extension) -----------------------------
+
+    def calibrate_nprobe(
+        self,
+        queries: Optional[Sequence[str]] = None,
+        q_emb=None,
+        *,
+        target_recall: float = 0.95,
+        k: Optional[int] = None,
+        alpha: float = 0.5,
+        sample: int = 256,
+        seed: int = 0,
+        apply: bool = True,
+    ) -> dict:
+        """Auto-tune the IVF probe width to a recall target (ann mode only).
+
+        Sweeps doubling nprobe values, measuring recall@k on a calibration
+        query set against the exact f32 ranking (host towers are the ground
+        truth). Queries come from, in priority order: ``q_emb`` ([Q, D]
+        embeddings), ``queries`` (encoded on device), or ``sample`` corpus
+        text rows (the store's own distribution — the right default when no
+        query log exists yet). ``apply=True`` swaps the chosen width into
+        the live corpus state atomically (searches at a new nprobe compile
+        their program on first use). Returns the
+        :func:`retrieval.ann.calibrate_nprobe` report plus the applied width.
+        """
+        if self.ann != "ivf":
+            raise ValueError("calibrate_nprobe needs ann='ivf'")
+        from .ann import calibrate_nprobe as _calibrate
+
+        c = self._corpus
+        if q_emb is None:
+            if queries is not None:
+                q_emb = np.asarray(self.encode_queries(queries), np.float32)
+            else:
+                rng = np.random.default_rng(seed)
+                rows = rng.choice(c.n_real, size=min(sample, c.n_real), replace=False)
+                q_emb = np.asarray(c.store.text[rows], np.float32)
+        k = min(k or c.top_k, c.n_real)
+
+        def search_fn(q, kk, nprobe):
+            # the retriever's own compiled program (sharded-aware); one
+            # compile per distinct nprobe, cached for later serving
+            return self._search_program_emb(
+                jnp.asarray(q), c.ivf_arrays, c.corpus_txt,
+                c.corpus_img_scale, c.corpus_txt_scale,
+                alpha_column(alpha, q.shape[0]), k=kk, nprobe=nprobe,
+            )
+
+        index_view = self._index_view(c)
+        result = _calibrate(
+            index_view, q_emb, c.store.image[: c.n_real], c.store.text[: c.n_real],
+            k=k, alpha=alpha, target_recall=target_recall, search_fn=search_fn,
+        )
+        if apply and result["nprobe"] != c.nprobe:
+            import dataclasses as _dc
+
+            self.ann_nprobe = result["nprobe"]  # future rebuilds inherit it
+            # atomic swap; a concurrent _install_corpus may race, in which
+            # case the new corpus was calibrated-for anyway (same policy:
+            # clamp to its nlist)
+            self._corpus = _dc.replace(c, nprobe=min(result["nprobe"], index_view.nlist))
+        return result
+
+    def _index_view(self, c: _CorpusState) -> IVFIndex:
+        """The corpus state's IVF arrays as an :class:`IVFIndex` (ann mode)."""
+        ci, ct, pi, pt, pr, si, st = c.ivf_arrays
+        return IVFIndex(ci, ct, pi, pt, pr, c.ann_spill_fraction, si, st)
+
     # -- host-side exact rerank (TPU-native extension) ---------------------------
 
     def _rerank_host(
