@@ -128,10 +128,11 @@ def make_train_step_lora(
     non-differentiated argument. Loss semantics (per-shard negatives or
     global via all_gather) match the full fine-tune step exactly."""
     from ..models.clip import CLIP, l2_normalize
-    from .losses import joint_contrastive_loss
+    from .losses import joint_loss_for_config
 
     axis = rt.data_axis
     loss_axis = axis if cfg.global_negatives else None
+    joint_loss = joint_loss_for_config(cfg)
 
     def local_step(base, adapters, opt_state, step, images, query_ids, target_ids):
         def loss_fn(ad):
@@ -139,7 +140,7 @@ def make_train_step_lora(
             img_e = l2_normalize(model.apply({"params": p}, images, method=CLIP.encode_image))
             q_e = l2_normalize(model.apply({"params": p}, query_ids, method=CLIP.encode_text))
             t_e = l2_normalize(model.apply({"params": p}, target_ids, method=CLIP.encode_text))
-            return joint_contrastive_loss(
+            return joint_loss(
                 img_e, q_e, t_e,
                 temperature=cfg.temperature,
                 t2i_weight=cfg.t2i_weight,

@@ -65,6 +65,89 @@ def info_nce(
     return loss, {"loss": loss, "loss_a2b": loss_a2b, "loss_b2a": loss_b2a}
 
 
+def joint_loss_for_config(cfg) -> "Callable":
+    """Resolve ``TrainConfig.loss`` into a joint-loss callable with the
+    :func:`joint_contrastive_loss` signature (``img, q, t`` + keyword
+    ``temperature/t2i_weight/t2t_weight/axis_name``). One seam shared by
+    the DP, tensor-parallel, and LoRA train steps."""
+    import functools
+
+    if cfg.loss == "infonce":
+        return joint_contrastive_loss
+    if cfg.loss == "siglip":
+        return functools.partial(joint_sigmoid_loss, bias=cfg.sigmoid_bias)
+    raise ValueError(f"train.loss must be 'infonce' or 'siglip', got {cfg.loss!r}")
+
+
+def sigmoid_contrastive(
+    features_a: jax.Array,
+    features_b: jax.Array,
+    temperature: float = 0.1,
+    bias: float = -10.0,
+    axis_name: Optional[str] = None,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """SigLIP-style pairwise sigmoid loss (Zhai et al. 2023) — the
+    TPU-native alternative to :func:`info_nce` (the reference trains with
+    softmax InfoNCE only, ``src/clip/train/losses.py:11-63``).
+
+    Every (a_i, b_j) pair is an independent binary problem:
+    ``-log sigmoid(z_ij * (sim_ij / temperature + bias))`` with ``z`` = +1
+    on the diagonal, −1 off it. No softmax normalization across the batch
+    means (1) the loss decomposes per pair, so global-batch negatives need
+    only the b-side all_gather — each shard scores its local rows against
+    the global columns and the cross-device ``pmean`` completes the global
+    mean exactly; and (2) batch size changes shift no implicit task
+    difficulty normalizer. ``bias`` offsets the heavy negative-pair
+    imbalance (SigLIP init −10). Default ``temperature=0.1`` matches
+    SigLIP's t=10 scale (this function divides, like :func:`info_nce`).
+
+    Returns ``(loss, metrics)`` with the per-local-example mean of the
+    summed pair losses.
+    """
+    a = features_a.astype(jnp.float32)
+    b = features_b.astype(jnp.float32)
+    n_local = a.shape[0]
+    if axis_name is None:
+        b_all = b
+        offset = 0
+    else:
+        b_all = jax.lax.all_gather(b, axis_name, tiled=True)  # [B_global, D]
+        offset = jax.lax.axis_index(axis_name) * n_local
+    logits = (a @ b_all.T) / temperature + bias  # [B_local, B_global]
+    rows = jnp.arange(n_local)
+    z = -jnp.ones_like(logits)
+    z = z.at[rows, offset + rows].set(1.0)
+    loss = -jnp.mean(jnp.sum(jax.nn.log_sigmoid(z * logits), axis=-1))
+    return loss, {"loss": loss}
+
+
+def joint_sigmoid_loss(
+    image_features: jax.Array,
+    query_features: jax.Array,
+    target_features: jax.Array,
+    temperature: float = 0.1,
+    t2i_weight: float = 0.5,
+    t2t_weight: float = 0.5,
+    bias: float = -10.0,
+    axis_name: Optional[str] = None,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """:func:`joint_contrastive_loss` with :func:`sigmoid_contrastive`
+    parts — same pairing (T2I: target↔image, T2T: query↔target), same
+    normalized weights, sigmoid pair losses instead of softmax InfoNCE."""
+    wsum = t2i_weight + t2t_weight
+    w_t2i, w_t2t = t2i_weight / wsum, t2t_weight / wsum
+    loss_t2i, _ = sigmoid_contrastive(target_features, image_features, temperature, bias, axis_name)
+    loss_t2t, _ = sigmoid_contrastive(query_features, target_features, temperature, bias, axis_name)
+    total = w_t2i * loss_t2i + w_t2t * loss_t2t
+    return total, {
+        "loss": total,
+        "loss_t2i": loss_t2i,
+        "loss_t2t": loss_t2t,
+        "t2i_weight": jnp.float32(w_t2i),
+        "t2t_weight": jnp.float32(w_t2t),
+    }
+
+
 def joint_contrastive_loss(
     image_features: jax.Array,
     query_features: jax.Array,

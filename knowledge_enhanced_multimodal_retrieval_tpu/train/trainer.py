@@ -49,7 +49,7 @@ from ..parallel.sharding import host_local_batch_to_global, replicated
 from ..utils.config import TrainConfig
 from ..utils.logging_utils import MetricsWriter, is_coordinator, setup_logger
 from . import checkpoint as ckpt
-from .losses import joint_contrastive_loss
+from .losses import joint_loss_for_config
 from .schedule import cosine_annealing_lr
 
 # The reference validates on T2I + T2T only and early-stops on their mean
@@ -218,13 +218,14 @@ def make_train_step(
     """
     axis = rt.data_axis
     loss_axis = axis if cfg.global_negatives else None
+    joint_loss = joint_loss_for_config(cfg)
 
     def local_step(params, opt_state, step, images, query_ids, target_ids):
         def loss_fn(p):
             img_e = l2_normalize(model.apply({"params": p}, images, method=CLIP.encode_image))
             q_e = l2_normalize(model.apply({"params": p}, query_ids, method=CLIP.encode_text))
             t_e = l2_normalize(model.apply({"params": p}, target_ids, method=CLIP.encode_text))
-            return joint_contrastive_loss(
+            return joint_loss(
                 img_e,
                 q_e,
                 t_e,
@@ -337,11 +338,13 @@ def make_train_step_gspmd(
     DP step with ``global_negatives=True`` (pinned in ``tests/test_tp.py``).
     """
 
+    joint_loss = joint_loss_for_config(cfg)
+
     def loss_fn(p, images, query_ids, target_ids):
         img_e = l2_normalize(model.apply({"params": p}, images, method=CLIP.encode_image))
         q_e = l2_normalize(model.apply({"params": p}, query_ids, method=CLIP.encode_text))
         t_e = l2_normalize(model.apply({"params": p}, target_ids, method=CLIP.encode_text))
-        return joint_contrastive_loss(
+        return joint_loss(
             img_e, q_e, t_e,
             temperature=cfg.temperature,
             t2i_weight=cfg.t2i_weight,

@@ -263,6 +263,11 @@ class TrainConfig:
     temperature: float = 0.07
     t2i_weight: float = 0.7
     t2t_weight: float = 0.3
+    # contrastive objective: "infonce" (reference parity) or "siglip"
+    # (pairwise sigmoid, Zhai et al. 2023 — no softmax normalization, so
+    # global negatives cost one all_gather; pair with temperature~0.1)
+    loss: str = "infonce"
+    sigmoid_bias: float = -10.0  # siglip negative-imbalance offset
     grad_accum_steps: int = 1
     grad_clip_norm: float = 1.0
     early_stop_patience: int = 5
