@@ -191,6 +191,7 @@ class FusionModel:
         self.fusion_type = fusion_type
         self.head = build_head(fusion_type, embed_dim)
         self.embed_dim = embed_dim
+        self._cand_fn = None  # jitted per-query candidate rescorer (lazy)
 
     def init(self, rng: jax.Array, n: int = 2, m: int = 3):
         q = jnp.zeros((n, self.embed_dim))
@@ -216,6 +217,29 @@ class FusionModel:
         return self.head.apply(
             {"params": params}, query_embed, image_embed, target_embed, deterministic, rngs=rngs
         )
+
+    def candidate_scores(
+        self,
+        params,
+        query_embed: jax.Array,
+        image_embed: jax.Array,
+        target_embed: jax.Array,
+    ) -> jax.Array:
+        """Per-query candidate rescoring: ``[Q, D] x [Q, R, D]² -> [Q, R]``.
+
+        The two-tier learned-fusion serving rescorer
+        (:meth:`CLIPRetrieval.retrieval_fused_batch`): each query is scored
+        against only ITS fetched candidates — a vmap of :meth:`scores` with
+        a one-row query block, so the head semantics match training/eval
+        exactly. Jitted once per (Q, R) shape and cached on the instance.
+        """
+        if self._cand_fn is None:
+
+            def one(p, q1, i1, t1):
+                return self.scores(p, q1[None, :], i1, t1)[0]
+
+            self._cand_fn = jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0)))
+        return self._cand_fn(params, query_embed, image_embed, target_embed)
 
     def blockwise_scores(
         self,

@@ -1093,6 +1093,65 @@ class CLIPRetrieval:
             np.asarray(vals, np.float32), idx, _state=c, top_k=k
         )
 
+    # -- learned-fusion serving (TPU-native extension) ----------------------------
+    # The reference trains 6 fusion heads but never serves them (its serving
+    # path is the fixed linear blend, ``src/retrieval.py:79``); this closes
+    # the loop: stage-1 blended top-(factor*k) candidate fetch on device,
+    # stage-2 rescoring with a TRAINED head over the candidates' exact f32
+    # store rows. Works in every corpus mode (packed, sharded, ivf) — the
+    # head sees exact embeddings regardless of how stage-1 packed them.
+
+    def retrieval_fused_batch(
+        self,
+        queries: Sequence[str],
+        fusion,
+        fusion_params,
+        alpha: float = 0.5,
+        top_k: Optional[int] = None,
+        factor: int = 4,
+    ) -> List[List[Dict]]:
+        """Two-tier learned-fusion search -> ``[{"uuid", "score"}]`` lists.
+
+        ``fusion``: a :class:`models.fusion_heads.FusionModel`;
+        ``fusion_params``: trained head params
+        (:func:`train.fusion_trainer.train_fusion_head` output). ``alpha``
+        steers only the stage-1 candidate fetch; the head defines the final
+        scores. ``factor * top_k`` candidates are fetched per query — with
+        ``factor*k >= corpus``, the result is the head's exact full-corpus
+        ranking.
+        """
+        c = self._corpus
+        k = min(top_k or c.top_k, c.n_real)
+        fetch = min(factor * k, c.n_real)
+        q = self.encode_queries(queries)
+        out = self._search_state_emb(c, q, alpha, fetch)
+        vals, idx = (out[0], out[1]) if self.rerank else out
+        idx = np.asarray(idx)
+        q_np = np.asarray(q, np.float32)
+        safe = np.maximum(idx, 0)
+        img = np.asarray(c.store.image[safe], np.float32)  # [Q, R, D] exact rows
+        tgt = np.asarray(c.store.text[safe], np.float32)
+        scores = np.asarray(
+            fusion.candidate_scores(fusion_params, q_np, img, tgt), np.float32
+        )
+        # sentinels (-1) and pad rows (>= n_real, zero vectors) never rank
+        scores = np.where((idx >= 0) & (idx < c.n_real), scores, -np.inf)
+        order = np.argsort(-scores, axis=1, kind="stable")
+        return self.results_from_topk(
+            np.take_along_axis(scores, order, 1),
+            np.take_along_axis(idx, order, 1),
+            _state=c, top_k=k,
+        )
+
+    def retrieval_fused(
+        self, query: str, fusion, fusion_params, alpha: float = 0.5,
+        top_k: Optional[int] = None, factor: int = 4,
+    ) -> List[Dict]:
+        """Single-query learned-fusion search."""
+        return self.retrieval_fused_batch(
+            [query], fusion, fusion_params, alpha=alpha, top_k=top_k, factor=factor
+        )[0]
+
     # -- reference-parity API --------------------------------------------------
 
     def results_from_topk(

@@ -1,0 +1,140 @@
+"""Learned-fusion serving (CLIPRetrieval.retrieval_fused_batch +
+FusionModel.candidate_scores).
+
+TPU-native extension closing a reference gap: the reference trains 6 fusion
+heads (``src/clip/model/fusion_model.py``) but never serves them — its
+serving path is the fixed linear blend. Here stage-1 fetches blended top-
+(factor·k) candidates on device and stage-2 rescoring runs a TRAINED head
+over the candidates' exact f32 store rows, in every corpus mode.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from knowledge_enhanced_multimodal_retrieval_tpu.models.fusion_heads import FusionModel
+from knowledge_enhanced_multimodal_retrieval_tpu.retrieval.clip_retrieval import (
+    CLIPRetrieval,
+)
+
+
+def _normed(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+@pytest.mark.parametrize("fusion_type", ["linear", "simple_gated", "bilinear"])
+def test_candidate_scores_match_full_matrix(rng, fusion_type):
+    """candidate_scores == the [N, M] scores matrix gathered at the
+    candidate columns (same head semantics, per-query candidate sets)."""
+    d = 16
+    fm = FusionModel(fusion_type, embed_dim=d)
+    params = fm.init(jax.random.PRNGKey(0))
+    q = jnp.asarray(_normed(rng, 4, d))
+    img = jnp.asarray(_normed(rng, 12, d))
+    tgt = jnp.asarray(_normed(rng, 12, d))
+    full = np.asarray(fm.scores(params, q, img, tgt))  # [4, 12]
+    cand = np.stack([rng.permutation(12)[:5] for _ in range(4)])  # [4, 5]
+    got = np.asarray(
+        fm.candidate_scores(
+            params, q, jnp.asarray(np.asarray(img)[cand]), jnp.asarray(np.asarray(tgt)[cand])
+        )
+    )
+    want = np.take_along_axis(full, cand, axis=1)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def world(devices8):
+    from knowledge_enhanced_multimodal_retrieval_tpu.data.datasets import (
+        DataPipeline,
+        make_synthetic_source,
+    )
+    from knowledge_enhanced_multimodal_retrieval_tpu.data.tokenizer import CLIPTokenizer
+    from knowledge_enhanced_multimodal_retrieval_tpu.models import clip as M
+    from knowledge_enhanced_multimodal_retrieval_tpu.parallel import MeshRuntime
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval.embedding_store import (
+        build_embedding_store,
+    )
+    from tests.test_retrieval_engine import MERGES
+
+    tok = CLIPTokenizer(MERGES)
+    arch = M.CLIPArch(16, 32, 1, 32, 16, 16, tok.vocab_size, 32, 2, 1, vision_heads=2)
+    model = M.CLIP(arch, dtype=jnp.float32)
+    params = M.init_params(model, jax.random.PRNGKey(0))
+    src = make_synthetic_source(48, image_size=32)
+    pipe = DataPipeline(src, tok, image_size=32, context_length=16, num_workers=2)
+    rt = MeshRuntime.create()
+    store = build_embedding_store(model, params, pipe, rt, batch_size=16)
+    return model, params, tok, store, rt
+
+
+def _head_oracle(r, fm, fparams, queries, store, n):
+    """Full-corpus head ranking computed densely (the serving ground truth)."""
+    q = np.asarray(r.encode_queries(queries), np.float32)
+    full = np.asarray(
+        fm.scores(fparams, jnp.asarray(q), jnp.asarray(store.image[:n]), jnp.asarray(store.text[:n]))
+    )
+    return np.argsort(-full, axis=1, kind="stable")
+
+
+@pytest.mark.parametrize(
+    "kwargs", [dict(), dict(quantize_corpus=True), dict(ann="ivf", ann_nlist=4)],
+    ids=["exact", "int8", "ivf"],
+)
+def test_fused_serving_full_fetch_equals_head_ranking(world, kwargs):
+    """factor*k >= corpus: stage-2 IS the head's exact full ranking,
+    regardless of how stage-1 packed/probed the corpus."""
+    model, params, tok, store, rt = world
+    fm = FusionModel("simple_gated", embed_dim=16)
+    fparams = fm.init(jax.random.PRNGKey(1))
+    r = CLIPRetrieval(model, params, tok, store, top_k=6, **kwargs)
+    queries = ["hello cat", "world"]
+    if kwargs.get("ann") == "ivf":
+        # full fetch needs every row probed
+        r.calibrate_nprobe(target_recall=1.0, k=10, sample=16)
+    got = r.retrieval_fused_batch(queries, fm, fparams, top_k=6, factor=8)
+    oracle = _head_oracle(r, fm, fparams, queries, store, 48)
+    uuids = store.uuids
+    for qi, res in enumerate(got):
+        want = [uuids[i] for i in oracle[qi][:6]]
+        assert [x["uuid"] for x in res] == want
+
+
+def test_fused_serving_narrow_fetch_subset(world):
+    """Narrow fetch (factor 1): results come from the stage-1 candidate set,
+    reranked by the head."""
+    model, params, tok, store, rt = world
+    fm = FusionModel("linear", embed_dim=16)
+    fparams = fm.init(jax.random.PRNGKey(2))
+    r = CLIPRetrieval(model, params, tok, store, top_k=5)
+    stage1 = {x["uuid"] for x in r.retrieval("hello cat", top_k=5)}
+    fused = r.retrieval_fused("hello cat", fm, fparams, top_k=5, factor=1)
+    assert {x["uuid"] for x in fused} == stage1  # same set, head-reordered
+    scores = [x["score"] for x in fused]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_fused_serving_trained_head_end_to_end(world, devices8):
+    """Close the loop: train a head on frozen embeddings, then serve it."""
+    from knowledge_enhanced_multimodal_retrieval_tpu.eval.evaluator import EncodedDataset
+    from knowledge_enhanced_multimodal_retrieval_tpu.train.fusion_trainer import (
+        train_fusion_head,
+    )
+
+    model, params, tok, store, rt = world
+    rng = np.random.default_rng(0)
+    n = len(store)
+    enc = EncodedDataset(
+        image=np.asarray(store.image, np.float32),
+        query=_normed(rng, n, 16),
+        target=np.asarray(store.text, np.float32),
+        uuids=list(store.uuids),
+    )
+    fm = FusionModel("simple_gated_with_bias", embed_dim=16)
+    fparams, history = train_fusion_head(fm, enc, epochs=2, batch_size=16)
+    assert np.isfinite(history["loss"]).all()
+    r = CLIPRetrieval(model, params, tok, store, top_k=5)
+    out = r.retrieval_fused("hello cat", fm, fparams, top_k=5, factor=4)
+    assert len(out) == 5 and all(np.isfinite(x["score"]) for x in out)
