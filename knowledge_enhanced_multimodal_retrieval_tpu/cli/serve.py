@@ -83,7 +83,17 @@ def build_engine(cfg, store_path: str) -> RetrievalEngine:
                 raise_on_degrade=True,
             )
         )
-    return RetrievalEngine(clip_r, t2s, cfg.fusion)
+    engine = RetrievalEngine(clip_r, t2s, cfg.fusion)
+    if cfg.fusion.head_params:
+        # learned-fusion serving: a trained head artifact (cli.train_fusion)
+        # rescores stage-1 candidates; plain /search keeps the linear blend,
+        # fused retrieval is served where requested (CLI answers, HTTP
+        # {"fused": true})
+        from ..train.fusion_trainer import load_fusion_head
+
+        fm, fparams = load_fusion_head(cfg.fusion.head_params)
+        engine.set_fusion_head(fm, fparams, factor=cfg.fusion.factor)
+    return engine
 
 
 def main(argv=None) -> None:
@@ -161,6 +171,15 @@ def main(argv=None) -> None:
                 queries, candidates, alpha=_resolve_alphas(alphas)
             )
 
+        # learned-fusion rescoring ({"fused": true}) — only when a trained
+        # head artifact is configured (--fusion.head_params)
+        fused_batch_fn = None
+        if engine.fusion_head is not None:
+            def fused_batch_fn(queries, alphas):
+                return engine.retrieve_text_fused_batch(
+                    queries, alpha_clip=_resolve_alphas(alphas)
+                )
+
         server = RetrievalHTTPServer(
             batch_fn, host=http_host, port=http_port, max_pending=max_pending,
             result_cache_size=cache_results,
@@ -184,6 +203,7 @@ def main(argv=None) -> None:
             image_preprocess_fn=engine.clip_retriever.preprocess_images,
             filtered_batch_fn=filtered_batch_fn,
             candidates_batch_fn=candidates_batch_fn,
+            fused_batch_fn=fused_batch_fn,
         )
         logger.info(
             "serving HTTP on %s:%d (/search, /search_image, /documents, "
@@ -213,11 +233,20 @@ def main(argv=None) -> None:
         return
 
     def answer(q: str) -> None:
-        results = engine.retrieve_text(q) if engine.t2s_retriever else engine.retrieve_text_noknowledge(q)
+        # a configured fusion head (--fusion.head_params) takes over scoring;
+        # otherwise the reference's linear blend
+        if engine.fusion_head is not None:
+            results = engine.retrieve_text_fused(q)
+        elif engine.t2s_retriever:
+            results = engine.retrieve_text(q)
+        else:
+            results = engine.retrieve_text_noknowledge(q)
         print(json.dumps({"query": q, "results": results[:20]}, indent=2))
 
     def answer_batch(qs) -> None:
-        if engine.t2s_retriever:
+        if engine.fusion_head is not None:
+            batches = engine.retrieve_text_fused_batch(qs)
+        elif engine.t2s_retriever:
             batches = engine.retrieve_text_batch(qs)
         else:
             batches = engine.retrieve_text_noknowledge_batch(qs)

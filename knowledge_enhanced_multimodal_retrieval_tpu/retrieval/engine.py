@@ -26,6 +26,16 @@ class RetrievalEngine:
         self.clip_retriever = clip_retriever
         self.t2s_retriever = t2s_retriever
         self.fusion = fusion
+        self.fusion_head = None  # (FusionModel, params) via set_fusion_head
+        self._fusion_factor = 4
+
+    def set_fusion_head(self, fm, params, factor: int = 4) -> None:
+        """Attach a trained fusion head (``models.fusion_heads.FusionModel``
+        + params, e.g. from ``train.fusion_trainer.load_fusion_head``) so
+        :meth:`retrieve_text_fused` can serve it. ``factor`` sets the stage-1
+        candidate over-fetch (``factor * top_k`` rows rescored per query)."""
+        self.fusion_head = (fm, params)
+        self._fusion_factor = factor
 
     # -- fusion (src/retrieval.py:23-76) --------------------------------------
 
@@ -268,6 +278,54 @@ class RetrievalEngine:
                 )
             out.append(self._apply_threshold(fused, threshold))
         return out
+
+    # -- learned-fusion serving (TPU-native extension; the reference trains
+    # six fusion heads but its serving path is only the fixed linear blend,
+    # src/retrieval.py:79 — the trained heads are never reachable) ------------
+
+    def retrieve_text_fused(
+        self,
+        query: str,
+        alpha: Optional[float] = None,
+        beta: Optional[float] = None,
+        alpha_clip: Optional[float] = None,
+        threshold: Optional[float] = None,
+    ) -> List[Dict]:
+        """Retrieval scored by the attached TRAINED fusion head: stage-1
+        fetches blended top-(factor·k) candidates on device, stage-2 rescoring
+        runs the head over their exact f32 store rows, then the Text2SPARQL
+        membership bonus and threshold apply exactly as in
+        :meth:`retrieve_text` (``alpha * head_score + beta * hit``)."""
+        return self.retrieve_text_fused_batch(
+            [query], alpha, beta, alpha_clip, threshold
+        )[0]
+
+    def retrieve_text_fused_batch(
+        self,
+        queries: Sequence[str],
+        alpha: Optional[float] = None,
+        beta: Optional[float] = None,
+        alpha_clip: Optional[float] = None,
+        threshold: Optional[float] = None,
+        max_workers: int = 8,
+    ) -> List[List[Dict]]:
+        if self.fusion_head is None:
+            raise ValueError("no fusion head attached — call set_fusion_head first")
+        fm, fparams = self.fusion_head
+        alpha = self.fusion.alpha if alpha is None else alpha
+        beta = self.fusion.beta if beta is None else beta
+        alpha_clip = self.fusion.alpha_clip if alpha_clip is None else alpha_clip
+        threshold = self.fusion.threshold if threshold is None else threshold
+        clip_lists = self.clip_retriever.retrieval_fused_batch(
+            queries, fm, fparams, alpha=alpha_clip, factor=self._fusion_factor
+        )
+        t2s_lists = self._t2s_batch(queries, max_workers)
+        return [
+            self._apply_threshold(
+                self._fuse_clip_sparql_linear(c, t, alpha=alpha, beta=beta), threshold
+            )
+            for c, t in zip(clip_lists, t2s_lists)
+        ]
 
     # -- visual search (TPU-native extension; the reference has no image-
     # query path — its corpus towers only ever meet text queries) -------------

@@ -17,7 +17,9 @@ Endpoints:
   eligible documents can appear; the mask is a runtime operand of a
   dedicated compiled program) or ``"candidates"`` (per-query uuid lists,
   scored exactly on the host — the knowledge-constrained mode); filtered
-  requests bypass the shared micro-batch and the result cache
+  requests bypass the shared micro-batch and the result cache; optional
+  ``"fused": true`` (when a trained fusion head is wired) rescores stage-1
+  candidates with the learned head instead of the linear blend
 - ``POST /search_image`` (when an image search hook is wired) with
   ``{"image": "<base64 PNG/JPEG>", "n": 20}`` or ``{"images": [...]}`` ->
   visual search over the same corpus; image requests micro-batch through
@@ -143,6 +145,7 @@ class RetrievalHTTPServer:
         result_cache_size: int = 0,
         filtered_batch_fn: Optional[Callable] = None,
         candidates_batch_fn: Optional[Callable] = None,
+        fused_batch_fn: Optional[Callable] = None,
     ):
         # with an alphas hook, batch items are (query, alpha-or-None) pairs
         # and the hook resolves defaults — per-request blends ride the same
@@ -512,8 +515,30 @@ class RetrievalHTTPServer:
                 allow = payload.get("allow_uuids")
                 deny = payload.get("deny_uuids")
                 cands = payload.get("candidates")
+                fused = payload.get("fused", False)
                 if cands is not None and (allow is not None or deny is not None):
                     self._send(400, {"error": "candidates and allow/deny_uuids are exclusive"})
+                    return
+                if fused and (cands is not None or allow is not None or deny is not None):
+                    self._send(400, {"error": "fused is exclusive with filters/candidates"})
+                    return
+                if fused:
+                    # learned-head rescoring: a different scoring program from
+                    # the shared blend batch, so it bypasses the MicroBatcher
+                    # and the (query, alpha)-keyed result cache
+                    if fused_batch_fn is None:
+                        self._send(501, {"error": "fused search not enabled (no fusion head wired)"})
+                        return
+                    try:
+                        out = fused_batch_fn([q for q, _ in pairs], [a for _, a in pairs])
+                        out = [r[:n] for r in out]
+                    except Exception as e:
+                        self._send(502, {"error": str(e)})
+                        return
+                    if "queries" in payload:
+                        self._send(200, {"queries": payload["queries"], "results": out})
+                    else:
+                        self._send(200, {"query": payload["query"], "results": out[0]})
                     return
                 for name, v in (("allow_uuids", allow), ("deny_uuids", deny)):
                     if v is not None and (not isinstance(v, list) or not all(isinstance(u, str) for u in v)):

@@ -90,6 +90,47 @@ def train_fusion_head(
     return params, history
 
 
+def save_fusion_head(path: str, fm: FusionModel, params) -> None:
+    """Persist a trained head as one ``.npz`` artifact (atomic replace).
+
+    The artifact is self-describing (fusion type + embed dim ride along), so
+    :func:`load_fusion_head` needs no side-channel config — the serving CLI
+    takes just ``--fusion.head_params=<path>``. The reference has no head
+    persistence at all (its ``train_fusion.py`` is broken, SURVEY §2.14).
+    """
+    import io
+    import os
+
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(params, sep="/")
+    buf = io.BytesIO()
+    np.savez(
+        buf,
+        __fusion_type__=np.asarray(fm.fusion_type),
+        __embed_dim__=np.asarray(fm.embed_dim),
+        **{f"param:{k}": np.asarray(v) for k, v in flat.items()},
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(buf.getvalue())
+    os.replace(tmp, path)
+
+
+def load_fusion_head(path: str) -> Tuple[FusionModel, dict]:
+    """Load a :func:`save_fusion_head` artifact -> ``(FusionModel, params)``."""
+    from flax import traverse_util
+
+    with np.load(path) as z:
+        fm = FusionModel(str(z["__fusion_type__"]), int(z["__embed_dim__"]))
+        flat = {
+            k[len("param:"):]: jnp.asarray(z[k])
+            for k in z.files
+            if k.startswith("param:")
+        }
+    return fm, traverse_util.unflatten_dict(flat, sep="/")
+
+
 def evaluate_fusion_model(
     fm: FusionModel,
     params,

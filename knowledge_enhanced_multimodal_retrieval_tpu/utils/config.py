@@ -370,6 +370,12 @@ class FusionConfig:
     beta: float = 0.2  # SPARQL membership bonus
     alpha_clip: float = 0.5  # T2I/T2T blend inside CLIP retriever
     threshold: float = 0.0
+    # learned-fusion serving (TPU-native extension; the reference trains
+    # heads but never serves them): head type for cli.train_fusion, trained
+    # artifact path for serving, and the stage-1 candidate over-fetch factor
+    head: str = "simple_gated"
+    head_params: str = ""
+    factor: int = 4
 
 
 @dataclass(frozen=True)

@@ -116,6 +116,173 @@ def test_fused_serving_narrow_fetch_subset(world):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_save_load_fusion_head_roundtrip(tmp_path, rng):
+    from knowledge_enhanced_multimodal_retrieval_tpu.train.fusion_trainer import (
+        load_fusion_head,
+        save_fusion_head,
+    )
+
+    d = 16
+    fm = FusionModel("simple_gated_with_bias", embed_dim=d)
+    params = fm.init(jax.random.PRNGKey(3))
+    path = str(tmp_path / "head.npz")
+    save_fusion_head(path, fm, params)
+    fm2, params2 = load_fusion_head(path)
+    assert fm2.fusion_type == "simple_gated_with_bias" and fm2.embed_dim == d
+    q = jnp.asarray(_normed(rng, 3, d))
+    i = jnp.asarray(_normed(rng, 5, d))
+    t = jnp.asarray(_normed(rng, 5, d))
+    np.testing.assert_array_equal(
+        np.asarray(fm.scores(params, q, i, t)), np.asarray(fm2.scores(params2, q, i, t))
+    )
+
+
+class _FakeT2S:
+    def __init__(self, hits):
+        self.hits = hits
+
+    def retrieval(self, query):
+        return self.hits
+
+
+def test_engine_fused_applies_sparql_bonus(world):
+    """Engine-level fused retrieval: head scores get the same alpha/beta
+    SPARQL-membership fusion and threshold as retrieve_text."""
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval.engine import RetrievalEngine
+    from knowledge_enhanced_multimodal_retrieval_tpu.utils.config import FusionConfig
+
+    model, params, tok, store, rt = world
+    fm = FusionModel("simple_gated", embed_dim=16)
+    fparams = fm.init(jax.random.PRNGKey(4))
+    r = CLIPRetrieval(model, params, tok, store, top_k=6)
+    head_only = r.retrieval_fused_batch(["hello cat"], fm, fparams, alpha=0.5, factor=8)[0]
+    boosted_uuid = head_only[-1]["uuid"]  # bottom candidate gets the bonus
+
+    engine = RetrievalEngine(r, _FakeT2S([boosted_uuid]), FusionConfig())
+    with pytest.raises(ValueError):
+        engine.retrieve_text_fused("hello cat")
+    engine.set_fusion_head(fm, fparams, factor=8)
+    got = engine.retrieve_text_fused("hello cat")
+    want = sorted(
+        (
+            {"uuid": x["uuid"],
+             "score": round(0.8 * x["score"] + 0.2 * (x["uuid"] == boosted_uuid), 4)}
+            for x in head_only
+        ),
+        key=lambda x: x["score"], reverse=True,
+    )
+    want = [x for x in want if x["score"] >= 0.0]  # default threshold
+    assert got == want
+
+
+def test_cli_train_fusion_and_serve_head(tmp_path, devices8, capsys, monkeypatch):
+    """Full lifecycle: train a head on synthetic data, save the artifact,
+    serve it via --fusion.head_params (CLI answer path)."""
+    import json
+    import os
+
+    from knowledge_enhanced_multimodal_retrieval_tpu.cli import common as CC
+    from knowledge_enhanced_multimodal_retrieval_tpu.cli.precompute import main as precompute
+    from knowledge_enhanced_multimodal_retrieval_tpu.cli.serve import main as serve
+    from knowledge_enhanced_multimodal_retrieval_tpu.cli.train_fusion import main as train_fusion
+    from knowledge_enhanced_multimodal_retrieval_tpu.models import clip as M
+
+    monkeypatch.setitem(
+        M.ARCHS, "tiny", M.CLIPArch(16, 32, 1, 32, 16, 16, 600, 32, 2, 1, vision_heads=2)
+    )
+    head_path = os.path.join(tmp_path, "head.npz")
+    report = train_fusion([
+        "--out", head_path,
+        "--data.dataset=synthetic:24",
+        "--data.image_size=32",
+        "--data.context_length=16",
+        "--model.name=tiny",
+        "--eval.batch_size=8",
+        "--fusion.head=linear",
+        "--train.epochs=1",
+        "--train.batch_size=8",
+    ])
+    assert os.path.exists(head_path)
+    assert os.path.exists(os.path.join(tmp_path, "head.metrics.json"))
+    assert "FUSION_MRR" in report["fusion"]
+
+    store_path = os.path.join(tmp_path, "store.npz")
+    precompute([
+        "--data.dataset=synthetic:24",
+        "--data.image_size=32",
+        "--data.context_length=16",
+        "--model.name=tiny",
+        "--eval.batch_size=8",
+        "--out", store_path,
+    ])
+    monkeypatch.setattr(
+        "knowledge_enhanced_multimodal_retrieval_tpu.cli.serve.build_tokenizer",
+        lambda cfg: CC._tiny_tokenizer(),
+    )
+    serve([
+        "--model.name=tiny",
+        "--store", store_path,
+        "--query", "hello cat",
+        f"--fusion.head_params={head_path}",
+        "--fusion.factor=2",
+    ])
+    out_text = capsys.readouterr().out
+    payload = json.loads(out_text[out_text.index("{") :])
+    assert payload["query"] == "hello cat"
+    scores = [x["score"] for x in payload["results"]]
+    assert scores == sorted(scores, reverse=True) and len(scores) > 0
+
+
+def test_http_fused_search(world):
+    """POST /search {"fused": true} routes through the fused hook; 501
+    when no head is wired; 400 when combined with filters."""
+    import json as json_mod
+    from urllib.request import Request, urlopen
+    from urllib.error import HTTPError
+
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval.http_server import (
+        RetrievalHTTPServer,
+    )
+
+    model, params, tok, store, rt = world
+    fm = FusionModel("linear", embed_dim=16)
+    fparams = fm.init(jax.random.PRNGKey(5))
+    r = CLIPRetrieval(model, params, tok, store, top_k=5)
+
+    def batch_fn(queries):
+        return r.retrieval_batch(list(queries))
+
+    def fused_batch_fn(queries, alphas):
+        resolved = [0.5 if a is None else float(a) for a in alphas]
+        return r.retrieval_fused_batch(list(queries), fm, fparams, alpha=resolved)
+
+    def post(base, body, expect_error=None):
+        req = Request(
+            f"{base}/search", data=json_mod.dumps(body).encode(),
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        if expect_error is None:
+            return json_mod.load(urlopen(req, timeout=30))
+        with pytest.raises(HTTPError) as e:
+            urlopen(req, timeout=30)
+        assert e.value.code == expect_error
+
+    with RetrievalHTTPServer(
+        batch_fn, port=0, max_wait_ms=1.0, fused_batch_fn=fused_batch_fn
+    ) as srv:
+        base = "http://%s:%d" % srv.address
+        out = post(base, {"query": "hello cat", "fused": True, "n": 5})
+        want = r.retrieval_fused("hello cat", fm, fparams, top_k=5)
+        assert out["results"] == [
+            {"uuid": x["uuid"], "score": pytest.approx(x["score"])} for x in want
+        ]
+        post(base, {"query": "x", "fused": True, "allow_uuids": ["u"]}, expect_error=400)
+
+    with RetrievalHTTPServer(batch_fn, port=0, max_wait_ms=1.0) as srv:
+        base = "http://%s:%d" % srv.address
+        post(base, {"query": "x", "fused": True}, expect_error=501)
+
+
 def test_fused_serving_trained_head_end_to_end(world, devices8):
     """Close the loop: train a head on frozen embeddings, then serve it."""
     from knowledge_enhanced_multimodal_retrieval_tpu.eval.evaluator import EncodedDataset
