@@ -29,7 +29,7 @@ from ..utils.logging_utils import setup_logger
 from .common import build_model_and_params, build_tokenizer, pop_flag
 
 
-def build_engine(cfg, store_path: str) -> RetrievalEngine:
+def build_engine(cfg, store_path: str, kg_path: str = "") -> RetrievalEngine:
     model, params = build_model_and_params(cfg)
     tokenizer = build_tokenizer(cfg)
     store = EmbeddingStore.load(store_path, mmap=cfg.eval.mmap_store)
@@ -63,11 +63,21 @@ def build_engine(cfg, store_path: str) -> RetrievalEngine:
 
     t2s = None
     env = Endpoints.from_env()
-    if env.sparql_endpoint and env.mistral_api_key and env.mistral_agent_id:
+    has_kg = bool(kg_path) or bool(env.sparql_endpoint)
+    if has_kg and env.mistral_api_key and env.mistral_agent_id:
         from ..knowledge.clients import HTTPSparqlClient, MistralAgentClient
         from ..knowledge.text2sparql import Text2SparqlRetrieval
 
         from ..knowledge.circuit import CachedRetrieval, CircuitBreakerRetrieval
+
+        if kg_path:
+            # --kg: in-process SPARQL engine over a local triple file
+            # (.json / .nt) — the knowledge half needs no GraphDB endpoint
+            from ..knowledge.kg import LocalKGSparqlClient
+
+            sparql_client = LocalKGSparqlClient(kg_path)
+        else:
+            sparql_client = HTTPSparqlClient()
 
         # raise_errors=True: the breaker needs to SEE failures; it degrades
         # them to [] itself (and fast-fails while the endpoints stay down).
@@ -78,7 +88,7 @@ def build_engine(cfg, store_path: str) -> RetrievalEngine:
         t2s = CachedRetrieval(
             CircuitBreakerRetrieval(
                 Text2SparqlRetrieval(
-                    MistralAgentClient(), HTTPSparqlClient(), raise_errors=True
+                    MistralAgentClient(), sparql_client, raise_errors=True
                 ),
                 raise_on_degrade=True,
             )
@@ -102,6 +112,9 @@ def main(argv=None) -> None:
     if batch_mode:
         args.remove("--batch")
     store_path = pop_flag(args, "--store", "data/embeddings/store.npz")
+    # local knowledge graph (.json/.nt triples) served by the in-process
+    # SPARQL engine instead of a remote GraphDB endpoint
+    kg_path = pop_flag(args, "--kg", "")
     query = pop_flag(args, "--query")
     http_port = pop_flag(args, "--http")
     if http_port is not None:
@@ -120,7 +133,7 @@ def main(argv=None) -> None:
     cache_results = int(pop_flag(args, "--cache-results", "0"))
     cfg = config_from_argv(args)
     logger = setup_logger("kemr_tpu.cli.serve")
-    engine = build_engine(cfg, store_path)
+    engine = build_engine(cfg, store_path, kg_path=kg_path)
     mode = "knowledge-enhanced" if engine.t2s_retriever else "CLIP-only (no KG endpoints configured)"
     logger.info("engine ready: %s", mode)
     if warmup:

@@ -326,3 +326,72 @@ def test_cli_index_builder(tmp_path, devices8):
     fp = corpus_fingerprint(store.image, store.text)
     index = load_ivf_index(out, expected_fingerprint=fp)
     assert index.nlist == 4
+
+
+def test_cli_serve_local_kg(tmp_path, devices8, capsys, monkeypatch):
+    """serve --kg: the in-process SPARQL engine replaces GraphDB, the LLM is
+    a canned client, and the knowledge bonus lands on the SPARQL-hit uuid."""
+    from knowledge_enhanced_multimodal_retrieval_tpu.cli.precompute import main as precompute
+    from knowledge_enhanced_multimodal_retrieval_tpu.cli.serve import main as serve
+    from knowledge_enhanced_multimodal_retrieval_tpu.knowledge import clients as clients_mod
+    from knowledge_enhanced_multimodal_retrieval_tpu.knowledge.clients import FakeLLMClient
+
+    store_path = os.path.join(tmp_path, "store.npz")
+    precompute([
+        "--data.dataset=synthetic:24",
+        "--data.image_size=32",
+        "--data.context_length=16",
+        "--model.name=tiny",
+        "--eval.batch_size=8",
+        "--out", store_path,
+    ])
+    monkeypatch.setattr(
+        "knowledge_enhanced_multimodal_retrieval_tpu.cli.serve.build_tokenizer",
+        lambda cfg: CC._tiny_tokenizer(),
+    )
+
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    da = "https://example.org/ch/DigitalArtefact"
+    p62 = "http://www.cidoc-crm.org/cidoc-crm/P62_depicts"
+    boosted = "uuid-000003"
+    kg_path = os.path.join(tmp_path, "kg.json")
+    with open(kg_path, "w") as f:
+        json.dump({
+            "triples": [
+                [f"https://example.org/ch/artefact/{boosted}", rdf_type, {"uri": da}],
+                [f"https://example.org/ch/artefact/{boosted}", p62, "https://example.org/ch/entity/x"],
+            ]
+        }, f)
+    llm_doc = {
+        "distinct": True,
+        "variables": [{"termType": "Variable", "value": "DigitalArtefact"}],
+        "branches": [{
+            "line": {
+                "s": "DigitalArtefact", "p": p62, "o": "Entity_1",
+                "sType": [da], "oType": [],
+                "values": [{"label": "x", "rdfTerm": {"type": "uri", "value": "https://example.org/ch/entity/x"}}],
+            },
+        }],
+    }
+    monkeypatch.setenv("MISTRAL_API_KEY", "test")
+    monkeypatch.setenv("MISTRAL_AGENT_ID", "test")
+    monkeypatch.setattr(
+        clients_mod, "MistralAgentClient",
+        lambda: FakeLLMClient({}, default=json.dumps(llm_doc)),
+    )
+
+    def run(extra):
+        serve(["--model.name=tiny", "--store", store_path, "--query", "hello cat"] + extra)
+        out_text = capsys.readouterr().out
+        payload = json.loads(out_text[out_text.index("{"):])
+        return {r["uuid"]: r["score"] for r in payload["results"]}
+
+    monkeypatch.delenv("SPARQL_ENDPOINT", raising=False)
+    clip_only = run([])  # no KG endpoints -> CLIP-only mode, raw clip scores
+    fused = run(["--kg", kg_path])
+    assert boosted in fused
+    assert fused[boosted] == pytest.approx(0.8 * clip_only[boosted] + 0.2, abs=1e-3)
+    others = [u for u in fused if u != boosted]
+    assert others and all(
+        fused[u] == pytest.approx(0.8 * clip_only[u], abs=1e-3) for u in others
+    )
