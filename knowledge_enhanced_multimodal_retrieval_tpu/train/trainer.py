@@ -507,6 +507,7 @@ class CLIPTrainer:
         self.tensor_parallel = self.rt.mesh.shape[self.rt.model_axis] > 1
         self.fsdp = bool(getattr(self.rt, "fsdp", False))
         self.lora = cfg.lora_rank > 0
+        self.distill_bank = None  # set in the distill branch below
         if self.lora:
             # LoRA (train/lora.py): state carries rank-r ADAPTERS; the frozen
             # base tree rides beside the step, never donated. Adapter memory
@@ -514,6 +515,8 @@ class CLIPTrainer:
             # tp/fsdp shard full param/moment trees that LoRA does not have.
             if self.tensor_parallel or self.fsdp:
                 raise ValueError("lora_rank > 0 requires plain data parallelism (no tp/fsdp)")
+            if cfg.distill_teacher:
+                raise ValueError("distill_teacher and lora_rank are mutually exclusive")
             from .lora import lora_init, lora_merge, lora_param_count, make_train_step_lora
 
             adapters = lora_init(
@@ -540,6 +543,38 @@ class CLIPTrainer:
             self.logger.info(
                 "LoRA rank %d (%s): %d trainable adapter params",
                 cfg.lora_rank, cfg.lora_targets, lora_param_count(adapters),
+            )
+            if cfg.resume and ckpt.checkpoint_exists(cfg.checkpoint_dir, "latest"):
+                self._resume()
+            return
+        if cfg.distill_teacher:
+            # knowledge distillation (train/distill.py): teacher embeddings
+            # precomputed offline ride the batch; the step swaps InfoNCE for
+            # the similarity-matrix KD loss. DP-only: the GSPMD/LoRA steps
+            # keep their own losses.
+            if self.tensor_parallel or self.fsdp:
+                raise ValueError("distill_teacher requires plain data parallelism (no tp/fsdp)")
+            from .distill import TeacherBank, load_encoded_dataset, make_distill_step
+
+            self.distill_bank = TeacherBank(load_encoded_dataset(cfg.distill_teacher))
+            self.optimizer = make_optimizer(cfg, self.steps_per_epoch, params)
+            opt_state = self.optimizer.init(params)
+            self.state = {
+                "params": jax.device_put(params, replicated(self.rt.mesh)),
+                "opt_state": jax.device_put(opt_state, replicated(self.rt.mesh)),
+                "step": jnp.zeros((), jnp.int32),
+            }
+            self.train_step = make_distill_step(
+                model, self.optimizer, cfg, self.rt,
+                student_dim=model.arch.embed_dim, teacher_dim=self.distill_bank.dim,
+            )
+            self.encode_step = make_encode_step(model, self.rt)
+            self.stopper = EarlyStopper(cfg.early_stop_patience)
+            self.start_epoch = 0
+            self.logger.info(
+                "distilling from %s (%d teacher rows, dim %d -> student dim %d)",
+                cfg.distill_teacher, len(self.distill_bank.enc.uuids),
+                self.distill_bank.dim, model.arch.embed_dim,
             )
             if cfg.resume and ckpt.checkpoint_exists(cfg.checkpoint_dir, "latest"):
                 self._resume()
@@ -611,11 +646,10 @@ class CLIPTrainer:
     # -- data placement -----------------------------------------------------
 
     def _device_batch(self, batch: Batch) -> Dict[str, jax.Array]:
-        return host_local_batch_to_global(
-            {"images": batch.images, "query_ids": batch.query_ids, "target_ids": batch.target_ids},
-            self.rt.mesh,
-            self.rt.data_axis,
-        )
+        host = {"images": batch.images, "query_ids": batch.query_ids, "target_ids": batch.target_ids}
+        if self.distill_bank is not None:
+            host["t_img"], host["t_q"], host["t_t"] = self.distill_bank.rows(batch.uuids)
+        return host_local_batch_to_global(host, self.rt.mesh, self.rt.data_axis)
 
     # -- validation ---------------------------------------------------------
 

@@ -282,6 +282,13 @@ class TrainConfig:
     lora_rank: int = 0
     lora_alpha: float = 16.0
     lora_targets: str = "attn"  # attn | mlp | all
+    # knowledge distillation (train/distill.py): path to a teacher
+    # EncodedDataset .npz (save_encoded_dataset). When set, the train step
+    # matches the student's similarity geometry to the teacher's instead of
+    # running InfoNCE — the serving path to a smaller/faster tower.
+    distill_teacher: str = ""
+    distill_kd_weight: float = 1.0  # similarity-matrix KL weight
+    distill_embed_weight: float = 0.5  # direct cosine loss (needs equal dims)
     checkpoint_dir: str = "checkpoints"
     resume: bool = False
     log_every: int = 50
