@@ -103,6 +103,22 @@ def quality_sweep(
             **_agreement(ei, ri), "score_mae": score_mae(ri, rv),
         })
 
+    # binary sketch (32x capacity): candidate quality with and without the
+    # mandatory-in-serving rerank (raw rows show why rerank is enforced)
+    from ..ops.binary_sketch import hamming_topk, pack_sign_bits_host
+
+    bi, bt = pack_sign_bits_host(image), pack_sign_bits_host(text)
+    d = image.shape[1]
+    v, i = hamming_topk(qj, bi, bt, dim=d, k=k, alpha=alpha)
+    rows.append({"config": "binary", **_agreement(ei, np.asarray(i)), "score_mae": score_mae(i, v)})
+    _, i = hamming_topk(qj, bi, bt, dim=d, k=kf, alpha=alpha)
+    rv, ri = rerank_scores_host(queries, image, text, i, alpha)
+    rv, ri = rv[:, :k], ri[:, :k]
+    rows.append({
+        "config": f"binary+rerank{rerank_factor}x",
+        **_agreement(ei, ri), "score_mae": score_mae(ri, rv),
+    })
+
     if nprobes:
         index = build_ivf_index(image, text, nlist or max(1, int(np.sqrt(n))))
         for p in nprobes:

@@ -23,6 +23,7 @@ from ..data.tokenizer import DEFAULT_BUCKETS as _WARMUP_BUCKETS
 from ..data.tokenizer import CLIPTokenizer, trim_to_bucket
 from ..models.clip import CLIP, l2_normalize
 from ..models.fast_encode import encode_text_fast, make_text_plan
+from ..ops.binary_sketch import hamming_topk, pack_sign_bits_host
 from ..ops.dispatch import on_tpu
 from ..ops.similarity import (
     alpha_column,
@@ -141,12 +142,25 @@ class CLIPRetrieval:
         # the capacity mode). See ops.similarity quantize_corpus_host[_q4].
         if quantize_corpus is True:
             quantize_corpus = "int8"
-        if quantize_corpus not in (False, None, "int8", "int4"):
+        if quantize_corpus not in (False, None, "int8", "int4", "binary"):
             raise ValueError(
                 f"unknown quantize_corpus mode {quantize_corpus!r} "
-                "(expected False, True/'int8', or 'int4')"
+                "(expected False, True/'int8', 'int4', or 'binary')"
             )
         self.quantize_corpus = quantize_corpus or False
+        if self.quantize_corpus == "binary":
+            # sign-sketch candidate tier (ops.binary_sketch): 32x capacity,
+            # Hamming proxy scores — candidate-generation only, so the host
+            # exact rerank is MANDATORY and the composition set is narrow
+            if not rerank:
+                raise ValueError(
+                    "quantize_corpus='binary' serves Hamming proxy scores — "
+                    "set rerank=True (host exact rescoring) to use it"
+                )
+            if ann is not None:
+                raise ValueError("quantize_corpus='binary' does not compose with ann")
+            if shard_corpus:
+                raise ValueError("quantize_corpus='binary' does not shard yet")
 
         # opt-in ANN mode (retrieval/ann.py): IVF cluster probing instead of
         # the exact brute-force scan — the scaling path for corpora where a
@@ -220,6 +234,13 @@ class CLIPRetrieval:
                         mesh=self.rt.mesh, alpha=alpha,
                     )
                 return ivf_search(q, index, k=k, nprobe=nprobe, alpha=alpha)
+            if self.quantize_corpus == "binary":
+                # sketch scan -> proxy scores; the retrieval wrappers rerank
+                # the fetched candidates exactly (rerank=True is enforced)
+                return hamming_topk(
+                    q.astype(jnp.float32), cimg, ctxt,
+                    dim=int(self._corpus.store.image.shape[1]), k=k, alpha=alpha,
+                )
             if self.quantize_corpus:
                 q = q.astype(model.dtype)
                 sharded, fused, xla = (
@@ -269,6 +290,11 @@ class CLIPRetrieval:
         # alpha) — changing the allow/deny filter re-executes, never
         # re-compiles. Masked-out slots come back with the -1 idx sentinel.
         def _score_fn_masked(q, cimg, ctxt, cimg_s, ctxt_s, alpha, mask, *, k: int):
+            if self.quantize_corpus == "binary":
+                raise ValueError(
+                    "filtered search is not supported over a binary-sketch "
+                    "corpus — use candidate scoring (retrieval_candidates_batch)"
+                )
             if self.quantize_corpus:
                 q = q.astype(model.dtype)
                 mode = "q4" if self.quantize_corpus == "int4" else "q8"
@@ -351,7 +377,14 @@ class CLIPRetrieval:
             # uuid) so same-bucket updates reuse the compiled program; the
             # sharded path additionally needs a row multiple of the mesh
             padded = store.padded(self._pad_multiple())
-            if self.quantize_corpus:
+            if self.quantize_corpus == "binary":
+                # sign bits packed on host (32x smaller than f32): only
+                # ~D/32 uint32 words per row ever upload; zero pad rows
+                # pack to all-zero words
+                cimg = pack_sign_bits_host(padded.image, mesh)
+                ctxt = pack_sign_bits_host(padded.text, mesh)
+                cimg_s = ctxt_s = None
+            elif self.quantize_corpus:
                 # int8/int4 per-row packing, quantized ON HOST so the full
                 # f32 corpus never stages in device HBM (a corpus sized to
                 # fit packed would OOM in f32) — only packed buffers + scales

@@ -364,8 +364,10 @@ def resolve_quantize_corpus(value: str):
         return "int8"
     if v == "int4":
         return "int4"
+    if v == "binary":
+        return "binary"
     raise ValueError(
-        f"unknown eval.quantize_corpus {value!r}: expected ''|true|int8|int4"
+        f"unknown eval.quantize_corpus {value!r}: expected ''|true|int8|int4|binary"
     )
 
 

@@ -1,0 +1,187 @@
+"""Binary sign-sketch corpus tier (`ops/binary_sketch.py`,
+`CLIPRetrieval(quantize_corpus="binary")`)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from knowledge_enhanced_multimodal_retrieval_tpu.ops.binary_sketch import (
+    hamming_scores,
+    hamming_topk,
+    pack_sign_bits,
+    pack_sign_bits_host,
+)
+
+
+def _normed(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# packing
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("d", [16, 32, 64, 100])
+def test_pack_device_host_identical(d):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((7, d)).astype(np.float32)
+    dev = np.asarray(pack_sign_bits(jnp.asarray(x)))
+    host = np.asarray(pack_sign_bits_host(x))
+    np.testing.assert_array_equal(dev, host)
+    assert dev.dtype == np.uint32 and dev.shape == (7, -(-d // 32))
+
+
+def test_pack_semantics():
+    x = np.zeros((2, 32), np.float32)
+    x[0, 0] = 1.0   # bit 0 of word 0
+    x[0, 31] = 1.0  # bit 31
+    x[1, 5] = -1.0  # negative -> 0 bit
+    packed = np.asarray(pack_sign_bits_host(x))
+    assert packed[0, 0] == (1 | (1 << 31))
+    assert packed[1, 0] == 0  # zero/negative rows pack to all-zero words
+
+
+def test_hamming_scores_oracle():
+    rng = np.random.default_rng(1)
+    q = rng.standard_normal((5, 48)).astype(np.float32)
+    c = rng.standard_normal((9, 48)).astype(np.float32)
+    got = np.asarray(hamming_scores(pack_sign_bits(jnp.asarray(q)), pack_sign_bits_host(c)))
+    want = ((q > 0)[:, None, :] != (c > 0)[None, :, :]).sum(-1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_hamming_scores_chunked_equals_direct():
+    rng = np.random.default_rng(2)
+    q = pack_sign_bits(jnp.asarray(rng.standard_normal((4, 64)), jnp.float32))
+    c = pack_sign_bits_host(rng.standard_normal((50, 64)).astype(np.float32))
+    direct = np.asarray(hamming_scores(q, c, chunk=64))
+    chunked = np.asarray(hamming_scores(q, c, chunk=16))  # 50 -> 4 chunks + pad
+    np.testing.assert_array_equal(direct, chunked)
+
+
+def test_hamming_topk_self_retrieval_and_proxy_range():
+    rng = np.random.default_rng(3)
+    corpus = _normed(rng, 40, 64)
+    bi = pack_sign_bits_host(corpus)
+    vals, idx = hamming_topk(jnp.asarray(corpus[:8]), bi, bi, dim=64, k=5, alpha=0.5)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    # a row is Hamming-0 from itself in both towers: proxy exactly 1, rank 0
+    np.testing.assert_array_equal(idx[:, 0], np.arange(8))
+    np.testing.assert_allclose(vals[:, 0], 1.0)
+    assert vals.min() >= -1.0 and vals.max() <= 1.0
+
+
+def test_hamming_topk_per_query_alpha():
+    rng = np.random.default_rng(4)
+    corpus_i, corpus_t = _normed(rng, 30, 32), _normed(rng, 30, 32)
+    q = jnp.asarray(_normed(rng, 4, 32))
+    bi, bt = pack_sign_bits_host(corpus_i), pack_sign_bits_host(corpus_t)
+    v_scalar0, _ = hamming_topk(q, bi, bt, dim=32, k=3, alpha=0.0)
+    v_scalar1, _ = hamming_topk(q, bi, bt, dim=32, k=3, alpha=1.0)
+    v_mixed, _ = hamming_topk(q, bi, bt, dim=32, k=3, alpha=[0.0, 1.0, 0.0, 1.0])
+    np.testing.assert_allclose(np.asarray(v_mixed)[0], np.asarray(v_scalar0)[0])
+    np.testing.assert_allclose(np.asarray(v_mixed)[1], np.asarray(v_scalar1)[1])
+
+
+def test_sketch_recall_with_overfetch():
+    """Sign sketches preserve angular neighborhoods: on clustered data (the
+    realistic embedding shape) candidate recall@10 under a 4x over-fetch is
+    near-perfect. (Unstructured random data — near-orthogonal 'neighbors',
+    the LSH worst case — measures ~0.58 at 4x / ~0.94 at 16x; run
+    scripts/quality_sweep.py on your own embeddings.)"""
+    rng = np.random.default_rng(5)
+    centers = _normed(rng, 50, 256)
+    corpus = np.repeat(centers, 10, axis=0) + 0.05 * rng.standard_normal((500, 256)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    queries = centers[:32] + 0.05 * rng.standard_normal((32, 256)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    exact = np.argsort(-(queries @ corpus.T), axis=1)[:, :10]
+    bi = pack_sign_bits_host(corpus)
+    _, cand = hamming_topk(jnp.asarray(queries), bi, bi, dim=256, k=40, alpha=0.5)
+    cand = np.asarray(cand)
+    recall = np.mean([
+        len(set(exact[i]) & set(cand[i])) / 10.0 for i in range(len(queries))
+    ])
+    assert recall >= 0.95, recall
+
+
+# ---------------------------------------------------------------------------
+# retriever integration
+# ---------------------------------------------------------------------------
+
+
+def test_retriever_binary_guards(devices8):
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval.clip_retrieval import (
+        CLIPRetrieval,
+    )
+    from tests.test_rerank import world  # noqa: F401 — fixture via request
+
+    # use a tiny inline world to keep this test self-contained
+    from knowledge_enhanced_multimodal_retrieval_tpu.data.datasets import (
+        DataPipeline,
+        make_synthetic_source,
+    )
+    from knowledge_enhanced_multimodal_retrieval_tpu.data.tokenizer import CLIPTokenizer
+    from knowledge_enhanced_multimodal_retrieval_tpu.models import clip as M
+    from knowledge_enhanced_multimodal_retrieval_tpu.parallel import MeshRuntime
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval.embedding_store import (
+        build_embedding_store,
+    )
+    from tests.test_retrieval_engine import MERGES
+
+    tok = CLIPTokenizer(MERGES)
+    arch = M.CLIPArch(16, 32, 1, 32, 16, 16, tok.vocab_size, 32, 2, 1, vision_heads=2)
+    model = M.CLIP(arch, dtype=jnp.float32)
+    params = M.init_params(model, jax.random.PRNGKey(0))
+    src = make_synthetic_source(24, image_size=32)
+    pipe = DataPipeline(src, tok, image_size=32, context_length=16, num_workers=2)
+    rt = MeshRuntime.create()
+    store = build_embedding_store(model, params, pipe, rt, batch_size=8)
+
+    with pytest.raises(ValueError, match="rerank"):
+        CLIPRetrieval(model, params, tok, store, quantize_corpus="binary")
+    with pytest.raises(ValueError, match="ann"):
+        CLIPRetrieval(
+            model, params, tok, store, quantize_corpus="binary", rerank=True, ann="ivf"
+        )
+
+    r = CLIPRetrieval(
+        model, params, tok, store, top_k=5,
+        quantize_corpus="binary", rerank=True, rerank_factor=2,
+    )
+    res = r.retrieval("hello cat")
+    assert len(res) == 5 and all(np.isfinite(x["score"]) for x in res)
+    with pytest.raises(ValueError, match="filtered"):
+        r.retrieval_filtered_batch(["x"], allow_uuids=["uuid-000001"])
+    # candidate scoring (host-exact) still composes
+    out = r.retrieval_candidates_batch(["x"], [["uuid-000001", "uuid-000002"]])
+    assert [x["uuid"] for x in out[0]] and len(out[0]) == 2
+
+    # live updates re-pack the sketch
+    emb = np.asarray(store.image[:1]), np.asarray(store.text[:1])
+    r.add_documents(emb[0], emb[1], ["new-doc"])
+    uuids = {x["uuid"] for x in r.retrieval("hello cat", top_k=len(store) + 1)}
+    assert "new-doc" in uuids
+
+
+def test_resolver_accepts_binary():
+    from knowledge_enhanced_multimodal_retrieval_tpu.utils.config import (
+        resolve_quantize_corpus,
+    )
+
+    assert resolve_quantize_corpus("binary") == "binary"
+
+
+def test_quality_sweep_includes_binary(devices8):
+    from knowledge_enhanced_multimodal_retrieval_tpu.eval.quality import quality_sweep
+
+    rng = np.random.default_rng(6)
+    image, text = _normed(rng, 200, 64), _normed(rng, 200, 64)
+    queries = _normed(rng, 16, 64)
+    rows = quality_sweep(image, text, queries, k=5, rerank_factor=8)
+    by = {r["config"]: r for r in rows}
+    assert "binary" in by and "binary+rerank8x" in by
+    assert by["binary+rerank8x"]["recall_at_k"] >= by["binary"]["recall_at_k"]

@@ -41,7 +41,7 @@ def world(devices8):
     return model, params, tok, store, rt
 
 
-@pytest.mark.parametrize("packing", ["int8", "int4"])
+@pytest.mark.parametrize("packing", ["int8", "int4", "binary"])
 def test_rerank_recovers_exact_ranking(world, packing):
     """Packed corpus + full-width rerank == the exact retriever, exactly:
     fetching factor*k >= n candidates makes the rerank a complete exact
