@@ -24,6 +24,16 @@ from ..parallel.mesh import MeshRuntime
 from ..utils.config import Config
 
 
+def maybe_enable_compile_cache(cfg: Config) -> None:
+    """Honor ``eval.compile_cache`` (persistent executable cache on disk) —
+    called by every CLI main right after config parsing, BEFORE the first
+    jit, so restarted daemons/eval runs skip the remote recompiles."""
+    if cfg.eval.compile_cache:
+        from ..ops.dispatch import enable_compile_cache
+
+        enable_compile_cache(cfg.eval.compile_cache)
+
+
 def build_tokenizer(cfg: Config) -> CLIPTokenizer:
     return CLIPTokenizer.find_default()
 

@@ -30,7 +30,7 @@ from ..train.distill import load_encoded_dataset, save_encoded_dataset
 from ..train.trainer import CLIPTrainer
 from ..utils.config import config_from_argv, resolve_encoder
 from ..utils.logging_utils import setup_logger
-from .common import build_model_and_params, build_pipeline, build_runtime, pop_flag
+from .common import maybe_enable_compile_cache, build_model_and_params, build_pipeline, build_runtime, pop_flag
 
 
 def main(argv=None) -> dict:
@@ -40,6 +40,7 @@ def main(argv=None) -> dict:
     teacher_encoder = pop_flag(args, "--teacher-encoder", "flax")
     teacher_path = pop_flag(args, "--teacher-embeddings", "")
     cfg = config_from_argv(args)
+    maybe_enable_compile_cache(cfg)
     logger = setup_logger("kemr_tpu.cli.distill")
 
     rt = build_runtime(cfg)

@@ -22,13 +22,14 @@ import sys
 from ..eval.evaluator import run_full_evaluation
 from ..utils.config import config_from_argv
 from ..utils.logging_utils import setup_logger
-from .common import build_model_and_params, build_pipeline, build_runtime, pop_flag
+from .common import maybe_enable_compile_cache, build_model_and_params, build_pipeline, build_runtime, pop_flag
 
 
 def main(argv=None) -> dict:
     args = list(sys.argv[1:] if argv is None else argv)
     t2s_path = pop_flag(args, "--t2s_results")
     cfg = config_from_argv(args)
+    maybe_enable_compile_cache(cfg)
     logger = setup_logger("kemr_tpu.cli.evaluate")
 
     model, params = build_model_and_params(cfg, rng_seed=cfg.eval.seed)

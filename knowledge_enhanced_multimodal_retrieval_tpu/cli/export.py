@@ -26,7 +26,7 @@ from ..models.convert import export_hf_checkpoint, load_clip_params, save_openai
 from ..train.checkpoint import load_params_only
 from ..utils.config import config_from_argv
 from ..utils.logging_utils import setup_logger
-from .common import pop_flag
+from .common import maybe_enable_compile_cache, pop_flag
 
 FORMATS = ("hf", "openai", "npz")
 
@@ -42,6 +42,7 @@ def main(argv=None) -> str:
     if not out:
         raise ValueError("--out is required")
     cfg = config_from_argv(args)
+    maybe_enable_compile_cache(cfg)
     logger = setup_logger("kemr_tpu.cli.export")
 
     if train_dir:

@@ -24,7 +24,7 @@ from ..retrieval.ann import build_ivf_index, corpus_fingerprint, save_ivf_index
 from ..retrieval.embedding_store import EmbeddingStore
 from ..utils.config import config_from_argv, resolve_quantize_corpus
 from ..utils.logging_utils import setup_logger
-from .common import pop_flag
+from .common import maybe_enable_compile_cache, pop_flag
 
 
 def main(argv=None) -> str:
@@ -40,6 +40,7 @@ def main(argv=None) -> str:
     if not store_path or not out:
         raise ValueError("--store and --out are required")
     cfg = config_from_argv(args)
+    maybe_enable_compile_cache(cfg)
     logger = setup_logger("kemr_tpu.cli.index")
 
     store = EmbeddingStore.load(store_path, mmap=cfg.eval.mmap_store)

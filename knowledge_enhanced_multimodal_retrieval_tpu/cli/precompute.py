@@ -17,7 +17,7 @@ import sys
 from ..retrieval.embedding_store import build_embedding_store
 from ..utils.config import config_from_argv, resolve_encoder
 from ..utils.logging_utils import setup_logger
-from .common import build_model_and_params, build_pipeline, build_runtime
+from .common import maybe_enable_compile_cache, build_model_and_params, build_pipeline, build_runtime
 
 
 def main(argv=None) -> str:
@@ -28,6 +28,7 @@ def main(argv=None) -> str:
         out = args[i + 1]
         del args[i : i + 2]
     cfg = config_from_argv(args)
+    maybe_enable_compile_cache(cfg)
     logger = setup_logger("kemr_tpu.cli.precompute")
 
     model, params = build_model_and_params(cfg)

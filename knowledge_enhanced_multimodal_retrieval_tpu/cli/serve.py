@@ -26,7 +26,7 @@ from ..utils.config import (
     resolve_quantize_corpus,
 )
 from ..utils.logging_utils import setup_logger
-from .common import build_model_and_params, build_tokenizer, pop_flag
+from .common import maybe_enable_compile_cache, build_model_and_params, build_tokenizer, pop_flag
 
 
 def build_engine(cfg, store_path: str, kg_path: str = "") -> RetrievalEngine:
@@ -59,6 +59,7 @@ def build_engine(cfg, store_path: str, kg_path: str = "") -> RetrievalEngine:
         capacity_multiple=cfg.eval.capacity_multiple,
         rerank=cfg.eval.rerank,
         rerank_factor=cfg.eval.rerank_factor,
+        truncate_dim=cfg.eval.truncate_dim,
     )
 
     t2s = None
@@ -132,6 +133,7 @@ def main(argv=None) -> None:
     # on every corpus mutation): popular queries skip the device entirely
     cache_results = int(pop_flag(args, "--cache-results", "0"))
     cfg = config_from_argv(args)
+    maybe_enable_compile_cache(cfg)
     logger = setup_logger("kemr_tpu.cli.serve")
     engine = build_engine(cfg, store_path, kg_path=kg_path)
     mode = "knowledge-enhanced" if engine.t2s_retriever else "CLIP-only (no KG endpoints configured)"

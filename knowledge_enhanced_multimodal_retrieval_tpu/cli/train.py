@@ -15,11 +15,12 @@ import sys
 from ..train.trainer import CLIPTrainer
 from ..utils.config import config_from_argv
 from ..utils.logging_utils import setup_logger
-from .common import build_model_and_params, build_pipeline, build_runtime
+from .common import maybe_enable_compile_cache, build_model_and_params, build_pipeline, build_runtime
 
 
 def main(argv=None) -> dict:
     cfg = config_from_argv(sys.argv[1:] if argv is None else argv)
+    maybe_enable_compile_cache(cfg)
     logger = setup_logger("kemr_tpu.cli.train")
     logger.info("training %s on %s", cfg.model.name, cfg.data.dataset)
 

@@ -29,13 +29,14 @@ from ..train.fusion_trainer import (
 )
 from ..utils.config import config_from_argv, resolve_encoder
 from ..utils.logging_utils import setup_logger
-from .common import build_model_and_params, build_pipeline, build_runtime, pop_flag
+from .common import maybe_enable_compile_cache, build_model_and_params, build_pipeline, build_runtime, pop_flag
 
 
 def main(argv=None) -> dict:
     args = list(sys.argv[1:] if argv is None else argv)
     out_path = pop_flag(args, "--out", "experiments/fusion_head.npz")
     cfg = config_from_argv(args)
+    maybe_enable_compile_cache(cfg)
     logger = setup_logger("kemr_tpu.cli.train_fusion")
 
     model, params = build_model_and_params(cfg, rng_seed=cfg.eval.seed)

@@ -268,6 +268,11 @@ class TrainConfig:
     # global negatives cost one all_gather; pair with temperature~0.1)
     loss: str = "infonce"
     sigmoid_bias: float = -10.0  # siglip negative-imbalance offset
+    # Matryoshka Representation Learning (train/losses.py): average the
+    # contrastive loss over these embedding-prefix widths (full width is
+    # always appended) so prefixes serve as standalone embeddings —
+    # consumed by CLIPRetrieval(truncate_dim=d) / eval.truncate_dim
+    matryoshka_dims: Tuple[int, ...] = ()
     grad_accum_steps: int = 1
     grad_clip_norm: float = 1.0
     early_stop_patience: int = 5
@@ -337,6 +342,16 @@ class EvalConfig:
     # (for corpora near the host-memory budget; packed serving modes only
     # ever stream-read the f32 rows)
     mmap_store: bool = False
+    # persistent jax compilation-cache directory ("" = off): restarted
+    # processes load compiled executables from disk instead of paying the
+    # (minutes-long on a relay backend) remote recompile — see
+    # ops.dispatch.enable_compile_cache
+    compile_cache: str = ""
+    # Matryoshka serving (0 = off): scan the corpus at the first N embedding
+    # dims (prefix re-normalized on host before packing/upload — HBM and
+    # candidate-scan cost scale with N); pair with rerank for full-dim
+    # final scores. Meaningful for MRL-trained models (train.matryoshka_dims)
+    truncate_dim: int = 0
 
 
 def resolve_encoder(encoder: str):
