@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.similarity import (
+    prefix_normalize_host,
     quantize_corpus_host,
     quantize_corpus_host_q4,
     rerank_scores_host,
@@ -48,6 +49,7 @@ def quality_sweep(
     rerank_factor: int = 4,
     nprobes: Sequence[int] = (),
     nlist: Optional[int] = None,
+    truncate_dims: Sequence[int] = (),
 ) -> List[Dict]:
     """Measure each packing mode against exact brute force.
 
@@ -118,6 +120,26 @@ def quality_sweep(
         "config": f"binary+rerank{rerank_factor}x",
         **_agreement(ei, ri), "score_mae": score_mae(ri, rv),
     })
+
+    # Matryoshka prefixes (CLIPRetrieval(truncate_dim=d)): candidate quality
+    # of the d-dim scan, raw and with the serving rerank. Meaningful recall
+    # needs MRL-trained embeddings (train.matryoshka_dims); on vanilla
+    # embeddings these rows show what truncation costs unmitigated.
+    for d in truncate_dims:
+        if not 0 < d <= image.shape[1]:
+            raise ValueError(f"truncate dim {d} not in 1..{image.shape[1]}")
+        ti = prefix_normalize_host(image, d)
+        tt = prefix_normalize_host(text, d)
+        tq = jnp.asarray(prefix_normalize_host(queries, d))
+        v, i = similarity_topk_xla(tq, jnp.asarray(ti), jnp.asarray(tt), k, alpha)
+        rows.append({"config": f"trunc{d}", **_agreement(ei, np.asarray(i)), "score_mae": score_mae(i, v)})
+        _, i = similarity_topk_xla(tq, jnp.asarray(ti), jnp.asarray(tt), kf, alpha)
+        rv, ri = rerank_scores_host(queries, image, text, i, alpha)
+        rv, ri = rv[:, :k], ri[:, :k]
+        rows.append({
+            "config": f"trunc{d}+rerank{rerank_factor}x",
+            **_agreement(ei, ri), "score_mae": score_mae(ri, rv),
+        })
 
     if nprobes:
         index = build_ivf_index(image, text, nlist or max(1, int(np.sqrt(n))))

@@ -28,6 +28,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from jax import shard_map
@@ -52,6 +53,34 @@ def alpha_column(alpha, n_queries: int) -> jax.Array:
     if a.shape[0] != n_queries:
         raise ValueError(f"alpha length {a.shape[0]} != query count {n_queries}")
     return a
+
+
+def prefix_normalize(x: jax.Array, dim: int) -> jax.Array:
+    """First ``dim`` coordinates, re-L2-normalized (f32 norm math).
+
+    The Matryoshka serving primitive: for MRL-trained embeddings the prefix
+    is itself a valid embedding, so candidate scan cost/HBM scales with
+    ``dim`` while the host rerank restores full-dim scores. Normalizing a
+    prefix of a normalized vector equals normalizing the prefix of the raw
+    vector (the row scale cancels), so this composes with already-normalized
+    stores. Zero rows (capacity padding) stay zero (guarded divide).
+    """
+    if not 0 < dim <= x.shape[-1]:
+        raise ValueError(f"truncate dim {dim} not in 1..{x.shape[-1]}")
+    t = x[..., :dim]
+    n = jnp.linalg.norm(t.astype(jnp.float32), axis=-1, keepdims=True)
+    return (t.astype(jnp.float32) / jnp.maximum(n, 1e-12)).astype(x.dtype)
+
+
+def prefix_normalize_host(x, dim: int):
+    """NumPy twin of :func:`prefix_normalize` for host-side corpus staging
+    (the full-dim corpus never uploads when serving truncated)."""
+    x = np.asarray(x)
+    if not 0 < dim <= x.shape[-1]:
+        raise ValueError(f"truncate dim {dim} not in 1..{x.shape[-1]}")
+    t = x[..., :dim].astype(np.float32)
+    n = np.linalg.norm(t, axis=-1, keepdims=True)
+    return t / np.maximum(n, 1e-12)
 
 
 # ---------------------------------------------------------------------------

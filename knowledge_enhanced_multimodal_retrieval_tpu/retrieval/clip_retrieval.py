@@ -27,6 +27,8 @@ from ..ops.binary_sketch import hamming_topk, pack_sign_bits_host
 from ..ops.dispatch import on_tpu
 from ..ops.similarity import (
     alpha_column,
+    prefix_normalize,
+    prefix_normalize_host,
     fused_similarity_topk,
     fused_similarity_topk_q4,
     fused_similarity_topk_q8,
@@ -44,6 +46,7 @@ from ..ops.similarity import (
     similarity_topk_xla_q8,
 )
 from ..parallel.mesh import MeshRuntime
+from ..parallel.sharding import batch_sharding
 from .ann import _SUBLANE as _CAP_SUBLANE
 from .ann import IVFIndex, build_ivf_index, ivf_search, sharded_ivf_search
 from .embedding_store import EmbeddingStore
@@ -96,6 +99,7 @@ class CLIPRetrieval:
         capacity_multiple: int = 1,
         rerank: bool = False,
         rerank_factor: int = 4,
+        truncate_dim: int = 0,
     ):
         self.model = model
         self.params = params
@@ -162,6 +166,25 @@ class CLIPRetrieval:
             if shard_corpus:
                 raise ValueError("quantize_corpus='binary' does not shard yet")
 
+        # Matryoshka serving (opt-in, for MRL-trained models —
+        # train.matryoshka_dims): the corpus stages as the first
+        # truncate_dim coordinates, prefix-re-normalized ON HOST, and query
+        # embeddings truncate the same way inside the search program. HBM
+        # footprint and candidate-scan traffic scale with the prefix width;
+        # composes with the whole packing ladder (int8/int4/binary) and
+        # rerank restores full-dim exact final scores. 0 = off.
+        if truncate_dim < 0:
+            raise ValueError(f"truncate_dim must be >= 0, got {truncate_dim}")
+        if truncate_dim and truncate_dim > store.dim:
+            raise ValueError(
+                f"truncate_dim {truncate_dim} exceeds the store width {store.dim}"
+            )
+        if truncate_dim and ann is not None:
+            # the IVF disk-cache config check doesn't record the prefix
+            # width — refuse rather than risk serving a stale full-dim index
+            raise ValueError("truncate_dim does not compose with ann")
+        self.truncate_dim = int(truncate_dim)
+
         # opt-in ANN mode (retrieval/ann.py): IVF cluster probing instead of
         # the exact brute-force scan — the scaling path for corpora where a
         # full pass per query is too much HBM traffic (or for single-query
@@ -222,6 +245,10 @@ class CLIPRetrieval:
             """Blend + top-k of query embeddings ``q`` against the corpus —
             shared by the text program (which encodes first) and the
             embedding-direct program (image queries / precomputed vectors)."""
+            if self.truncate_dim:
+                # Matryoshka scan: queries truncate to the corpus' staged
+                # prefix width inside the same jitted program
+                q = prefix_normalize(q, self.truncate_dim)
             if self.ann == "ivf":
                 # cimg carries the packed index pytree (passed as an
                 # argument — index arrays must never be jit constants on
@@ -239,7 +266,8 @@ class CLIPRetrieval:
                 # the fetched candidates exactly (rerank=True is enforced)
                 return hamming_topk(
                     q.astype(jnp.float32), cimg, ctxt,
-                    dim=int(self._corpus.store.image.shape[1]), k=k, alpha=alpha,
+                    dim=self.truncate_dim or int(self._corpus.store.image.shape[1]),
+                    k=k, alpha=alpha,
                 )
             if self.quantize_corpus:
                 q = q.astype(model.dtype)
@@ -290,6 +318,8 @@ class CLIPRetrieval:
         # alpha) — changing the allow/deny filter re-executes, never
         # re-compiles. Masked-out slots come back with the -1 idx sentinel.
         def _score_fn_masked(q, cimg, ctxt, cimg_s, ctxt_s, alpha, mask, *, k: int):
+            if self.truncate_dim:
+                q = prefix_normalize(q, self.truncate_dim)
             if self.quantize_corpus == "binary":
                 raise ValueError(
                     "filtered search is not supported over a binary-sketch "
@@ -377,12 +407,21 @@ class CLIPRetrieval:
             # uuid) so same-bucket updates reuse the compiled program; the
             # sharded path additionally needs a row multiple of the mesh
             padded = store.padded(self._pad_multiple())
+            if self.truncate_dim:
+                # Matryoshka staging: the device only ever sees the first
+                # truncate_dim coordinates (prefix-re-normalized on host);
+                # the full-dim f32 store stays host-side for rerank /
+                # candidate rescoring. Zero pad rows stay zero.
+                src_img = prefix_normalize_host(padded.image, self.truncate_dim)
+                src_txt = prefix_normalize_host(padded.text, self.truncate_dim)
+            else:
+                src_img, src_txt = padded.image, padded.text
             if self.quantize_corpus == "binary":
                 # sign bits packed on host (32x smaller than f32): only
                 # ~D/32 uint32 words per row ever upload; zero pad rows
                 # pack to all-zero words
-                cimg = pack_sign_bits_host(padded.image, mesh)
-                ctxt = pack_sign_bits_host(padded.text, mesh)
+                cimg = pack_sign_bits_host(src_img, mesh)
+                ctxt = pack_sign_bits_host(src_txt, mesh)
                 cimg_s = ctxt_s = None
             elif self.quantize_corpus:
                 # int8/int4 per-row packing, quantized ON HOST so the full
@@ -394,8 +433,16 @@ class CLIPRetrieval:
                     if self.quantize_corpus == "int4"
                     else quantize_corpus_host
                 )
-                cimg, cimg_s = quantizer(padded.image, mesh)
-                ctxt, ctxt_s = quantizer(padded.text, mesh)
+                cimg, cimg_s = quantizer(src_img, mesh)
+                ctxt, ctxt_s = quantizer(src_txt, mesh)
+            elif self.truncate_dim:
+                cimg = jnp.asarray(src_img, self.corpus_dtype)
+                ctxt = jnp.asarray(src_txt, self.corpus_dtype)
+                if mesh is not None:
+                    sharding = batch_sharding(mesh, 2, "data")
+                    cimg = jax.device_put(cimg, sharding)
+                    ctxt = jax.device_put(ctxt, sharding)
+                cimg_s = ctxt_s = None
             else:
                 cimg, ctxt = padded.device_arrays(self.corpus_dtype, mesh)
                 cimg_s = ctxt_s = None

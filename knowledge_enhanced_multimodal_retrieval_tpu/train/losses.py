@@ -73,10 +73,69 @@ def joint_loss_for_config(cfg) -> "Callable":
     import functools
 
     if cfg.loss == "infonce":
-        return joint_contrastive_loss
-    if cfg.loss == "siglip":
-        return functools.partial(joint_sigmoid_loss, bias=cfg.sigmoid_bias)
-    raise ValueError(f"train.loss must be 'infonce' or 'siglip', got {cfg.loss!r}")
+        base = joint_contrastive_loss
+    elif cfg.loss == "siglip":
+        base = functools.partial(joint_sigmoid_loss, bias=cfg.sigmoid_bias)
+    else:
+        raise ValueError(f"train.loss must be 'infonce' or 'siglip', got {cfg.loss!r}")
+    if getattr(cfg, "matryoshka_dims", ()):
+        return matryoshka_joint_loss(base, cfg.matryoshka_dims)
+    return base
+
+
+def matryoshka_joint_loss(base_joint, dims) -> "Callable":
+    """Matryoshka Representation Learning (Kusupati et al. 2022) wrapper:
+    average ``base_joint`` over prefix-truncated, re-normalized embeddings
+    so every prefix in ``dims`` is a usable embedding by itself.
+
+    Serving consumes this via ``CLIPRetrieval(truncate_dim=d)``: the corpus
+    scan runs at ``d`` dims (HBM traffic and candidate-scan FLOPs scale
+    with ``d``) and the host rerank restores full-dim exactness. The full
+    dimension is always included (appended at trace time if absent) so the
+    untruncated embedding keeps training. Normalizing a prefix of an
+    L2-normalized vector equals normalizing the prefix of the raw vector,
+    so the wrapper is correct on the already-normalized tower outputs.
+
+    No reference counterpart (single fixed-width embeddings only,
+    ``src/clip/model/clip_model.py:15-44``).
+    """
+    dims = tuple(dict.fromkeys(int(d) for d in dims))
+    if not dims or any(d <= 0 for d in dims):
+        raise ValueError(f"matryoshka dims must be positive ints, got {dims!r}")
+
+    from ..ops.similarity import prefix_normalize
+
+    def joint(image_features, query_features, target_features, **kw):
+        full = image_features.shape[-1]
+        if any(d > full for d in dims):
+            raise ValueError(
+                f"matryoshka dims {dims} exceed the embedding width {full}"
+            )
+        all_dims = dims if full in dims else dims + (full,)
+        total = jnp.float32(0.0)
+        acc: Dict[str, jax.Array] = {}
+        per_dim: Dict[str, jax.Array] = {}
+        for d in all_dims:
+            loss_d, m = base_joint(
+                prefix_normalize(image_features, d),
+                prefix_normalize(query_features, d),
+                prefix_normalize(target_features, d),
+                **kw,
+            )
+            total = total + loss_d
+            per_dim[f"loss_d{d}"] = loss_d
+            for key in ("loss_t2i", "loss_t2t"):
+                if key in m:
+                    acc[key] = acc.get(key, jnp.float32(0.0)) + m[key]
+        n = float(len(all_dims))
+        total = total / n
+        return total, {
+            "loss": total,
+            **{k: v / n for k, v in acc.items()},
+            **per_dim,
+        }
+
+    return joint
 
 
 def sigmoid_contrastive(

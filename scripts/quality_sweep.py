@@ -43,6 +43,10 @@ def main(argv=None) -> None:
     p.add_argument("--alpha", type=float, default=0.5)
     p.add_argument("--rerank-factor", type=int, default=4)
     p.add_argument("--nprobes", default="", help="comma-separated IVF probe widths")
+    p.add_argument(
+        "--truncate-dims", default="",
+        help="comma-separated Matryoshka prefix widths (eval.truncate_dim)",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="run on host CPU")
     args = p.parse_args(argv)
@@ -67,9 +71,11 @@ def main(argv=None) -> None:
 
     q = text[rng.choice(len(text), min(args.queries, len(text)), replace=False)]
     nprobes = tuple(int(x) for x in args.nprobes.split(",") if x.strip())
+    tdims = tuple(int(x) for x in args.truncate_dims.split(",") if x.strip())
     rows = quality_sweep(
         image, text, q, k=args.k, alpha=args.alpha,
         rerank_factor=args.rerank_factor, nprobes=nprobes,
+        truncate_dims=tdims,
     )
     print(format_table(rows))
     print(json.dumps({"k": args.k, "alpha": args.alpha, "rows": rows}))
