@@ -31,7 +31,13 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .similarity import _segmented_topk_from_scores, alpha_column
+from jax import shard_map
+
+from .similarity import (
+    _merge_shard_winners,
+    _segmented_topk_from_scores,
+    alpha_column,
+)
 
 # chunk of corpus rows scored per step: bounds the [Q, chunk, words] XOR
 # intermediate (256 queries x 4096 rows x 24 words x 4 B = ~100 MB)
@@ -121,3 +127,46 @@ def hamming_topk(
     p_txt = 1.0 - inv * hamming_scores(q_bits, ctxt_bits, chunk).astype(jnp.float32)
     scores = a * p_img + (1.0 - a) * p_txt
     return _segmented_topk_from_scores(scores, k, segment=4096)
+
+
+def sharded_hamming_topk(
+    queries: jax.Array,
+    cimg_bits: jax.Array,
+    ctxt_bits: jax.Array,
+    *,
+    dim: int,
+    k: int,
+    alpha,
+    mesh: Mesh,
+    axis: str = "data",
+    chunk: int = _DEFAULT_CHUNK,
+) -> Tuple[jax.Array, jax.Array]:
+    """:func:`hamming_topk` over a row-sharded sketch corpus: each device
+    scans its local packed rows, and only the per-shard ``[Q, k]`` winners
+    cross ICI for the final merge (same shape as
+    ``similarity.sharded_similarity_topk``). Sketch capacity scales 32x per
+    chip AND linearly with the mesh."""
+    n_shards = mesh.shape[axis]
+    n = cimg_bits.shape[0]
+    shard_n = n // n_shards
+    k = min(k, n)
+    k_local = min(k, shard_n)
+    q_bits = pack_sign_bits(queries)
+    a = alpha_column(alpha, queries.shape[0])
+    inv = 2.0 / float(dim)
+
+    def local(qb, a, ci, ct):
+        p_img = 1.0 - inv * hamming_scores(qb, ci, chunk).astype(jnp.float32)
+        p_txt = 1.0 - inv * hamming_scores(qb, ct, chunk).astype(jnp.float32)
+        scores = a * p_img + (1.0 - a) * p_txt
+        vals, idx = _segmented_topk_from_scores(scores, k_local, segment=4096)
+        return _merge_shard_winners(vals, idx, axis, shard_n, k)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis, None), P(axis, None)),
+        out_specs=(P(), P()),
+        check_vma=False,  # replicated after all_gather + top_k (unprovable)
+    )
+    return jax.jit(fn)(q_bits, a, cimg_bits, ctxt_bits)

