@@ -291,16 +291,41 @@ def rerank_scores_host(queries, image, text, idx, alpha: float):
     rows, ``idx`` [Q, R] candidate rows (−1 = ann sentinel, masked to
     −inf). Returns ``(scores, idx)`` sorted descending with stable ties.
     """
+    import os
+
     import numpy as np
 
     queries = np.asarray(queries, np.float32)
     idx = np.asarray(idx)
-    a = np.asarray(alpha, np.float32).reshape(-1, 1)  # scalar or per-query
-    safe = np.maximum(idx, 0)
-    s = a * np.einsum("qd,qrd->qr", queries, image[safe]) + (
-        1.0 - a
-    ) * np.einsum("qd,qrd->qr", queries, text[safe])
-    s = np.where(idx >= 0, s, -np.inf).astype(np.float32)
+    s = None
+    if os.environ.get("KEMR_NATIVE_RERANK"):
+        # opt-in native single-pass kernel (native/rerank.cpp): ctypes
+        # releases the GIL for the WHOLE rescore, so concurrent server
+        # threads overlap on multi-core hosts. Single-threaded it measured
+        # slightly SLOWER than the BLAS loop below (64 vs 49 ms at
+        # [256, 80, 768] interleaved medians) — hence opt-in, not default.
+        from ..native.rerank_wrapper import rerank_scores_native
+
+        s = rerank_scores_native(
+            queries, np.asarray(image), np.asarray(text), idx, alpha
+        )
+    if s is None:
+        # per-query row gathers + BLAS matvec: a [R, D] slice stays
+        # cache-resident; the old one-shot [Q, R, D] einsum gather (tens of
+        # MB per tower) measured ~2.6x slower at serving shapes
+        a = np.broadcast_to(
+            np.asarray(alpha, np.float32).reshape(-1), (queries.shape[0],)
+        )
+        image = np.asarray(image)
+        text = np.asarray(text)
+        safe = np.maximum(idx, 0)
+        s = np.empty(idx.shape, np.float32)
+        for q in range(idx.shape[0]):
+            rows = safe[q]
+            s[q] = a[q] * (image[rows] @ queries[q]) + (1.0 - a[q]) * (
+                text[rows] @ queries[q]
+            )
+        s = np.where(idx >= 0, s, -np.inf).astype(np.float32)
     order = np.argsort(-s, axis=1, kind="stable")
     return np.take_along_axis(s, order, 1), np.take_along_axis(idx, order, 1)
 
@@ -599,6 +624,15 @@ def _fused_kernel(
         idx_ref[:] = idx_scr[:]
 
 
+# Query rows per fused-kernel invocation: the kernel's VMEM footprint
+# (query blocks + [Q, K + tile_n] merge copies + interior temporaries)
+# scales with Q, and Q=512 was measured to exceed the 16 MB scoped-vmem
+# limit at L/14 shapes (16.34M). Bigger batches chunk over this bound —
+# each chunk is a fresh full-corpus scan, so latency adds linearly, but
+# any batch size now compiles.
+_MAX_FUSED_Q = 256
+
+
 def _fused_topk_call(
     queries_img, queries_txt, img, txt, scales, *, k, alpha, tile_n, interpret, corpus_bytes,
     mode=None,
@@ -609,6 +643,29 @@ def _fused_topk_call(
     if mode is None:
         mode = "q8" if scales is not None else "exact"
     qn, d = queries_img.shape
+    if qn > _MAX_FUSED_Q:
+        # chunk the query axis: each chunk runs the kernel at its proven
+        # shape (corpus arrays are traced operands, not closed-over consts)
+        a = alpha_column(alpha, qn)
+        pad = (-qn) % _MAX_FUSED_Q
+        qi = jnp.pad(queries_img, ((0, pad), (0, 0)))
+        qt = jnp.pad(queries_txt, ((0, pad), (0, 0)))
+        ap = jnp.pad(a, ((0, pad), (0, 0)))
+        n_chunks = qi.shape[0] // _MAX_FUSED_Q
+
+        def one(args):
+            ci, ct, ca = args
+            return _fused_topk_call(
+                ci, ct, img, txt, scales, k=k, alpha=ca, tile_n=tile_n,
+                interpret=interpret, corpus_bytes=corpus_bytes, mode=mode,
+            )
+
+        vals, idx = jax.lax.map(one, (
+            qi.reshape(n_chunks, _MAX_FUSED_Q, -1),
+            qt.reshape(n_chunks, _MAX_FUSED_Q, -1),
+            ap.reshape(n_chunks, _MAX_FUSED_Q, 1),
+        ))
+        return vals.reshape(-1, k)[:qn], idx.reshape(-1, k)[:qn]
     n = img.shape[0]
     tile_n = min(tile_n, max(128, 1 << (n - 1).bit_length()))
     # VMEM budget: the merge works on [Q, K + tile_n] f32+i32 copies; keep the

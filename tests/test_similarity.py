@@ -173,11 +173,35 @@ def test_fused_k_larger_than_corpus(rng):
 
 
 def test_fused_large_query_batch(rng):
-    """Q=512 must pick a smaller tile and still match the oracle."""
+    """Q=512 chunks over _MAX_FUSED_Q (VMEM bound) and matches the oracle."""
     q, img, txt = _corpus(rng, n=2048, d=64, q=512)
     fv, fi = S.fused_similarity_topk(jnp.asarray(q), jnp.asarray(img), jnp.asarray(txt), k=5, interpret=True)
     xv, xi = S.similarity_topk_xla(jnp.asarray(q), jnp.asarray(img), jnp.asarray(txt), 5, 0.5)
     np.testing.assert_array_equal(np.asarray(fi), np.asarray(xi))
+
+
+def test_fused_chunked_per_query_alpha_and_tail(rng, monkeypatch):
+    """Query chunking keeps per-query alphas row-aligned, handles a tail
+    chunk (Q not a multiple of the bound), q8 path included."""
+    monkeypatch.setattr(S, "_MAX_FUSED_Q", 8)
+    q, img, txt = _corpus(rng, n=300, d=32, q=21)  # 21 = 2 chunks + tail 5
+    alphas = rng.uniform(0.0, 1.0, 21).astype(np.float32)
+    fv, fi = S.fused_similarity_topk(
+        jnp.asarray(q), jnp.asarray(img), jnp.asarray(txt),
+        k=6, alpha=alphas, tile_n=128, interpret=True,
+    )
+    xv, xi = S.similarity_topk_xla(jnp.asarray(q), jnp.asarray(img), jnp.asarray(txt), 6, alphas)
+    np.testing.assert_array_equal(np.asarray(fi), np.asarray(xi))
+    np.testing.assert_allclose(np.asarray(fv), np.asarray(xv), rtol=1e-5, atol=1e-6)
+
+    iq, isc = S.quantize_corpus(jnp.asarray(img))
+    tq, tsc = S.quantize_corpus(jnp.asarray(txt))
+    qv, qi = S.fused_similarity_topk_q8(
+        jnp.asarray(q), iq, isc, tq, tsc, k=6, alpha=alphas, tile_n=128, interpret=True
+    )
+    ov, oi = S.similarity_topk_xla_q8(jnp.asarray(q), iq, isc, tq, tsc, 6, alphas)
+    np.testing.assert_array_equal(np.asarray(qi), np.asarray(oi))
+    np.testing.assert_allclose(np.asarray(qv), np.asarray(ov), rtol=1e-5, atol=1e-6)
 
 
 # ---------------------------------------------------------------------------
