@@ -130,16 +130,21 @@ def make_train_step_lora(
     from ..models.clip import CLIP, l2_normalize
     from .losses import joint_loss_for_config
 
+    from .trainer import forward_for_config
+
     axis = rt.data_axis
     loss_axis = axis if cfg.global_negatives else None
     joint_loss = joint_loss_for_config(cfg)
+    # QAT composes: the MERGED weights (what serving quantizes after
+    # lora_merge) round through the fake-quant forward
+    fwd = forward_for_config(model, cfg)
 
     def local_step(base, adapters, opt_state, step, images, query_ids, target_ids):
         def loss_fn(ad):
             p = lora_merge(base, ad, scale)
-            img_e = l2_normalize(model.apply({"params": p}, images, method=CLIP.encode_image))
-            q_e = l2_normalize(model.apply({"params": p}, query_ids, method=CLIP.encode_text))
-            t_e = l2_normalize(model.apply({"params": p}, target_ids, method=CLIP.encode_text))
+            img_e = l2_normalize(fwd(p, images, CLIP.encode_image))
+            q_e = l2_normalize(fwd(p, query_ids, CLIP.encode_text))
+            t_e = l2_normalize(fwd(p, target_ids, CLIP.encode_text))
             return joint_loss(
                 img_e, q_e, t_e,
                 temperature=cfg.temperature,

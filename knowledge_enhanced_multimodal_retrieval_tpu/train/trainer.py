@@ -204,6 +204,18 @@ def device_prefetch(batches, place_fn: Callable, depth: int = 1):
 # ---------------------------------------------------------------------------
 
 
+def forward_for_config(model: CLIP, cfg: TrainConfig) -> Callable:
+    """Resolve the train-step forward: plain ``model.apply``, or the QAT
+    fake-quantized forward (``train.qat``) when ``cfg.qat`` — one seam
+    shared by the DP, tensor-parallel, and LoRA steps (like
+    ``joint_loss_for_config``)."""
+    if getattr(cfg, "qat", False):
+        from .qat import qat_apply
+
+        return lambda p, x, method: qat_apply(model, p, x, method=method)
+    return lambda p, x, method: model.apply({"params": p}, x, method=method)
+
+
 def make_train_step(
     model: CLIP,
     optimizer: optax.GradientTransformation,
@@ -219,12 +231,13 @@ def make_train_step(
     axis = rt.data_axis
     loss_axis = axis if cfg.global_negatives else None
     joint_loss = joint_loss_for_config(cfg)
+    fwd = forward_for_config(model, cfg)
 
     def local_step(params, opt_state, step, images, query_ids, target_ids):
         def loss_fn(p):
-            img_e = l2_normalize(model.apply({"params": p}, images, method=CLIP.encode_image))
-            q_e = l2_normalize(model.apply({"params": p}, query_ids, method=CLIP.encode_text))
-            t_e = l2_normalize(model.apply({"params": p}, target_ids, method=CLIP.encode_text))
+            img_e = l2_normalize(fwd(p, images, CLIP.encode_image))
+            q_e = l2_normalize(fwd(p, query_ids, CLIP.encode_text))
+            t_e = l2_normalize(fwd(p, target_ids, CLIP.encode_text))
             return joint_loss(
                 img_e,
                 q_e,
@@ -339,11 +352,12 @@ def make_train_step_gspmd(
     """
 
     joint_loss = joint_loss_for_config(cfg)
+    fwd = forward_for_config(model, cfg)
 
     def loss_fn(p, images, query_ids, target_ids):
-        img_e = l2_normalize(model.apply({"params": p}, images, method=CLIP.encode_image))
-        q_e = l2_normalize(model.apply({"params": p}, query_ids, method=CLIP.encode_text))
-        t_e = l2_normalize(model.apply({"params": p}, target_ids, method=CLIP.encode_text))
+        img_e = l2_normalize(fwd(p, images, CLIP.encode_image))
+        q_e = l2_normalize(fwd(p, query_ids, CLIP.encode_text))
+        t_e = l2_normalize(fwd(p, target_ids, CLIP.encode_text))
         return joint_loss(
             img_e, q_e, t_e,
             temperature=cfg.temperature,

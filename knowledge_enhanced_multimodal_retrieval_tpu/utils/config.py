@@ -273,6 +273,12 @@ class TrainConfig:
     # always appended) so prefixes serve as standalone embeddings —
     # consumed by CLIPRetrieval(truncate_dim=d) / eval.truncate_dim
     matryoshka_dims: Tuple[int, ...] = ()
+    # quantization-aware training (train/qat.py): the forward fake-quantizes
+    # projection weights (per-output-channel int8) and their inputs
+    # (per-row dynamic int8) through straight-through estimators — the same
+    # roundings eval.encoder=int8 serving applies, so deployment
+    # quantization is loss-aware. Checkpoints stay full-precision f32.
+    qat: bool = False
     grad_accum_steps: int = 1
     grad_clip_norm: float = 1.0
     early_stop_patience: int = 5
