@@ -227,6 +227,15 @@ def main() -> None:
     p.add_argument("--quick", action="store_true", help="tiny sizes for smoke-testing")
     args = p.parse_args()
 
+    # persistent client-side compile cache: the relay does NOT share its
+    # compile cache across processes, so without this every bench run
+    # re-pays every L/14 remote compile (minutes each). Survives restarts.
+    from knowledge_enhanced_multimodal_retrieval_tpu.ops.dispatch import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
     if args.quick:
         args.corpus, args.batch, args.iters, args.model = 4096, 64, 5, "ViT-B/32"
 

@@ -22,7 +22,7 @@ Named variants: ViT-B/32, ViT-B/16, ViT-L/14 (reference
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -153,8 +153,17 @@ class VisionTransformer(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, images: jax.Array) -> jax.Array:
-        """images: [B, H, W, 3] (NHWC, preprocessed) -> [B, embed_dim] (unnormalized)."""
+    def __call__(self, images: jax.Array, keep_idx: Optional[jax.Array] = None) -> jax.Array:
+        """images: [B, H, W, 3] (NHWC, preprocessed) -> [B, embed_dim] (unnormalized).
+
+        ``keep_idx`` ([B, P_keep] int32 patch indices) enables FLIP-style
+        masked training (Li et al. 2022, arXiv:2212.00794): only the listed
+        patch tokens (plus the class token) enter the transformer, cutting
+        the tower's FLOPs by the mask ratio with a STATIC token count —
+        TPU-friendly (no ragged shapes). Tokens are gathered AFTER the
+        positional embedding is added, so each kept patch carries its true
+        position. Inference passes None (full token grid).
+        """
         a = self.arch
         x = nn.Conv(
             a.vision_width,
@@ -176,6 +185,12 @@ class VisionTransformer(nn.Module):
         )
         cls_tok = jnp.broadcast_to(cls.astype(self.dtype), (b, 1, a.vision_width))
         x = jnp.concatenate([cls_tok, x], axis=1) + pos.astype(self.dtype)
+        if keep_idx is not None:
+            # class token (slot 0) always survives; patch slot i lives at 1+i
+            gather = jnp.concatenate(
+                [jnp.zeros((b, 1), jnp.int32), keep_idx.astype(jnp.int32) + 1], axis=1
+            )
+            x = jnp.take_along_axis(x, gather[..., None], axis=1)
         x = LayerNormF32(name="ln_pre")(x)
         x = Transformer(a.vision_width, a.vision_layers, a.heads_vision, self.dtype, self.remat, name="transformer")(x)
         x = LayerNormF32(name="ln_post")(x[:, 0, :])
@@ -239,8 +254,8 @@ class CLIP(nn.Module):
             "logit_scale", lambda key: jnp.asarray(jnp.log(1.0 / 0.07), jnp.float32)
         )
 
-    def encode_image(self, images: jax.Array) -> jax.Array:
-        return self.visual(images)
+    def encode_image(self, images: jax.Array, keep_idx: Optional[jax.Array] = None) -> jax.Array:
+        return self.visual(images, keep_idx)
 
     def encode_text(self, ids: jax.Array) -> jax.Array:
         return self.text(ids)

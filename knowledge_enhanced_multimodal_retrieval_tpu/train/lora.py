@@ -130,7 +130,7 @@ def make_train_step_lora(
     from ..models.clip import CLIP, l2_normalize
     from .losses import joint_loss_for_config
 
-    from .trainer import forward_for_config
+    from .trainer import forward_for_config, sample_keep_idx
 
     axis = rt.data_axis
     loss_axis = axis if cfg.global_negatives else None
@@ -138,13 +138,23 @@ def make_train_step_lora(
     # QAT composes: the MERGED weights (what serving quantizes after
     # lora_merge) round through the fake-quant forward
     fwd = forward_for_config(model, cfg)
+    mask_ratio = getattr(cfg, "image_mask_ratio", 0.0)
+    n_patches = model.arch.grid_size**2
+    base_key = jax.random.PRNGKey(cfg.seed)
 
     def local_step(base, adapters, opt_state, step, images, query_ids, target_ids):
+        img_args = (images,)
+        if mask_ratio > 0:
+            rng = jax.random.fold_in(
+                jax.random.fold_in(base_key, step), jax.lax.axis_index(axis)
+            )
+            img_args = (images, sample_keep_idx(rng, images.shape[0], n_patches, mask_ratio))
+
         def loss_fn(ad):
             p = lora_merge(base, ad, scale)
-            img_e = l2_normalize(fwd(p, images, CLIP.encode_image))
-            q_e = l2_normalize(fwd(p, query_ids, CLIP.encode_text))
-            t_e = l2_normalize(fwd(p, target_ids, CLIP.encode_text))
+            img_e = l2_normalize(fwd(p, *img_args, method=CLIP.encode_image))
+            q_e = l2_normalize(fwd(p, query_ids, method=CLIP.encode_text))
+            t_e = l2_normalize(fwd(p, target_ids, method=CLIP.encode_text))
             return joint_loss(
                 img_e, q_e, t_e,
                 temperature=cfg.temperature,

@@ -208,12 +208,22 @@ def forward_for_config(model: CLIP, cfg: TrainConfig) -> Callable:
     """Resolve the train-step forward: plain ``model.apply``, or the QAT
     fake-quantized forward (``train.qat``) when ``cfg.qat`` — one seam
     shared by the DP, tensor-parallel, and LoRA steps (like
-    ``joint_loss_for_config``)."""
+    ``joint_loss_for_config``). Extra positional args (e.g. the FLIP
+    ``keep_idx``) pass through to the module method."""
     if getattr(cfg, "qat", False):
         from .qat import qat_apply
 
-        return lambda p, x, method: qat_apply(model, p, x, method=method)
-    return lambda p, x, method: model.apply({"params": p}, x, method=method)
+        return lambda p, *args, method: qat_apply(model, p, *args, method=method)
+    return lambda p, *args, method: model.apply({"params": p}, *args, method=method)
+
+
+def sample_keep_idx(rng, batch: int, n_patches: int, ratio: float) -> jax.Array:
+    """FLIP patch subsets: [B, P_keep] random patch indices per image
+    (uniform noise + static top-k — no ragged shapes, fully on-device)."""
+    keep = max(1, int(round(n_patches * (1.0 - ratio))))
+    noise = jax.random.uniform(rng, (batch, n_patches))
+    _, idx = jax.lax.top_k(noise, keep)
+    return idx.astype(jnp.int32)
 
 
 def make_train_step(
@@ -232,12 +242,24 @@ def make_train_step(
     loss_axis = axis if cfg.global_negatives else None
     joint_loss = joint_loss_for_config(cfg)
     fwd = forward_for_config(model, cfg)
+    mask_ratio = getattr(cfg, "image_mask_ratio", 0.0)
+    n_patches = model.arch.grid_size**2
+    base_key = jax.random.PRNGKey(cfg.seed)
 
     def local_step(params, opt_state, step, images, query_ids, target_ids):
+        img_args = (images,)
+        if mask_ratio > 0:
+            # FLIP masking: fresh per-image subsets each step, decorrelated
+            # across shards (fold in the axis index)
+            rng = jax.random.fold_in(
+                jax.random.fold_in(base_key, step), jax.lax.axis_index(axis)
+            )
+            img_args = (images, sample_keep_idx(rng, images.shape[0], n_patches, mask_ratio))
+
         def loss_fn(p):
-            img_e = l2_normalize(fwd(p, images, CLIP.encode_image))
-            q_e = l2_normalize(fwd(p, query_ids, CLIP.encode_text))
-            t_e = l2_normalize(fwd(p, target_ids, CLIP.encode_text))
+            img_e = l2_normalize(fwd(p, *img_args, method=CLIP.encode_image))
+            q_e = l2_normalize(fwd(p, query_ids, method=CLIP.encode_text))
+            t_e = l2_normalize(fwd(p, target_ids, method=CLIP.encode_text))
             return joint_loss(
                 img_e,
                 q_e,
@@ -353,11 +375,15 @@ def make_train_step_gspmd(
 
     joint_loss = joint_loss_for_config(cfg)
     fwd = forward_for_config(model, cfg)
+    mask_ratio = getattr(cfg, "image_mask_ratio", 0.0)
+    n_patches = model.arch.grid_size**2
+    base_key = jax.random.PRNGKey(cfg.seed)
 
-    def loss_fn(p, images, query_ids, target_ids):
-        img_e = l2_normalize(fwd(p, images, CLIP.encode_image))
-        q_e = l2_normalize(fwd(p, query_ids, CLIP.encode_text))
-        t_e = l2_normalize(fwd(p, target_ids, CLIP.encode_text))
+    def loss_fn(p, images, query_ids, target_ids, keep_idx):
+        img_args = (images,) if keep_idx is None else (images, keep_idx)
+        img_e = l2_normalize(fwd(p, *img_args, method=CLIP.encode_image))
+        q_e = l2_normalize(fwd(p, query_ids, method=CLIP.encode_text))
+        t_e = l2_normalize(fwd(p, target_ids, method=CLIP.encode_text))
         return joint_loss(
             img_e, q_e, t_e,
             temperature=cfg.temperature,
@@ -367,8 +393,16 @@ def make_train_step_gspmd(
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch):
+        keep_idx = None
+        if mask_ratio > 0:
+            # keep_idx inherits the batch's data sharding via take_along_axis
+            rng = jax.random.fold_in(base_key, state["step"])
+            keep_idx = sample_keep_idx(
+                rng, batch["images"].shape[0], n_patches, mask_ratio
+            )
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state["params"], batch["images"], batch["query_ids"], batch["target_ids"]
+            state["params"], batch["images"], batch["query_ids"], batch["target_ids"],
+            keep_idx,
         )
         updates, opt_state = optimizer.update(grads, state["opt_state"], state["params"])
         params = optax.apply_updates(state["params"], updates)

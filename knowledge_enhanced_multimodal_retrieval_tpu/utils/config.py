@@ -273,6 +273,11 @@ class TrainConfig:
     # always appended) so prefixes serve as standalone embeddings —
     # consumed by CLIPRetrieval(truncate_dim=d) / eval.truncate_dim
     matryoshka_dims: Tuple[int, ...] = ()
+    # FLIP-style masked image training (Li et al. 2022): drop this fraction
+    # of patch tokens per image in the TRAIN forward (static token count,
+    # class token kept, eval/serving unmasked) — vision-tower train FLOPs
+    # scale by (1 - ratio); FLIP found 0.5 near-lossless for CLIP objectives
+    image_mask_ratio: float = 0.0
     # quantization-aware training (train/qat.py): the forward fake-quantizes
     # projection weights (per-output-channel int8) and their inputs
     # (per-row dynamic int8) through straight-through estimators — the same

@@ -179,5 +179,5 @@ def test_qat_composes_with_matryoshka_config():
 
     fwd = forward_for_config(model, cfg)
     ids = jnp.zeros((2, 16), jnp.int32)
-    out = fwd(params, ids, CLIP.encode_text)
+    out = fwd(params, ids, method=CLIP.encode_text)
     assert out.shape == (2, 16) and bool(jnp.all(jnp.isfinite(out)))
