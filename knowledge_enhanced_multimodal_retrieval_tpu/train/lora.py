@@ -150,11 +150,7 @@ def make_train_step_lora(
             )
             img_args = (images, sample_keep_idx(rng, images.shape[0], n_patches, mask_ratio))
 
-        def loss_fn(ad):
-            p = lora_merge(base, ad, scale)
-            img_e = l2_normalize(fwd(p, *img_args, method=CLIP.encode_image))
-            q_e = l2_normalize(fwd(p, query_ids, method=CLIP.encode_text))
-            t_e = l2_normalize(fwd(p, target_ids, method=CLIP.encode_text))
+        def emb_loss(img_e, q_e, t_e):
             return joint_loss(
                 img_e, q_e, t_e,
                 temperature=cfg.temperature,
@@ -163,7 +159,34 @@ def make_train_step_lora(
                 axis_name=loss_axis,
             )
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(adapters)
+        n_gc = int(getattr(cfg, "grad_cache_chunks", 0))
+        if n_gc > 1:
+            # GradCache over the adapters: the frozen base rides inside the
+            # encoder closures (non-differentiated), merge happens per chunk
+            from .gradcache import gradcache_value_and_grad
+
+            enc_img = lambda ad, *xs: l2_normalize(  # noqa: E731
+                fwd(lora_merge(base, ad, scale), *xs, method=CLIP.encode_image)
+            )
+            enc_txt = lambda ad, ids: l2_normalize(  # noqa: E731
+                fwd(lora_merge(base, ad, scale), ids, method=CLIP.encode_text)
+            )
+            (loss, metrics), grads = gradcache_value_and_grad(
+                emb_loss,
+                [(enc_img, img_args), (enc_txt, (query_ids,)), (enc_txt, (target_ids,))],
+                adapters,
+                n_gc,
+            )
+        else:
+
+            def loss_fn(ad):
+                p = lora_merge(base, ad, scale)
+                img_e = l2_normalize(fwd(p, *img_args, method=CLIP.encode_image))
+                q_e = l2_normalize(fwd(p, query_ids, method=CLIP.encode_text))
+                t_e = l2_normalize(fwd(p, target_ids, method=CLIP.encode_text))
+                return emb_loss(img_e, q_e, t_e)
+
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(adapters)
         grads = jax.lax.pmean(grads, axis)
         metrics = jax.lax.pmean(metrics, axis)
         updates, new_opt_state = optimizer.update(grads, opt_state, adapters)

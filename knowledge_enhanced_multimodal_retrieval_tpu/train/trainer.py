@@ -245,6 +245,7 @@ def make_train_step(
     mask_ratio = getattr(cfg, "image_mask_ratio", 0.0)
     n_patches = model.arch.grid_size**2
     base_key = jax.random.PRNGKey(cfg.seed)
+    n_gc = int(getattr(cfg, "grad_cache_chunks", 0))
 
     def local_step(params, opt_state, step, images, query_ids, target_ids):
         img_args = (images,)
@@ -256,10 +257,7 @@ def make_train_step(
             )
             img_args = (images, sample_keep_idx(rng, images.shape[0], n_patches, mask_ratio))
 
-        def loss_fn(p):
-            img_e = l2_normalize(fwd(p, *img_args, method=CLIP.encode_image))
-            q_e = l2_normalize(fwd(p, query_ids, method=CLIP.encode_text))
-            t_e = l2_normalize(fwd(p, target_ids, method=CLIP.encode_text))
+        def emb_loss(img_e, q_e, t_e):
             return joint_loss(
                 img_e,
                 q_e,
@@ -270,7 +268,28 @@ def make_train_step(
                 axis_name=loss_axis,
             )
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        if n_gc > 1:
+            # GradCache (train/gradcache.py): chunked encoder passes, full
+            # negative pool — activation memory 1/n_gc at ~2x forward cost
+            from .gradcache import gradcache_value_and_grad
+
+            enc_img = lambda p, *xs: l2_normalize(fwd(p, *xs, method=CLIP.encode_image))  # noqa: E731
+            enc_txt = lambda p, ids: l2_normalize(fwd(p, ids, method=CLIP.encode_text))  # noqa: E731
+            (loss, metrics), grads = gradcache_value_and_grad(
+                emb_loss,
+                [(enc_img, img_args), (enc_txt, (query_ids,)), (enc_txt, (target_ids,))],
+                params,
+                n_gc,
+            )
+        else:
+
+            def loss_fn(p):
+                img_e = l2_normalize(fwd(p, *img_args, method=CLIP.encode_image))
+                q_e = l2_normalize(fwd(p, query_ids, method=CLIP.encode_text))
+                t_e = l2_normalize(fwd(p, target_ids, method=CLIP.encode_text))
+                return emb_loss(img_e, q_e, t_e)
+
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         grads = jax.lax.pmean(grads, axis)
         metrics = jax.lax.pmean(metrics, axis)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)

@@ -273,6 +273,13 @@ class TrainConfig:
     # always appended) so prefixes serve as standalone embeddings —
     # consumed by CLIPRetrieval(truncate_dim=d) / eval.truncate_dim
     matryoshka_dims: Tuple[int, ...] = ()
+    # GradCache (train/gradcache.py, Gao et al. 2021): encode each tower in
+    # this many chunks per step (0/1 = off) — activation memory scales 1/C
+    # at ~2x encoder forward cost while the contrastive negative pool keeps
+    # the FULL batch (grad_accum_steps shrinks the pool; this doesn't).
+    # Gradients are math-identical to the direct step. Must divide the
+    # per-shard batch.
+    grad_cache_chunks: int = 0
     # FLIP-style masked image training (Li et al. 2022): drop this fraction
     # of patch tokens per image in the TRAIN forward (static token count,
     # class token kept, eval/serving unmasked) — vision-tower train FLOPs
