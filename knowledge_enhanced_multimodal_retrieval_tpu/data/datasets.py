@@ -20,7 +20,7 @@ from __future__ import annotations
 import concurrent.futures as cf
 import random
 from dataclasses import dataclass
-from typing import Any, Iterator, List, Mapping, Protocol, Sequence
+from typing import Any, Iterator, List, Mapping, Optional, Protocol, Sequence
 
 import numpy as np
 
@@ -83,6 +83,7 @@ class Batch:
     target_ids: np.ndarray  # [B, context] int32
     uuids: List[str]
     decode_ok: np.ndarray  # [B] bool — False where zero-image fallback fired
+    indices: Optional[np.ndarray] = None  # [B] int64 source rows (hard-negative lookup)
 
 
 class DataPipeline:
@@ -131,7 +132,24 @@ class DataPipeline:
             target_ids=self.tokenizer(targets, context_length=self.context_length),
             uuids=[r["uuid"] for r in records],
             decode_ok=decode_ok,
+            indices=np.asarray(list(indices), np.int64),
         )
+
+    def negative_target_ids(
+        self, indices: np.ndarray, table: np.ndarray, k: int
+    ) -> np.ndarray:
+        """[B] batch rows + [N, M] mined table -> [B, k, L] tokenized target
+        texts of each example's top-k mined hard negatives
+        (``train/negatives.py``). Tokenizes each unique negative once per
+        batch (mined tables repeat rows heavily across a batch)."""
+        sel = np.asarray(table)[np.asarray(indices)][:, :k]  # [B, k]
+        uniq, inv = np.unique(sel, return_inverse=True)
+        texts = [
+            truncate_words(self.source[int(i)]["target_text"], self.max_text_words)
+            for i in uniq
+        ]
+        toks = self.tokenizer(texts, context_length=self.context_length)
+        return np.asarray(toks)[inv].reshape(sel.shape[0], k, -1)
 
     def epoch_batches(
         self,

@@ -6,5 +6,6 @@ from .losses import (  # noqa: F401
     joint_sigmoid_loss,
     sigmoid_contrastive,
 )
+from .negatives import load_negatives, mine_hard_negatives, save_negatives  # noqa: F401
 from .schedule import cosine_annealing_lr  # noqa: F401
 from .trainer import CLIPTrainer, EarlyStopper, make_encode_step, make_optimizer, make_train_step  # noqa: F401

@@ -142,7 +142,10 @@ def make_train_step_lora(
     n_patches = model.arch.grid_size**2
     base_key = jax.random.PRNGKey(cfg.seed)
 
-    def local_step(base, adapters, opt_state, step, images, query_ids, target_ids):
+    use_negs = bool(getattr(cfg, "hard_negatives", "")) and getattr(cfg, "hard_negatives_k", 0) > 0
+
+    def local_step(base, adapters, opt_state, step, images, query_ids, target_ids, *rest):
+        neg_ids = rest[0] if use_negs else None
         img_args = (images,)
         if mask_ratio > 0:
             rng = jax.random.fold_in(
@@ -150,14 +153,26 @@ def make_train_step_lora(
             )
             img_args = (images, sample_keep_idx(rng, images.shape[0], n_patches, mask_ratio))
 
-        def emb_loss(img_e, q_e, t_e):
+        def emb_loss(img_e, q_e, t_e, neg_e=None):
+            kw = {} if neg_e is None else {"neg_text_features": neg_e}
             return joint_loss(
                 img_e, q_e, t_e,
                 temperature=cfg.temperature,
                 t2i_weight=cfg.t2i_weight,
                 t2t_weight=cfg.t2t_weight,
                 axis_name=loss_axis,
+                **kw,
             )
+
+        enc_img = lambda ad, *xs: l2_normalize(  # noqa: E731
+            fwd(lora_merge(base, ad, scale), *xs, method=CLIP.encode_image)
+        )
+        enc_txt = lambda ad, ids: l2_normalize(  # noqa: E731
+            fwd(lora_merge(base, ad, scale), ids, method=CLIP.encode_text)
+        )
+        neg_flat = (
+            neg_ids.reshape(-1, neg_ids.shape[-1]) if neg_ids is not None else None
+        )
 
         n_gc = int(getattr(cfg, "grad_cache_chunks", 0))
         if n_gc > 1:
@@ -165,26 +180,20 @@ def make_train_step_lora(
             # encoder closures (non-differentiated), merge happens per chunk
             from .gradcache import gradcache_value_and_grad
 
-            enc_img = lambda ad, *xs: l2_normalize(  # noqa: E731
-                fwd(lora_merge(base, ad, scale), *xs, method=CLIP.encode_image)
-            )
-            enc_txt = lambda ad, ids: l2_normalize(  # noqa: E731
-                fwd(lora_merge(base, ad, scale), ids, method=CLIP.encode_text)
-            )
+            towers = [(enc_img, img_args), (enc_txt, (query_ids,)), (enc_txt, (target_ids,))]
+            if neg_flat is not None:
+                towers.append((enc_txt, (neg_flat,)))
             (loss, metrics), grads = gradcache_value_and_grad(
-                emb_loss,
-                [(enc_img, img_args), (enc_txt, (query_ids,)), (enc_txt, (target_ids,))],
-                adapters,
-                n_gc,
+                emb_loss, towers, adapters, n_gc
             )
         else:
 
             def loss_fn(ad):
-                p = lora_merge(base, ad, scale)
-                img_e = l2_normalize(fwd(p, *img_args, method=CLIP.encode_image))
-                q_e = l2_normalize(fwd(p, query_ids, method=CLIP.encode_text))
-                t_e = l2_normalize(fwd(p, target_ids, method=CLIP.encode_text))
-                return emb_loss(img_e, q_e, t_e)
+                img_e = enc_img(ad, *img_args)
+                q_e = enc_txt(ad, query_ids)
+                t_e = enc_txt(ad, target_ids)
+                neg_e = enc_txt(ad, neg_flat) if neg_flat is not None else None
+                return emb_loss(img_e, q_e, t_e, neg_e)
 
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(adapters)
         grads = jax.lax.pmean(grads, axis)
@@ -195,10 +204,13 @@ def make_train_step_lora(
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_adapters, new_opt_state, step + 1, metrics
 
+    in_specs = (P(), P(), P(), P(), P(axis), P(axis), P(axis))
+    if use_negs:
+        in_specs = in_specs + (P(axis),)
     sharded = shard_map(
         local_step,
         mesh=rt.mesh,
-        in_specs=(P(), P(), P(), P(), P(axis), P(axis), P(axis)),
+        in_specs=in_specs,
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
@@ -206,9 +218,10 @@ def make_train_step_lora(
     # donate only the adapter state — the base tree is reused every step
     @functools.partial(jax.jit, donate_argnums=(1,))
     def train_step(base, state, batch):
+        extra = (batch["neg_ids"],) if use_negs else ()
         adapters, opt_state, step, metrics = sharded(
             base, state["params"], state["opt_state"], state["step"],
-            batch["images"], batch["query_ids"], batch["target_ids"],
+            batch["images"], batch["query_ids"], batch["target_ids"], *extra,
         )
         return {"params": adapters, "opt_state": opt_state, "step": step}, metrics
 

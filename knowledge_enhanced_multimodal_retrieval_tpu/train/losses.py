@@ -21,46 +21,55 @@ import jax
 import jax.numpy as jnp
 
 
-def _cross_entropy_with_diagonal_labels(logits: jax.Array) -> jax.Array:
-    """Mean CE where example i's label is class i (possibly offset for sharded
-    batches: pass pre-offset labels via ``labels``)."""
-    n = logits.shape[0]
-    labels = jnp.arange(n)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    return -jnp.mean(logp[jnp.arange(n), labels])
-
-
 def info_nce(
     features_a: jax.Array,
     features_b: jax.Array,
     temperature: float = 0.07,
     axis_name: Optional[str] = None,
+    negatives_a: Optional[jax.Array] = None,
+    negatives_b: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Symmetric InfoNCE over L2-normalized features [B, D].
 
     With ``axis_name`` (inside ``shard_map``/``pmap``), negatives come from
     the whole global batch: both sides are all-gathered and each shard
     computes the loss rows belonging to its local examples.
+
+    ``negatives_b`` ([K, D]) appends extra b-type candidate rows to the
+    a→b direction's denominator (and ``negatives_a`` symmetrically to
+    b→a) — the mined hard-negative hook (``train/negatives.py``). Extra
+    rows are never labels, only competition; under ``axis_name`` they are
+    all-gathered like the batch so every shard competes against every
+    shard's mined rows.
     """
     a = features_a.astype(jnp.float32)
     b = features_b.astype(jnp.float32)
+    n_local = a.shape[0]
     if axis_name is None:
-        logits = (a @ b.T) / temperature
-        loss_a2b = _cross_entropy_with_diagonal_labels(logits)
-        loss_b2a = _cross_entropy_with_diagonal_labels(logits.T)
+        a_all, b_all, offset = a, b, 0
+        na, nb = negatives_a, negatives_b
     else:
         b_all = jax.lax.all_gather(b, axis_name, tiled=True)  # [B_global, D]
         a_all = jax.lax.all_gather(a, axis_name, tiled=True)
-        n_local = a.shape[0]
         offset = jax.lax.axis_index(axis_name) * n_local
-        labels = offset + jnp.arange(n_local)
-        logits_ab = (a @ b_all.T) / temperature  # [B_local, B_global]
-        logits_ba = (b @ a_all.T) / temperature
-        logp_ab = jax.nn.log_softmax(logits_ab, axis=-1)
-        logp_ba = jax.nn.log_softmax(logits_ba, axis=-1)
-        rows = jnp.arange(n_local)
-        loss_a2b = -jnp.mean(logp_ab[rows, labels])
-        loss_b2a = -jnp.mean(logp_ba[rows, labels])
+        na = (
+            jax.lax.all_gather(negatives_a.astype(jnp.float32), axis_name, tiled=True)
+            if negatives_a is not None
+            else None
+        )
+        nb = (
+            jax.lax.all_gather(negatives_b.astype(jnp.float32), axis_name, tiled=True)
+            if negatives_b is not None
+            else None
+        )
+    b_pool = b_all if nb is None else jnp.concatenate([b_all, nb.astype(jnp.float32)], axis=0)
+    a_pool = a_all if na is None else jnp.concatenate([a_all, na.astype(jnp.float32)], axis=0)
+    rows = jnp.arange(n_local)
+    labels = offset + rows
+    logp_ab = jax.nn.log_softmax((a @ b_pool.T) / temperature, axis=-1)
+    logp_ba = jax.nn.log_softmax((b @ a_pool.T) / temperature, axis=-1)
+    loss_a2b = -jnp.mean(logp_ab[rows, labels])
+    loss_b2a = -jnp.mean(logp_ba[rows, labels])
     loss = (loss_a2b + loss_b2a) / 2.0
     return loss, {"loss": loss, "loss_a2b": loss_a2b, "loss_b2a": loss_b2a}
 
@@ -105,7 +114,7 @@ def matryoshka_joint_loss(base_joint, dims) -> "Callable":
 
     from ..ops.similarity import prefix_normalize
 
-    def joint(image_features, query_features, target_features, **kw):
+    def joint(image_features, query_features, target_features, neg_text_features=None, **kw):
         full = image_features.shape[-1]
         if any(d > full for d in dims):
             raise ValueError(
@@ -120,6 +129,11 @@ def matryoshka_joint_loss(base_joint, dims) -> "Callable":
                 prefix_normalize(image_features, d),
                 prefix_normalize(query_features, d),
                 prefix_normalize(target_features, d),
+                neg_text_features=(
+                    prefix_normalize(neg_text_features, d)
+                    if neg_text_features is not None
+                    else None
+                ),
                 **kw,
             )
             total = total + loss_d
@@ -144,6 +158,8 @@ def sigmoid_contrastive(
     temperature: float = 0.1,
     bias: float = -10.0,
     axis_name: Optional[str] = None,
+    negatives_a: Optional[jax.Array] = None,
+    negatives_b: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """SigLIP-style pairwise sigmoid loss (Zhai et al. 2023) — the
     TPU-native alternative to :func:`info_nce` (the reference trains with
@@ -169,14 +185,32 @@ def sigmoid_contrastive(
     if axis_name is None:
         b_all = b
         offset = 0
+        na, nb = negatives_a, negatives_b
     else:
         b_all = jax.lax.all_gather(b, axis_name, tiled=True)  # [B_global, D]
         offset = jax.lax.axis_index(axis_name) * n_local
+        na = (
+            jax.lax.all_gather(negatives_a.astype(jnp.float32), axis_name, tiled=True)
+            if negatives_a is not None
+            else None
+        )
+        nb = (
+            jax.lax.all_gather(negatives_b.astype(jnp.float32), axis_name, tiled=True)
+            if negatives_b is not None
+            else None
+        )
     logits = (a @ b_all.T) / temperature + bias  # [B_local, B_global]
     rows = jnp.arange(n_local)
     z = -jnp.ones_like(logits)
     z = z.at[rows, offset + rows].set(1.0)
     loss = -jnp.mean(jnp.sum(jax.nn.log_sigmoid(z * logits), axis=-1))
+    # mined extras: pure negative pairs, same per-local-example mean scale
+    if nb is not None:
+        neg_logits = (a @ nb.astype(jnp.float32).T) / temperature + bias
+        loss = loss - jnp.mean(jnp.sum(jax.nn.log_sigmoid(-neg_logits), axis=-1))
+    if na is not None:
+        neg_logits = (b @ na.astype(jnp.float32).T) / temperature + bias
+        loss = loss - jnp.mean(jnp.sum(jax.nn.log_sigmoid(-neg_logits), axis=-1))
     return loss, {"loss": loss}
 
 
@@ -189,14 +223,23 @@ def joint_sigmoid_loss(
     t2t_weight: float = 0.5,
     bias: float = -10.0,
     axis_name: Optional[str] = None,
+    neg_text_features: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """:func:`joint_contrastive_loss` with :func:`sigmoid_contrastive`
     parts — same pairing (T2I: target↔image, T2T: query↔target), same
-    normalized weights, sigmoid pair losses instead of softmax InfoNCE."""
+    normalized weights, sigmoid pair losses instead of softmax InfoNCE.
+    Mined text negatives add pure negative-pair terms (image-vs-neg in
+    T2I, query-vs-neg in T2T)."""
     wsum = t2i_weight + t2t_weight
     w_t2i, w_t2t = t2i_weight / wsum, t2t_weight / wsum
-    loss_t2i, _ = sigmoid_contrastive(target_features, image_features, temperature, bias, axis_name)
-    loss_t2t, _ = sigmoid_contrastive(query_features, target_features, temperature, bias, axis_name)
+    loss_t2i, _ = sigmoid_contrastive(
+        target_features, image_features, temperature, bias, axis_name,
+        negatives_a=neg_text_features,
+    )
+    loss_t2t, _ = sigmoid_contrastive(
+        query_features, target_features, temperature, bias, axis_name,
+        negatives_b=neg_text_features,
+    )
     total = w_t2i * loss_t2i + w_t2t * loss_t2t
     return total, {
         "loss": total,
@@ -215,13 +258,27 @@ def joint_contrastive_loss(
     t2i_weight: float = 0.5,
     t2t_weight: float = 0.5,
     axis_name: Optional[str] = None,
+    neg_text_features: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Joint loss: ``w_t2i * InfoNCE(target, image) + w_t2t * InfoNCE(query, target)``
-    with weights normalized to sum 1 (``losses.py:95-98``)."""
+    with weights normalized to sum 1 (``losses.py:95-98``).
+
+    ``neg_text_features`` ([K, D], L2-normalized) are mined hard-negative
+    target-text embeddings (``train/negatives.py``) added to both terms'
+    candidate pools."""
     wsum = t2i_weight + t2t_weight
     w_t2i, w_t2t = t2i_weight / wsum, t2t_weight / wsum
-    loss_t2i, _ = info_nce(target_features, image_features, temperature, axis_name)
-    loss_t2t, _ = info_nce(query_features, target_features, temperature, axis_name)
+    # mined hard negatives are TARGET TEXTS: in T2I (a=target, b=image) they
+    # extend the image→text pool (negatives_a); in T2T (a=query, b=target)
+    # the query→target pool (negatives_b)
+    loss_t2i, _ = info_nce(
+        target_features, image_features, temperature, axis_name,
+        negatives_a=neg_text_features,
+    )
+    loss_t2t, _ = info_nce(
+        query_features, target_features, temperature, axis_name,
+        negatives_b=neg_text_features,
+    )
     total = w_t2i * loss_t2i + w_t2t * loss_t2t
     return total, {
         "loss": total,

@@ -246,8 +246,10 @@ def make_train_step(
     n_patches = model.arch.grid_size**2
     base_key = jax.random.PRNGKey(cfg.seed)
     n_gc = int(getattr(cfg, "grad_cache_chunks", 0))
+    use_negs = bool(getattr(cfg, "hard_negatives", "")) and getattr(cfg, "hard_negatives_k", 0) > 0
 
-    def local_step(params, opt_state, step, images, query_ids, target_ids):
+    def local_step(params, opt_state, step, images, query_ids, target_ids, *rest):
+        neg_ids = rest[0] if use_negs else None  # [B, k, L] mined target texts
         img_args = (images,)
         if mask_ratio > 0:
             # FLIP masking: fresh per-image subsets each step, decorrelated
@@ -257,7 +259,8 @@ def make_train_step(
             )
             img_args = (images, sample_keep_idx(rng, images.shape[0], n_patches, mask_ratio))
 
-        def emb_loss(img_e, q_e, t_e):
+        def emb_loss(img_e, q_e, t_e, neg_e=None):
+            kw = {} if neg_e is None else {"neg_text_features": neg_e}
             return joint_loss(
                 img_e,
                 q_e,
@@ -266,28 +269,34 @@ def make_train_step(
                 t2i_weight=cfg.t2i_weight,
                 t2t_weight=cfg.t2t_weight,
                 axis_name=loss_axis,
+                **kw,
             )
+
+        enc_img = lambda p, *xs: l2_normalize(fwd(p, *xs, method=CLIP.encode_image))  # noqa: E731
+        enc_txt = lambda p, ids: l2_normalize(fwd(p, ids, method=CLIP.encode_text))  # noqa: E731
+        neg_flat = (
+            neg_ids.reshape(-1, neg_ids.shape[-1]) if neg_ids is not None else None
+        )
 
         if n_gc > 1:
             # GradCache (train/gradcache.py): chunked encoder passes, full
             # negative pool — activation memory 1/n_gc at ~2x forward cost
             from .gradcache import gradcache_value_and_grad
 
-            enc_img = lambda p, *xs: l2_normalize(fwd(p, *xs, method=CLIP.encode_image))  # noqa: E731
-            enc_txt = lambda p, ids: l2_normalize(fwd(p, ids, method=CLIP.encode_text))  # noqa: E731
+            towers = [(enc_img, img_args), (enc_txt, (query_ids,)), (enc_txt, (target_ids,))]
+            if neg_flat is not None:
+                towers.append((enc_txt, (neg_flat,)))
             (loss, metrics), grads = gradcache_value_and_grad(
-                emb_loss,
-                [(enc_img, img_args), (enc_txt, (query_ids,)), (enc_txt, (target_ids,))],
-                params,
-                n_gc,
+                emb_loss, towers, params, n_gc
             )
         else:
 
             def loss_fn(p):
-                img_e = l2_normalize(fwd(p, *img_args, method=CLIP.encode_image))
-                q_e = l2_normalize(fwd(p, query_ids, method=CLIP.encode_text))
-                t_e = l2_normalize(fwd(p, target_ids, method=CLIP.encode_text))
-                return emb_loss(img_e, q_e, t_e)
+                img_e = enc_img(p, *img_args)
+                q_e = enc_txt(p, query_ids)
+                t_e = enc_txt(p, target_ids)
+                neg_e = enc_txt(p, neg_flat) if neg_flat is not None else None
+                return emb_loss(img_e, q_e, t_e, neg_e)
 
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         grads = jax.lax.pmean(grads, axis)
@@ -298,10 +307,13 @@ def make_train_step(
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_params, new_opt_state, step + 1, metrics
 
+    in_specs = (P(), P(), P(), P(axis), P(axis), P(axis))
+    if use_negs:
+        in_specs = in_specs + (P(axis),)
     sharded = shard_map(
         local_step,
         mesh=rt.mesh,
-        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis)),
+        in_specs=in_specs,
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
@@ -310,9 +322,10 @@ def make_train_step(
     # ~5 GB — without donation two copies must coexist and L/14 OOMs a 16 GB chip)
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch):
+        extra = (batch["neg_ids"],) if use_negs else ()
         params, opt_state, step, metrics = sharded(
             state["params"], state["opt_state"], state["step"],
-            batch["images"], batch["query_ids"], batch["target_ids"],
+            batch["images"], batch["query_ids"], batch["target_ids"], *extra,
         )
         return {"params": params, "opt_state": opt_state, "step": step}, metrics
 
@@ -398,16 +411,23 @@ def make_train_step_gspmd(
     n_patches = model.arch.grid_size**2
     base_key = jax.random.PRNGKey(cfg.seed)
 
-    def loss_fn(p, images, query_ids, target_ids, keep_idx):
+    def loss_fn(p, images, query_ids, target_ids, keep_idx, neg_ids):
         img_args = (images,) if keep_idx is None else (images, keep_idx)
         img_e = l2_normalize(fwd(p, *img_args, method=CLIP.encode_image))
         q_e = l2_normalize(fwd(p, query_ids, method=CLIP.encode_text))
         t_e = l2_normalize(fwd(p, target_ids, method=CLIP.encode_text))
+        kw = {}
+        if neg_ids is not None:
+            neg_flat = neg_ids.reshape(-1, neg_ids.shape[-1])
+            kw["neg_text_features"] = l2_normalize(
+                fwd(p, neg_flat, method=CLIP.encode_text)
+            )
         return joint_loss(
             img_e, q_e, t_e,
             temperature=cfg.temperature,
             t2i_weight=cfg.t2i_weight,
             t2t_weight=cfg.t2t_weight,
+            **kw,
         )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -421,7 +441,7 @@ def make_train_step_gspmd(
             )
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state["params"], batch["images"], batch["query_ids"], batch["target_ids"],
-            keep_idx,
+            keep_idx, batch.get("neg_ids"),
         )
         updates, opt_state = optimizer.update(grads, state["opt_state"], state["params"])
         params = optax.apply_updates(state["params"], updates)
@@ -575,6 +595,30 @@ class CLIPTrainer:
         self.fsdp = bool(getattr(self.rt, "fsdp", False))
         self.lora = cfg.lora_rank > 0
         self.distill_bank = None  # set in the distill branch below
+        self.neg_table = self.neg_uuids = None
+        if cfg.hard_negatives and cfg.hard_negatives_k > 0:
+            # mined hard negatives (train/negatives.py): per batch example,
+            # its top-k mined examples' target texts join the loss denominators
+            if cfg.distill_teacher:
+                raise ValueError("hard_negatives does not apply to the distill step")
+            from .negatives import load_negatives
+
+            self.neg_table, self.neg_uuids = load_negatives(cfg.hard_negatives)
+            if self.neg_table.shape[0] != len(train_data):
+                raise ValueError(
+                    f"hard-negative table has {self.neg_table.shape[0]} rows but the "
+                    f"training split has {len(train_data)} examples — re-mine "
+                    f"(cli.mine_negatives) on this split"
+                )
+            if self.neg_table.shape[1] < cfg.hard_negatives_k:
+                raise ValueError(
+                    f"hard_negatives_k={cfg.hard_negatives_k} exceeds the mined "
+                    f"table width {self.neg_table.shape[1]}"
+                )
+            self.logger.info(
+                "hard negatives: %s ([%d, %d] table, using k=%d)",
+                cfg.hard_negatives, *self.neg_table.shape, cfg.hard_negatives_k,
+            )
         if self.lora:
             # LoRA (train/lora.py): state carries rank-r ADAPTERS; the frozen
             # base tree rides beside the step, never donated. Adapter memory
@@ -716,6 +760,18 @@ class CLIPTrainer:
         host = {"images": batch.images, "query_ids": batch.query_ids, "target_ids": batch.target_ids}
         if self.distill_bank is not None:
             host["t_img"], host["t_q"], host["t_t"] = self.distill_bank.rows(batch.uuids)
+        if self.neg_table is not None:
+            # guard: the mined table must describe THIS dataset's rows
+            for row, uuid in zip(np.asarray(batch.indices), batch.uuids):
+                if self.neg_uuids[int(row)] != uuid:
+                    raise ValueError(
+                        f"hard-negative table row {row} is '{self.neg_uuids[int(row)]}' "
+                        f"but the batch example is '{uuid}' — the table was mined on "
+                        f"a different/reordered dataset"
+                    )
+            host["neg_ids"] = self.train_data.negative_target_ids(
+                batch.indices, self.neg_table, self.cfg.hard_negatives_k
+            )
         return host_local_batch_to_global(host, self.rt.mesh, self.rt.data_axis)
 
     # -- validation ---------------------------------------------------------

@@ -273,6 +273,12 @@ class TrainConfig:
     # always appended) so prefixes serve as standalone embeddings —
     # consumed by CLIPRetrieval(truncate_dim=d) / eval.truncate_dim
     matryoshka_dims: Tuple[int, ...] = ()
+    # Mined hard negatives (train/negatives.py, cli.mine_negatives): path to
+    # a mined [N, M] index table; each batch example adds its top
+    # hard_negatives_k mined examples' TARGET TEXTS to both joint-loss
+    # denominators (extra competition, never labels). "" = off.
+    hard_negatives: str = ""
+    hard_negatives_k: int = 4
     # GradCache (train/gradcache.py, Gao et al. 2021): encode each tower in
     # this many chunks per step (0/1 = off) — activation memory scales 1/C
     # at ~2x encoder forward cost while the contrastive negative pool keeps
