@@ -41,7 +41,7 @@ def build_engine(cfg, store_path: str, kg_path: str = "") -> RetrievalEngine:
     # precompute CLI's behavior for the same flag.
     use_fast, quantize = resolve_encoder(cfg.eval.encoder)
     rt = None
-    if cfg.eval.shard_corpus:
+    if cfg.eval.shard_corpus or cfg.eval.shard_queries:
         from .common import build_runtime
 
         rt = build_runtime(cfg)
@@ -52,6 +52,7 @@ def build_engine(cfg, store_path: str, kg_path: str = "") -> RetrievalEngine:
         quantize_corpus=resolve_quantize_corpus(cfg.eval.quantize_corpus),
         rt=rt,
         shard_corpus=cfg.eval.shard_corpus,
+        shard_queries=cfg.eval.shard_queries,
         ann=cfg.eval.ann or None,
         ann_nlist=cfg.eval.ann_nlist or None,
         ann_nprobe=cfg.eval.ann_nprobe,

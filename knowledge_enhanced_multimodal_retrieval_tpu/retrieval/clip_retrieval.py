@@ -11,6 +11,8 @@ than one chip.
 
 from __future__ import annotations
 
+import dataclasses
+import functools
 import threading
 from dataclasses import dataclass
 from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
@@ -18,6 +20,8 @@ from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
 
 from ..data.tokenizer import DEFAULT_BUCKETS as _WARMUP_BUCKETS
 from ..data.tokenizer import CLIPTokenizer, trim_to_bucket
@@ -91,6 +95,7 @@ class CLIPRetrieval:
         corpus_dtype=jnp.float32,
         rt: Optional[MeshRuntime] = None,
         shard_corpus: bool = False,
+        shard_queries: bool = False,
         use_pallas: Optional[bool] = None,
         use_fused_encoder: Optional[bool] = None,
         quantize: Optional[str] = None,
@@ -117,6 +122,19 @@ class CLIPRetrieval:
         # current-size arrays (no slack).
         self.capacity_multiple = max(1, int(capacity_multiple))
         self.shard_corpus = shard_corpus and rt is not None
+        # Query data parallelism (throughput scaling): queries shard over the
+        # mesh's data axis while params + corpus REPLICATE on every device —
+        # each chip encodes and scans its own query slice, so q/s scales
+        # linearly with the mesh (the dual of shard_corpus, which scales
+        # CAPACITY by splitting the corpus and keeping queries replicated).
+        # Implemented as shard_map inside the same compiled programs; batch
+        # padding to the axis size happens inside jit (no extra dispatches).
+        self.shard_queries = shard_queries and rt is not None
+        if self.shard_queries and self.shard_corpus:
+            raise ValueError(
+                "shard_queries and shard_corpus both shard over the mesh's "
+                "data axis — pick one (capacity vs throughput scaling)"
+            )
         # None = auto: the fused Pallas path on TPU (it IS the product path),
         # the XLA path elsewhere
         self.use_pallas = on_tpu() if use_pallas is None else use_pallas
@@ -233,7 +251,46 @@ class CLIPRetrieval:
             return l2_normalize(model.apply({"params": p}, ids, method=CLIP.encode_text))
 
         self._enc_params = self._text_plan if self.use_fused_encoder else params
+        if self.shard_queries:
+            # replicate the encoder params over the mesh once (committed
+            # placement): mixing device-0-committed params into a mesh-wide
+            # shard_map program is an error in JAX
+            self._enc_params = jax.device_put(
+                self._enc_params, self.rt.replicated_sharding()
+            )
         self._encode = jax.jit(_encode_fn)
+
+        def _qdp(body, args, sharded, **statics):
+            """Run ``body`` query-data-parallel over the mesh's data axis.
+
+            ``args``: the program operands; ``sharded``: positions whose
+            leading axis is the query axis (ids / q / alpha / per-query
+            mask) — they shard ``P(data)``, everything else (params, corpus,
+            scales) replicates ``P()``. The query axis pads to a multiple of
+            the axis size and the pad slices back off, all INSIDE the
+            enclosing jit — one compiled program, no extra dispatches.
+            """
+            mesh, axis = self.rt.mesh, self.rt.data_axis
+            n = self.rt.num_data
+            args = list(args)
+            nq = args[sharded[0]].shape[0]
+            pad = (-nq) % n
+            if pad:
+                for i in sharded:
+                    a = args[i]
+                    reps = (pad,) + (1,) * (a.ndim - 1)
+                    args[i] = jnp.concatenate([a, jnp.tile(a[:1], reps)], axis=0)
+            specs = tuple(
+                P(axis) if i in sharded else P() for i in range(len(args))
+            )
+            fn = shard_map(
+                functools.partial(body, **statics),
+                mesh=mesh, in_specs=specs, out_specs=P(axis), check_vma=False,
+            )
+            out = fn(*args)
+            return jax.tree.map(lambda o: o[:nq], out) if pad else out
+
+        self._qdp = _qdp
 
         # The FULL search (encode -> blend -> top-k) as ONE jitted program:
         # eager op dispatch costs a full host<->device round trip per op,
@@ -299,7 +356,7 @@ class CLIPRetrieval:
                 return fused_similarity_topk(q, cimg, ctxt, k=k, alpha=alpha)
             return similarity_topk_xla(q, cimg, ctxt, k=k, alpha=alpha)
 
-        def _search_program(
+        def _search_body(
             params, ids, cimg, ctxt, cimg_s, ctxt_s, alpha, *, k: int, nprobe: int
         ):
             q = _encode_fn(params, ids)
@@ -310,14 +367,31 @@ class CLIPRetrieval:
             # winners ([Q, D] extra fetch — trivial next to the search)
             return (vals, idx, q) if self.rerank else (vals, idx)
 
+        def _search_program(
+            params, ids, cimg, ctxt, cimg_s, ctxt_s, alpha, *, k: int, nprobe: int
+        ):
+            args = (params, ids, cimg, ctxt, cimg_s, ctxt_s, alpha)
+            if self.shard_queries:
+                return _qdp(_search_body, args, (1, 6), k=k, nprobe=nprobe)
+            return _search_body(*args, k=k, nprobe=nprobe)
+
         self._search_program = jax.jit(
             _search_program, static_argnames=("k", "nprobe")
         )
+
         # embedding-direct search: same corpus scoring, the caller supplies
         # L2-normalized [Q, D] query embeddings (image queries, cached or
         # federated query vectors) instead of token ids
+        def _score_program_emb(
+            q, cimg, ctxt, cimg_s, ctxt_s, alpha, *, k: int, nprobe: int
+        ):
+            args = (q, cimg, ctxt, cimg_s, ctxt_s, alpha)
+            if self.shard_queries:
+                return _qdp(_score_fn, args, (0, 5), k=k, nprobe=nprobe)
+            return _score_fn(*args, k=k, nprobe=nprobe)
+
         self._search_program_emb = jax.jit(
-            _score_fn, static_argnames=("k", "nprobe")
+            _score_program_emb, static_argnames=("k", "nprobe")
         )
 
         # filtered search: a bool row mask rides as a RUNTIME operand (like
@@ -349,18 +423,42 @@ class CLIPRetrieval:
                 )
             return masked_similarity_topk(q, cimg, ctxt, mask, k=k, alpha=alpha)
 
-        def _search_program_masked(
+        def _masked_body(
             params, ids, cimg, ctxt, cimg_s, ctxt_s, alpha, mask, *, k: int
         ):
             q = _encode_fn(params, ids)
             vals, idx = _score_fn_masked(q, cimg, ctxt, cimg_s, ctxt_s, alpha, mask, k=k)
             return (vals, idx, q) if self.rerank else (vals, idx)
 
+        def _mask_is_per_query(mask, nq: int) -> bool:
+            # a [Q, N] mask shards with the queries; [N] / [1, N] replicate
+            m = jnp.asarray(mask)
+            return m.ndim == 2 and m.shape[0] == nq and m.shape[0] != 1
+
+        def _search_program_masked(
+            params, ids, cimg, ctxt, cimg_s, ctxt_s, alpha, mask, *, k: int
+        ):
+            args = (params, ids, cimg, ctxt, cimg_s, ctxt_s, alpha, jnp.asarray(mask))
+            if self.shard_queries:
+                sharded = (1, 6, 7) if _mask_is_per_query(mask, ids.shape[0]) else (1, 6)
+                return _qdp(_masked_body, args, sharded, k=k)
+            return _masked_body(*args, k=k)
+
         self._search_program_masked = jax.jit(
             _search_program_masked, static_argnames=("k",)
         )
+
+        def _score_program_masked_emb(
+            q, cimg, ctxt, cimg_s, ctxt_s, alpha, mask, *, k: int
+        ):
+            args = (q, cimg, ctxt, cimg_s, ctxt_s, alpha, jnp.asarray(mask))
+            if self.shard_queries:
+                sharded = (0, 5, 6) if _mask_is_per_query(mask, q.shape[0]) else (0, 5)
+                return _qdp(_score_fn_masked, args, sharded, k=k)
+            return _score_fn_masked(*args, k=k)
+
         self._search_program_masked_emb = jax.jit(
-            _score_fn_masked, static_argnames=("k",)
+            _score_program_masked_emb, static_argnames=("k",)
         )
         self._encode_image = None  # built lazily on first image query
 
@@ -459,6 +557,20 @@ class CLIPRetrieval:
                 ivf_arrays=None, ann_spill_fraction=0.0,
                 top_k=min(self._requested_top_k, n_real),
                 nprobe=0,
+            )
+        if self.shard_queries:
+            # replicate the corpus-side device state over the mesh (committed
+            # placement — the query-DP shard_map programs need every operand
+            # on every mesh device)
+            rep = self.rt.replicated_sharding()
+            put = lambda x: x if x is None else jax.device_put(x, rep)
+            state = dataclasses.replace(
+                state,
+                corpus_img=put(state.corpus_img),
+                corpus_txt=put(state.corpus_txt),
+                corpus_img_scale=put(state.corpus_img_scale),
+                corpus_txt_scale=put(state.corpus_txt_scale),
+                ivf_arrays=put(state.ivf_arrays),
             )
         self._corpus = state  # atomic reference swap — see _CorpusState
 
@@ -815,15 +927,20 @@ class CLIPRetrieval:
         from ..models.fast_encode import encode_image_fast, make_vision_plan
 
         if self.use_fused_encoder:
-            plan = make_vision_plan(
+            enc_params = make_vision_plan(
                 self.params, dtype=self.model.dtype, quantize=self.quantize
             )
             fn = lambda p, px: l2_normalize(encode_image_fast(self.model.arch, p, px))
-            return jax.jit(fn), plan
-        fn = lambda p, px: l2_normalize(
-            self.model.apply({"params": p}, px, method=CLIP.encode_image)
-        )
-        return jax.jit(fn), self.params
+        else:
+            enc_params = self.params
+            fn = lambda p, px: l2_normalize(
+                self.model.apply({"params": p}, px, method=CLIP.encode_image)
+            )
+        if self.shard_queries:
+            # mesh-replicated placement so the encoded queries feed the
+            # query-DP score program without a device-set mismatch
+            enc_params = jax.device_put(enc_params, self.rt.replicated_sharding())
+        return jax.jit(fn), enc_params
 
     def encode_images(self, pixels) -> jax.Array:
         """Preprocessed pixel batch [B, S, S, 3] -> L2-normalized [B, D].
@@ -904,6 +1021,10 @@ class CLIPRetrieval:
         k = min(top_k or c.top_k, c.n_real)
         cimg = c.ivf_arrays if self.ann == "ivf" else c.corpus_img
         q_emb = jnp.asarray(q_emb)
+        if self.shard_queries:
+            # externally supplied embeddings may be committed to one device;
+            # replicate so the mesh-wide program accepts them
+            q_emb = jax.device_put(q_emb, self.rt.replicated_sharding())
         return self._search_program_emb(
             q_emb, cimg, c.corpus_txt,
             c.corpus_img_scale, c.corpus_txt_scale,

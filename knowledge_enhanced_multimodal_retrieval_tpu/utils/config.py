@@ -345,6 +345,10 @@ class EvalConfig:
     # shard the serving corpus over the mesh data axis (capacity scales
     # linearly with device count; composes with quantize_corpus)
     shard_corpus: bool = False
+    # shard query batches over the mesh data axis instead (corpus + params
+    # replicate on every device): serving THROUGHPUT scales linearly with
+    # device count — the dual of shard_corpus; mutually exclusive with it
+    shard_queries: bool = False
     # ANN mode for serving: "" = exact brute force (default), "ivf" =
     # cluster probing (retrieval/ann.py — sublinear HBM traffic per query)
     ann: str = ""
