@@ -45,6 +45,7 @@ from ..ops.similarity import (
     masked_similarity_topk_q8,
     quantize_corpus_host,
     quantize_corpus_host_q4,
+    random_rotation,
     sharded_masked_similarity_topk,
     sharded_similarity_topk,
     sharded_similarity_topk_q4,
@@ -109,6 +110,8 @@ class CLIPRetrieval:
         rerank: bool = False,
         rerank_factor: int = 4,
         truncate_dim: int = 0,
+        rotate: bool = False,
+        rotate_seed: int = 0,
     ):
         self.model = model
         self.params = params
@@ -205,6 +208,29 @@ class CLIPRetrieval:
             raise ValueError("truncate_dim does not compose with ann")
         self.truncate_dim = int(truncate_dim)
 
+        # Rotated quantization (opt-in, for packed corpora): a seeded random
+        # orthonormal R rotates corpus rows at staging (host) and query
+        # embeddings inside the score program. Exact inner products are
+        # invariant, but per-row energy spreads evenly across coordinates,
+        # so int4/int8 grids and sign sketches lose far less recall on
+        # anisotropic embeddings — the LSH/OPQ random-rotation trick. The
+        # host f32 store stays UNROTATED: rerank and candidate rescoring
+        # keep working in the original space.
+        self.rotate = bool(rotate)
+        self._rot_np = self._rot = None
+        if self.rotate:
+            if not quantize_corpus:
+                raise ValueError(
+                    "rotate requires a packed corpus mode "
+                    "(quantize_corpus='int8'|'int4'|'binary') — it only changes "
+                    "quantization rounding, exact scans gain nothing"
+                )
+            if ann is not None:
+                raise ValueError("rotate does not compose with ann")
+            self._rot_np = random_rotation(
+                int(truncate_dim) or store.dim, rotate_seed
+            )
+
         # opt-in ANN mode (retrieval/ann.py): IVF cluster probing instead of
         # the exact brute-force scan — the scaling path for corpora where a
         # full pass per query is too much HBM traffic (or for single-query
@@ -244,6 +270,12 @@ class CLIPRetrieval:
         self.corpus_dtype = corpus_dtype
         self._update_lock = threading.Lock()
         self._install_corpus(store)
+        if self._rot_np is not None:
+            # the query-side rotation rides every score program as an
+            # OPERAND (never a jit closure constant on the relay)
+            self._rot = jnp.asarray(self._rot_np)
+            if self.shard_queries:
+                self._rot = jax.device_put(self._rot, self.rt.replicated_sharding())
 
         def _encode_fn(p, ids):
             if self.use_fused_encoder:
@@ -299,7 +331,7 @@ class CLIPRetrieval:
         # scales ride as ARGUMENTS (never close over arrays in jit on the
         # relay: constants serialize into the remote-compile request)
         def _score_fn(
-            q, cimg, ctxt, cimg_s, ctxt_s, alpha, *, k: int, nprobe: int
+            q, cimg, ctxt, cimg_s, ctxt_s, alpha, rot, *, k: int, nprobe: int
         ):
             """Blend + top-k of query embeddings ``q`` against the corpus —
             shared by the text program (which encodes first) and the
@@ -308,6 +340,10 @@ class CLIPRetrieval:
                 # Matryoshka scan: queries truncate to the corpus' staged
                 # prefix width inside the same jitted program
                 q = prefix_normalize(q, self.truncate_dim)
+            if rot is not None:
+                # rotated quantization: queries meet the R-rotated packed
+                # corpus in the rotated space (exact scores invariant)
+                q = q.astype(jnp.float32) @ rot
             if self.ann == "ivf":
                 # cimg carries the packed index pytree (passed as an
                 # argument — index arrays must never be jit constants on
@@ -357,20 +393,22 @@ class CLIPRetrieval:
             return similarity_topk_xla(q, cimg, ctxt, k=k, alpha=alpha)
 
         def _search_body(
-            params, ids, cimg, ctxt, cimg_s, ctxt_s, alpha, *, k: int, nprobe: int
+            params, ids, cimg, ctxt, cimg_s, ctxt_s, alpha, rot, *, k: int, nprobe: int
         ):
             q = _encode_fn(params, ids)
             vals, idx = _score_fn(
-                q, cimg, ctxt, cimg_s, ctxt_s, alpha, k=k, nprobe=nprobe
+                q, cimg, ctxt, cimg_s, ctxt_s, alpha, rot, k=k, nprobe=nprobe
             )
             # host rerank needs the query embeddings; ship them with the
-            # winners ([Q, D] extra fetch — trivial next to the search)
+            # winners ([Q, D] extra fetch — trivial next to the search).
+            # Unrotated on purpose: the host f32 store rescores in the
+            # original space.
             return (vals, idx, q) if self.rerank else (vals, idx)
 
         def _search_program(
-            params, ids, cimg, ctxt, cimg_s, ctxt_s, alpha, *, k: int, nprobe: int
+            params, ids, cimg, ctxt, cimg_s, ctxt_s, alpha, rot, *, k: int, nprobe: int
         ):
-            args = (params, ids, cimg, ctxt, cimg_s, ctxt_s, alpha)
+            args = (params, ids, cimg, ctxt, cimg_s, ctxt_s, alpha, rot)
             if self.shard_queries:
                 return _qdp(_search_body, args, (1, 6), k=k, nprobe=nprobe)
             return _search_body(*args, k=k, nprobe=nprobe)
@@ -383,9 +421,9 @@ class CLIPRetrieval:
         # L2-normalized [Q, D] query embeddings (image queries, cached or
         # federated query vectors) instead of token ids
         def _score_program_emb(
-            q, cimg, ctxt, cimg_s, ctxt_s, alpha, *, k: int, nprobe: int
+            q, cimg, ctxt, cimg_s, ctxt_s, alpha, rot, *, k: int, nprobe: int
         ):
-            args = (q, cimg, ctxt, cimg_s, ctxt_s, alpha)
+            args = (q, cimg, ctxt, cimg_s, ctxt_s, alpha, rot)
             if self.shard_queries:
                 return _qdp(_score_fn, args, (0, 5), k=k, nprobe=nprobe)
             return _score_fn(*args, k=k, nprobe=nprobe)
@@ -397,9 +435,11 @@ class CLIPRetrieval:
         # filtered search: a bool row mask rides as a RUNTIME operand (like
         # alpha) — changing the allow/deny filter re-executes, never
         # re-compiles. Masked-out slots come back with the -1 idx sentinel.
-        def _score_fn_masked(q, cimg, ctxt, cimg_s, ctxt_s, alpha, mask, *, k: int):
+        def _score_fn_masked(q, cimg, ctxt, cimg_s, ctxt_s, alpha, mask, rot, *, k: int):
             if self.truncate_dim:
                 q = prefix_normalize(q, self.truncate_dim)
+            if rot is not None:
+                q = q.astype(jnp.float32) @ rot
             if self.quantize_corpus == "binary":
                 raise ValueError(
                     "filtered search is not supported over a binary-sketch "
@@ -424,10 +464,12 @@ class CLIPRetrieval:
             return masked_similarity_topk(q, cimg, ctxt, mask, k=k, alpha=alpha)
 
         def _masked_body(
-            params, ids, cimg, ctxt, cimg_s, ctxt_s, alpha, mask, *, k: int
+            params, ids, cimg, ctxt, cimg_s, ctxt_s, alpha, mask, rot, *, k: int
         ):
             q = _encode_fn(params, ids)
-            vals, idx = _score_fn_masked(q, cimg, ctxt, cimg_s, ctxt_s, alpha, mask, k=k)
+            vals, idx = _score_fn_masked(
+                q, cimg, ctxt, cimg_s, ctxt_s, alpha, mask, rot, k=k
+            )
             return (vals, idx, q) if self.rerank else (vals, idx)
 
         def _mask_is_per_query(mask, nq: int) -> bool:
@@ -436,9 +478,12 @@ class CLIPRetrieval:
             return m.ndim == 2 and m.shape[0] == nq and m.shape[0] != 1
 
         def _search_program_masked(
-            params, ids, cimg, ctxt, cimg_s, ctxt_s, alpha, mask, *, k: int
+            params, ids, cimg, ctxt, cimg_s, ctxt_s, alpha, mask, rot, *, k: int
         ):
-            args = (params, ids, cimg, ctxt, cimg_s, ctxt_s, alpha, jnp.asarray(mask))
+            args = (
+                params, ids, cimg, ctxt, cimg_s, ctxt_s, alpha,
+                jnp.asarray(mask), rot,
+            )
             if self.shard_queries:
                 sharded = (1, 6, 7) if _mask_is_per_query(mask, ids.shape[0]) else (1, 6)
                 return _qdp(_masked_body, args, sharded, k=k)
@@ -449,9 +494,9 @@ class CLIPRetrieval:
         )
 
         def _score_program_masked_emb(
-            q, cimg, ctxt, cimg_s, ctxt_s, alpha, mask, *, k: int
+            q, cimg, ctxt, cimg_s, ctxt_s, alpha, mask, rot, *, k: int
         ):
-            args = (q, cimg, ctxt, cimg_s, ctxt_s, alpha, jnp.asarray(mask))
+            args = (q, cimg, ctxt, cimg_s, ctxt_s, alpha, jnp.asarray(mask), rot)
             if self.shard_queries:
                 sharded = (0, 5, 6) if _mask_is_per_query(mask, q.shape[0]) else (0, 5)
                 return _qdp(_score_fn_masked, args, sharded, k=k)
@@ -520,6 +565,12 @@ class CLIPRetrieval:
                 src_txt = prefix_normalize_host(padded.text, self.truncate_dim)
             else:
                 src_img, src_txt = padded.image, padded.text
+            if self._rot_np is not None:
+                # rotated quantization: pack the R-rotated rows (rotation
+                # preserves norms, so zero pad rows stay zero); the host f32
+                # store keeps the ORIGINAL space for rerank/candidates
+                src_img = np.asarray(src_img, np.float32) @ self._rot_np
+                src_txt = np.asarray(src_txt, np.float32) @ self._rot_np
             if self.quantize_corpus == "binary":
                 # sign bits packed on host (32x smaller than f32): only
                 # ~D/32 uint32 words per row ever upload; zero pad rows
@@ -738,7 +789,7 @@ class CLIPRetrieval:
         return self._search_program(
             self._enc_params, jnp.asarray(ids), cimg, c.corpus_txt,
             c.corpus_img_scale, c.corpus_txt_scale,
-            alpha_column(alpha, len(queries)),
+            alpha_column(alpha, len(queries)), self._rot,
             k=k_fetch, nprobe=c.nprobe,
         )
 
@@ -799,7 +850,7 @@ class CLIPRetrieval:
                 out = self._search_program(
                     self._enc_params, jnp.asarray(ids), cimg, c.corpus_txt,
                     c.corpus_img_scale, c.corpus_txt_scale,
-                    alpha_column(alpha, int(b)),
+                    alpha_column(alpha, int(b)), self._rot,
                     k=self._k_fetch(c, k), nprobe=c.nprobe,
                 )
                 jax.block_until_ready(out)
@@ -858,7 +909,7 @@ class CLIPRetrieval:
             return self._search_program_emb(
                 jnp.asarray(q), c.ivf_arrays, c.corpus_txt,
                 c.corpus_img_scale, c.corpus_txt_scale,
-                alpha_column(alpha, q.shape[0]), k=kk, nprobe=nprobe,
+                alpha_column(alpha, q.shape[0]), None, k=kk, nprobe=nprobe,
             )
 
         index_view = self._index_view(c)
@@ -1028,7 +1079,7 @@ class CLIPRetrieval:
         return self._search_program_emb(
             q_emb, cimg, c.corpus_txt,
             c.corpus_img_scale, c.corpus_txt_scale,
-            alpha_column(alpha, q_emb.shape[0]),
+            alpha_column(alpha, q_emb.shape[0]), self._rot,
             k=self._k_fetch(c, k), nprobe=c.nprobe,
         )
 
@@ -1197,7 +1248,7 @@ class CLIPRetrieval:
         return self._search_program_masked(
             self._enc_params, jnp.asarray(ids), c.corpus_img, c.corpus_txt,
             c.corpus_img_scale, c.corpus_txt_scale,
-            alpha_column(alpha, len(queries)), jnp.asarray(mask),
+            alpha_column(alpha, len(queries)), jnp.asarray(mask), self._rot,
             k=self._k_fetch_masked(c, k),
         )
 
@@ -1252,10 +1303,15 @@ class CLIPRetrieval:
         k = min(top_k or c.top_k, c.n_real)
         mask = self._mask_from_uuids(c, allow_uuids, deny_uuids)
         q_emb = jnp.asarray(q_emb)
+        if self.shard_queries:
+            # externally supplied embeddings may be committed to one device;
+            # replicate so the mesh-wide program accepts them (mirrors
+            # _search_state_emb)
+            q_emb = jax.device_put(q_emb, self.rt.replicated_sharding())
         out = self._search_program_masked_emb(
             q_emb, c.corpus_img, c.corpus_txt,
             c.corpus_img_scale, c.corpus_txt_scale,
-            alpha_column(alpha, q_emb.shape[0]), jnp.asarray(mask),
+            alpha_column(alpha, q_emb.shape[0]), jnp.asarray(mask), self._rot,
             k=self._k_fetch_masked(c, k),
         )
         return self._finish_results(

@@ -45,17 +45,34 @@ def test_two_process_training_converges_identically(tmp_path):
     # the worker sets its own platform/XLA flags before importing jax
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
-    procs = [
-        subprocess.Popen(
-            [sys.executable, _WORKER, str(pid), "2", str(port), str(tmp_path)],
-            env=env,
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            text=True,
-        )
-        for pid in range(2)
-    ]
-    outs = [p.communicate(timeout=900)[0] for p in procs]
+    # worker stdout goes to files, not PIPEs: the two workers are coupled by
+    # collectives, so worker 1 blocking on a full 64 KiB pipe while the
+    # parent waits on worker 0 would deadlock until the timeout.
+    logs = [open(os.path.join(str(tmp_path), f"p{pid}.log"), "w+") for pid in range(2)]
+    procs = []
+    try:
+        procs = [
+            subprocess.Popen(
+                [sys.executable, _WORKER, str(pid), "2", str(port), str(tmp_path)],
+                env=env,
+                stdout=log,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+            for pid, log in enumerate(logs)
+        ]
+        for p in procs:
+            p.wait(timeout=900)
+    finally:
+        for p in procs:  # never leave collective-blocked orphans behind
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+        outs = []
+        for log in logs:
+            log.seek(0)
+            outs.append(log.read())
+            log.close()
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
 

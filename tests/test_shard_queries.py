@@ -134,6 +134,28 @@ def test_query_dp_embedding_direct(world):
     )
 
 
+def test_query_dp_committed_inputs(world):
+    """Device-committed query embeddings (e.g. another single-device
+    program's output) must replicate inside the sharded paths instead of
+    raising 'incompatible devices' — both the plain embedding-direct and
+    the filtered embedding-direct entry points."""
+    model, params, tok, store, rt = world
+    rng = np.random.default_rng(5)
+    q = _norm(rng.standard_normal((5, store.dim)))
+    committed = jax.device_put(jnp.asarray(q), jax.devices()[0])
+    plain = CLIPRetrieval(model, params, tok, store, top_k=6)
+    qdp = CLIPRetrieval(model, params, tok, store, top_k=6, rt=rt, shard_queries=True)
+    _assert_same_results(
+        plain.retrieval_embeddings_batch(q),
+        qdp.retrieval_embeddings_batch(committed),
+    )
+    allow = [f"uuid-{i:06d}" for i in range(0, 48, 3)]
+    _assert_same_results(
+        plain.retrieval_filtered_embeddings_batch(q, allow_uuids=allow),
+        qdp.retrieval_filtered_embeddings_batch(committed, allow_uuids=allow),
+    )
+
+
 def test_query_dp_live_updates_stay_replicated(world):
     """add_documents rebuilds the replicated corpus state; search still serves."""
     model, params, tok, store, rt = world
