@@ -134,14 +134,18 @@ def checkpoint_exists(base_dir: str, role: str) -> bool:
 
 
 def load_params_only(base_dir: str, role: str) -> Any:
-    """Restore just the ``params`` subtree of a training checkpoint.
+    """Restore just the serving weights of a training checkpoint.
 
     Targetless restore (structure read from the checkpoint itself) so callers
     that only want weights — export, serving — don't need to reconstruct the
-    optimizer state's pytree. Host numpy leaves."""
+    optimizer state's pytree. An EMA-trained checkpoint
+    (``TrainConfig.ema_decay``) carries an ``ema_params`` shadow; that is
+    what validation and the best-checkpoint monitor scored, so it is what
+    export/serving get. Host numpy leaves."""
     path = _dir(base_dir, role)
     wait_for_checkpoints()
     state = _checkpointer().restore(path)
     if "params" not in state:
         raise ValueError(f"{path} is not a training checkpoint (no 'params' subtree)")
-    return jax.tree_util.tree_map(np.asarray, state["params"])
+    key = "ema_params" if "ema_params" in state else "params"
+    return jax.tree_util.tree_map(np.asarray, state[key])

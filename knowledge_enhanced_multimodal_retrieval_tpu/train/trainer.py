@@ -106,7 +106,10 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int, params) -> optax.Grad
     # *optimizer* steps or it runs k times slower than the reference's
     # per-epoch scheduler.step() (trainer.py:304-305).
     opt_steps_per_epoch = max(1, -(-steps_per_epoch // max(1, cfg.grad_accum_steps)))
-    schedule = cosine_annealing_lr(cfg.lr, cfg.epochs, opt_steps_per_epoch, cfg.eta_min_factor)
+    schedule = cosine_annealing_lr(
+        cfg.lr, cfg.epochs, opt_steps_per_epoch, cfg.eta_min_factor,
+        warmup_steps=getattr(cfg, "warmup_steps", 0),
+    )
 
     # The reference loss uses a fixed temperature; logit_scale receives no
     # gradient and torch's AdamW skips grad-less params entirely
@@ -140,6 +143,15 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int, params) -> optax.Grad
 @jax.jit
 def _tree_add(a, b):
     return jax.tree_util.tree_map(jnp.add, a, b)
+
+
+def _ema_update(ema, params, decay: float):
+    """One EMA step: ``decay * ema + (1 - decay) * params`` (elementwise, so
+    it preserves whatever shardings the param tree carries — replicated for
+    the DP step, tp/fsdp placements for the GSPMD step)."""
+    return jax.tree_util.tree_map(
+        lambda e, p: (decay * e + (1.0 - decay) * p).astype(e.dtype), ema, params
+    )
 
 
 def device_prefetch(batches, place_fn: Callable, depth: int = 1):
@@ -320,6 +332,8 @@ def make_train_step(
 
     # donate the state: params/opt_state update in place (427M-param state is
     # ~5 GB — without donation two copies must coexist and L/14 OOMs a 16 GB chip)
+    ema_decay = float(getattr(cfg, "ema_decay", 0.0))
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch):
         extra = (batch["neg_ids"],) if use_negs else ()
@@ -327,7 +341,10 @@ def make_train_step(
             state["params"], state["opt_state"], state["step"],
             batch["images"], batch["query_ids"], batch["target_ids"], *extra,
         )
-        return {"params": params, "opt_state": opt_state, "step": step}, metrics
+        new_state = {"params": params, "opt_state": opt_state, "step": step}
+        if "ema_params" in state:
+            new_state["ema_params"] = _ema_update(state["ema_params"], params, ema_decay)
+        return new_state, metrics
 
     return train_step
 
@@ -447,7 +464,12 @@ def make_train_step_gspmd(
         params = optax.apply_updates(state["params"], updates)
         metrics = dict(metrics)
         metrics["grad_norm"] = optax.global_norm(grads)
-        return {"params": params, "opt_state": opt_state, "step": state["step"] + 1}, metrics
+        new_state = {"params": params, "opt_state": opt_state, "step": state["step"] + 1}
+        if "ema_params" in state:
+            new_state["ema_params"] = _ema_update(
+                state["ema_params"], params, float(getattr(cfg, "ema_decay", 0.0))
+            )
+        return new_state, metrics
 
     return train_step
 
@@ -619,6 +641,11 @@ class CLIPTrainer:
                 "hard negatives: %s ([%d, %d] table, using k=%d)",
                 cfg.hard_negatives, *self.neg_table.shape, cfg.hard_negatives_k,
             )
+        self.ema = float(getattr(cfg, "ema_decay", 0.0)) > 0.0
+        if self.ema and not (0.0 < cfg.ema_decay < 1.0):
+            raise ValueError(f"ema_decay must be in (0, 1), got {cfg.ema_decay}")
+        if self.ema and (self.lora or cfg.distill_teacher):
+            raise ValueError("ema_decay rides the DP/GSPMD full-fine-tune steps only")
         if self.lora:
             # LoRA (train/lora.py): state carries rank-r ADAPTERS; the frozen
             # base tree rides beside the step, never donated. Adapter memory
@@ -712,6 +739,13 @@ class CLIPTrainer:
                 "step": jnp.zeros((), jnp.int32),
             }
             self.train_step = make_train_step(model, self.optimizer, cfg, self.rt)
+        if self.ema:
+            # EMA shadow initialized AT the starting params (no debias
+            # needed); jnp.copy preserves the tree's placements (replicated
+            # in DP, tp/fsdp shardings in GSPMD mode)
+            self.state["ema_params"] = jax.tree_util.tree_map(
+                jnp.copy, self.state["params"]
+            )
         # tp/fsdp: GSPMD encode keeps params sharded (the shard_map step
         # would all-gather the whole tree to every device each val batch)
         self.encode_step = (
@@ -777,10 +811,14 @@ class CLIPTrainer:
     # -- validation ---------------------------------------------------------
 
     def eval_params(self):
-        """The parameter tree to evaluate/export: the trained params, or in
-        LoRA mode the base merged with the current adapters (W + s*A@B)."""
+        """The parameter tree to evaluate/export: the trained params, in
+        LoRA mode the base merged with the current adapters (W + s*A@B), or
+        the EMA shadow when ``cfg.ema_decay`` is set (validation, the best-
+        checkpoint monitor, and export all see the smoothed weights)."""
         if self.lora:
             return self._merge(self.base_params, self.state["params"])
+        if "ema_params" in self.state:
+            return self.state["ema_params"]
         return self.state["params"]
 
     def validate(self) -> Dict[str, float]:

@@ -378,3 +378,123 @@ def test_checkpoint_meta_commits_after_data(tmp_path):
     restored, meta = C.load_checkpoint(str(tmp_path), "best", state)
     assert meta["epoch"] == 9
     np.testing.assert_array_equal(restored["params"]["w"], np.full((4, 4), 9.0, np.float32))
+
+
+# ---------------------------------------------------------------------------
+# LR warmup + EMA (round-3 additions)
+# ---------------------------------------------------------------------------
+
+
+def test_warmup_schedule_linear_ramp():
+    """warmup_steps multiplies the cosine by (step+1)/w, then is a no-op."""
+    sched = cosine_annealing_lr(
+        1.0, epochs=4, steps_per_epoch=10, eta_min_factor=0.1, warmup_steps=5
+    )
+    assert float(sched(0)) == pytest.approx(0.2)
+    assert float(sched(2)) == pytest.approx(0.6)
+    assert float(sched(4)) == pytest.approx(1.0)  # ramp complete
+    assert float(sched(9)) == pytest.approx(1.0)  # epoch-granular plateau
+    assert float(sched(10)) < 1.0  # cosine unchanged past warmup
+    # warmup interacts with the cosine multiplicatively inside an epoch
+    ramped = cosine_annealing_lr(
+        1.0, epochs=4, steps_per_epoch=10, eta_min_factor=0.1, warmup_steps=15
+    )
+    assert float(ramped(10)) == pytest.approx(float(sched(10)) * 11.0 / 15.0)
+
+
+def test_warmup_config_reaches_optimizer(monkeypatch):
+    seen = {}
+    real = cosine_annealing_lr
+
+    def spy(*a, **kw):
+        seen.update(kw)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(T, "cosine_annealing_lr", spy)
+    cfg = TrainConfig(batch_size=16, warmup_steps=7)
+    params = {"w": jnp.ones((2, 2))}
+    T.make_optimizer(cfg, steps_per_epoch=10, params=params)
+    assert seen.get("warmup_steps") == 7
+
+
+def test_ema_matches_manual_recurrence(setup, devices8, tmp_path):
+    """state['ema_params'] follows decay*ema + (1-decay)*params exactly,
+    starting from the initial params."""
+    model, params, pipe = setup
+    decay = 0.5
+    cfg = _cfg(str(tmp_path), ema_decay=decay)
+    trainer = T.CLIPTrainer(model, params, pipe, None, cfg, out_dir=str(tmp_path))
+    leaf = lambda s, key: np.asarray(s[key]["text"]["text_projection"])
+    manual = leaf(trainer.state, "params").copy()
+    batch = trainer._device_batch(pipe.make_batch(list(range(16))))
+    state = trainer.state
+    for _ in range(3):
+        state, _ = trainer.train_step(state, batch)
+        manual = decay * manual + (1.0 - decay) * leaf(state, "params")
+    np.testing.assert_allclose(leaf(state, "ema_params"), manual, rtol=1e-6)
+    # and the shadow genuinely lags the raw params
+    assert not np.allclose(leaf(state, "ema_params"), leaf(state, "params"))
+
+
+def test_ema_eval_and_checkpoint_serve_the_shadow(setup, devices8, tmp_path):
+    """eval_params() returns the EMA tree and load_params_only prefers it."""
+    from knowledge_enhanced_multimodal_retrieval_tpu.train import checkpoint as C
+
+    model, params, pipe = setup
+    cfg = _cfg(str(tmp_path), epochs=1, ema_decay=0.9)
+    trainer = T.CLIPTrainer(model, params, pipe, pipe, cfg, out_dir=str(tmp_path))
+    trainer.train()
+    ema_leaf = np.asarray(trainer.state["ema_params"]["text"]["text_projection"])
+    raw_leaf = np.asarray(trainer.state["params"]["text"]["text_projection"])
+    np.testing.assert_array_equal(
+        np.asarray(trainer.eval_params()["text"]["text_projection"]), ema_leaf
+    )
+    served = C.load_params_only(cfg.checkpoint_dir, "latest")
+    np.testing.assert_allclose(served["text"]["text_projection"], ema_leaf, rtol=1e-6)
+    assert not np.allclose(ema_leaf, raw_leaf)
+    # resume carries the shadow
+    cfg2 = _cfg(str(tmp_path), epochs=1, ema_decay=0.9, resume=True)
+    t2 = T.CLIPTrainer(model, params, pipe, pipe, cfg2, out_dir=str(tmp_path))
+    np.testing.assert_allclose(
+        np.asarray(t2.state["ema_params"]["text"]["text_projection"]), ema_leaf,
+        rtol=1e-6,
+    )
+
+
+def test_ema_refused_for_lora_and_distill(setup, devices8, tmp_path):
+    model, params, pipe = setup
+    with pytest.raises(ValueError, match="ema_decay"):
+        T.CLIPTrainer(
+            model, params, pipe, None,
+            _cfg(str(tmp_path), ema_decay=0.9, lora_rank=2), out_dir=str(tmp_path),
+        )
+    with pytest.raises(ValueError, match="ema_decay must be in"):
+        T.CLIPTrainer(
+            model, params, pipe, None,
+            _cfg(str(tmp_path), ema_decay=1.5), out_dir=str(tmp_path),
+        )
+
+
+def test_ema_rides_the_gspmd_step(setup, devices8, tmp_path):
+    """tp mode: the EMA shadow exists, shards like the params, and follows
+    the recurrence."""
+    from knowledge_enhanced_multimodal_retrieval_tpu.utils.config import MeshConfig
+
+    model, params, pipe = setup
+    decay = 0.5
+    cfg = _cfg(str(tmp_path), ema_decay=decay, global_negatives=True)
+    rt = MeshRuntime.create(MeshConfig(data_parallel=4, model_parallel=2))
+    trainer = T.CLIPTrainer(model, params, pipe, None, cfg, rt=rt, out_dir=str(tmp_path))
+    leaf = lambda s, key: np.asarray(s[key]["text"]["text_projection"])
+    assert "ema_params" in trainer.state
+    assert (
+        trainer.state["ema_params"]["text"]["text_projection"].sharding
+        == trainer.state["params"]["text"]["text_projection"].sharding
+    )
+    manual = leaf(trainer.state, "params").copy()
+    batch = trainer._device_batch(pipe.make_batch(list(range(16))))
+    state = trainer.state
+    for _ in range(2):
+        state, _ = trainer.train_step(state, batch)
+        manual = decay * manual + (1.0 - decay) * leaf(state, "params")
+    np.testing.assert_allclose(leaf(state, "ema_params"), manual, rtol=1e-5)
