@@ -61,6 +61,8 @@ def build_engine(cfg, store_path: str, kg_path: str = "") -> RetrievalEngine:
         rerank=cfg.eval.rerank,
         rerank_factor=cfg.eval.rerank_factor,
         truncate_dim=cfg.eval.truncate_dim,
+        rotate=cfg.eval.rotate,
+        rotate_seed=cfg.eval.rotate_seed,
     )
 
     t2s = None

@@ -194,6 +194,26 @@ def dequantize_corpus(q: jax.Array, scale: jax.Array, dtype=jnp.float32) -> jax.
     return (q.astype(jnp.float32) * scale).astype(dtype)
 
 
+def random_rotation(dim: int, seed: int = 0):
+    """Seeded random orthonormal rotation ``R [dim, dim]`` (f32 NumPy).
+
+    Rotating both corpus rows and query embeddings by the same R leaves
+    exact inner products unchanged (``(qR)(cR)^T = qc^T``) but spreads each
+    row's energy evenly across coordinates, so symmetric per-row int4/int8
+    grids and sign-bit sketches lose far less recall on anisotropic
+    embeddings (real CLIP embeddings concentrate energy in few directions) —
+    the classic random-rotation trick from LSH / OPQ (Ji et al.; Gong et
+    al.). QR of a Gaussian with the R-diagonal sign fix makes the draw
+    Haar-uniform and deterministic per seed.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(np.uint64(seed) + 0x5EED)
+    g = rng.standard_normal((dim, dim))
+    q, r = np.linalg.qr(g)
+    return (q * np.sign(np.diag(r))).astype(np.float32)
+
+
 def blended_scores_q8(
     queries: jax.Array,
     img_q: jax.Array,

@@ -260,6 +260,16 @@ class TrainConfig:
     beta2: float = 0.98
     eps: float = 1e-6
     eta_min_factor: float = 0.1  # cosine anneal floor = factor * lr
+    # linear LR warmup over this many optimizer steps before the cosine
+    # (0 = reference parity: full lr from step one, ``trainer.py:488-492``)
+    warmup_steps: int = 0
+    # exponential moving average of the trained params (0 = off): the step
+    # updates ``ema = decay * ema + (1 - decay) * params`` per train step
+    # (per micro-batch under grad_accum_steps — pick decay accordingly);
+    # validation / best-checkpoint selection / export then use the EMA
+    # weights, the standard production smoothing for contrastive training.
+    # DP and tp/fsdp steps only (lora/distill refuse the combination).
+    ema_decay: float = 0.0
     temperature: float = 0.07
     t2i_weight: float = 0.7
     t2t_weight: float = 0.3
@@ -380,6 +390,12 @@ class EvalConfig:
     # candidate-scan cost scale with N); pair with rerank for full-dim
     # final scores. Meaningful for MRL-trained models (train.matryoshka_dims)
     truncate_dim: int = 0
+    # rotated quantization (packed corpus modes only): rotate corpus rows
+    # and query embeddings by a seeded random orthonormal matrix — exact
+    # scores are invariant, but int4/int8 grids and binary sketches lose
+    # far less recall on anisotropic embeddings (the LSH/OPQ trick)
+    rotate: bool = False
+    rotate_seed: int = 0
 
 
 def resolve_encoder(encoder: str):
