@@ -50,6 +50,8 @@ def quality_sweep(
     nprobes: Sequence[int] = (),
     nlist: Optional[int] = None,
     truncate_dims: Sequence[int] = (),
+    rotate: bool = False,
+    rotate_seed: int = 0,
 ) -> List[Dict]:
     """Measure each packing mode against exact brute force.
 
@@ -58,6 +60,9 @@ def quality_sweep(
     ``{"config", "recall_at_k", "top1_retained", "score_mae"}``
     (score_mae over the rows both rankings agree on; 0 for exact).
     ``nprobes`` adds IVF rows (``nlist`` defaults to sqrt(N)).
+    ``rotate`` adds ``+rot`` rows: the packed scans rerun on rotated
+    corpus/queries (``CLIPRetrieval(rotate=True)``) — on anisotropic
+    embeddings the rotated rows recover most of the packing recall loss.
     """
     image = np.asarray(image, np.float32)
     text = np.asarray(text, np.float32)
@@ -84,42 +89,61 @@ def quality_sweep(
 
     rows = [{"config": "exact", "recall_at_k": 1.0, "top1_retained": 1.0, "score_mae": 0.0}]
 
-    i8 = quantize_corpus_host(image), quantize_corpus_host(text)
-    i4 = quantize_corpus_host_q4(image), quantize_corpus_host_q4(text)
     kf = min(rerank_factor * k, n)
+    from ..ops.binary_sketch import hamming_topk, pack_sign_bits_host
 
-    for name, fn, packs in (
-        ("int8", similarity_topk_xla_q8, i8),
-        ("int4", similarity_topk_xla_q4, i4),
-    ):
-        (ci, si), (ct, st) = packs
-        v, i = fn(qj, ci, si, ct, st, k, alpha)
-        rows.append({"config": name, **_agreement(ei, np.asarray(i)), "score_mae": score_mae(i, v)})
-        # + host rerank: fetch rerank_factor*k, exact-rescore, keep k
-        # (the SAME implementation the serving path uses)
-        _, i = fn(qj, ci, si, ct, st, kf, alpha)
+    # (suffix, corpus/query views): "" = as-is; "+rot" = the rotated space
+    # CLIPRetrieval(rotate=True) scans (exact scores invariant, packing
+    # roundings differ). Rerank always rescores with the ORIGINAL towers —
+    # same as serving (the host store stays unrotated).
+    spaces = [("", image, text, queries, qj)]
+    if rotate:
+        from ..ops.similarity import random_rotation
+
+        rot = random_rotation(image.shape[1], rotate_seed)
+        spaces.append(
+            ("+rot", image @ rot, text @ rot, queries @ rot, jnp.asarray(queries @ rot))
+        )
+
+    for suffix, im, tx, qs, qjs in spaces:
+        i8 = quantize_corpus_host(im), quantize_corpus_host(tx)
+        i4 = quantize_corpus_host_q4(im), quantize_corpus_host_q4(tx)
+        for name, fn, packs in (
+            ("int8", similarity_topk_xla_q8, i8),
+            ("int4", similarity_topk_xla_q4, i4),
+        ):
+            (ci, si), (ct, st) = packs
+            v, i = fn(qjs, ci, si, ct, st, k, alpha)
+            rows.append({
+                "config": name + suffix,
+                **_agreement(ei, np.asarray(i)), "score_mae": score_mae(i, v),
+            })
+            # + host rerank: fetch rerank_factor*k, exact-rescore, keep k
+            # (the SAME implementation the serving path uses)
+            _, i = fn(qjs, ci, si, ct, st, kf, alpha)
+            rv, ri = rerank_scores_host(queries, image, text, i, alpha)
+            rv, ri = rv[:, :k], ri[:, :k]
+            rows.append({
+                "config": f"{name}{suffix}+rerank{rerank_factor}x",
+                **_agreement(ei, ri), "score_mae": score_mae(ri, rv),
+            })
+
+        # binary sketch (32x capacity): candidate quality with and without
+        # the mandatory-in-serving rerank (raw rows show why it's enforced)
+        bi, bt = pack_sign_bits_host(im), pack_sign_bits_host(tx)
+        d = im.shape[1]
+        v, i = hamming_topk(qjs, bi, bt, dim=d, k=k, alpha=alpha)
+        rows.append({
+            "config": "binary" + suffix,
+            **_agreement(ei, np.asarray(i)), "score_mae": score_mae(i, v),
+        })
+        _, i = hamming_topk(qjs, bi, bt, dim=d, k=kf, alpha=alpha)
         rv, ri = rerank_scores_host(queries, image, text, i, alpha)
         rv, ri = rv[:, :k], ri[:, :k]
         rows.append({
-            "config": f"{name}+rerank{rerank_factor}x",
+            "config": f"binary{suffix}+rerank{rerank_factor}x",
             **_agreement(ei, ri), "score_mae": score_mae(ri, rv),
         })
-
-    # binary sketch (32x capacity): candidate quality with and without the
-    # mandatory-in-serving rerank (raw rows show why rerank is enforced)
-    from ..ops.binary_sketch import hamming_topk, pack_sign_bits_host
-
-    bi, bt = pack_sign_bits_host(image), pack_sign_bits_host(text)
-    d = image.shape[1]
-    v, i = hamming_topk(qj, bi, bt, dim=d, k=k, alpha=alpha)
-    rows.append({"config": "binary", **_agreement(ei, np.asarray(i)), "score_mae": score_mae(i, v)})
-    _, i = hamming_topk(qj, bi, bt, dim=d, k=kf, alpha=alpha)
-    rv, ri = rerank_scores_host(queries, image, text, i, alpha)
-    rv, ri = rv[:, :k], ri[:, :k]
-    rows.append({
-        "config": f"binary+rerank{rerank_factor}x",
-        **_agreement(ei, ri), "score_mae": score_mae(ri, rv),
-    })
 
     # Matryoshka prefixes (CLIPRetrieval(truncate_dim=d)): candidate quality
     # of the d-dim scan, raw and with the serving rerank. Meaningful recall

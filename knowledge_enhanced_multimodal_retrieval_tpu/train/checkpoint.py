@@ -68,10 +68,27 @@ def save_checkpoint(
     L/14 state no longer stalls the epoch loop); call
     :func:`wait_for_checkpoints` (the trainer does, at loop exit) or pass
     ``wait=True`` to flush.
+
+    Multi-process runs (``jax.process_count() > 1``): EVERY process calls
+    orbax save/wait on the shared ``base_dir`` — orbax's save and
+    wait_until_finished contain global barriers, so coordinator-only
+    invocation deadlocks the other processes at their next collective
+    (reproduced with gloo CPU collectives; orbax's primary-host logic
+    writes the data once). The save is synchronous here so every barrier
+    call stays symmetric across processes; only the coordinator writes the
+    meta sidecar (plain file IO, no barriers).
     """
+    path = _dir(base_dir, role)
+    if jax.process_count() > 1:
+        ckptr = _checkpointer()
+        ckptr.wait_until_finished()
+        ckptr.save(path, jax.tree_util.tree_map(np.asarray, state), force=True)
+        ckptr.wait_until_finished()  # data committed; barriers symmetric
+        if is_coordinator():
+            _write_meta(path, json.dumps(metadata, indent=2), next(_META_SEQ))
+        return
     if not is_coordinator():
         return
-    path = _dir(base_dir, role)
     ckptr = _checkpointer()
     ckptr.wait_until_finished()  # serialize against a still-running save
     ckptr.save(path, jax.tree_util.tree_map(np.asarray, state), force=True)
@@ -89,20 +106,25 @@ _META_LOCK = threading.Lock()
 _META_THREADS: list = []
 
 
+def _write_meta(path: str, meta_text: str, seq: int) -> None:
+    """Atomically commit the meta sidecar (latest-wins across threads)."""
+    with _META_LOCK:
+        if _META_LATEST.get(path, -1) > seq:
+            return  # a newer save's meta already committed
+        _META_LATEST[path] = seq
+        tmp = f"{path}.meta.json.tmp-{seq}"
+        with open(tmp, "w") as f:
+            f.write(meta_text)
+        os.replace(tmp, path + ".meta.json")
+
+
 def _commit_meta_after_save(ckptr, path: str, metadata: Dict[str, Any], wait: bool) -> None:
     seq = next(_META_SEQ)
     meta_text = json.dumps(metadata, indent=2)
 
     def _commit() -> None:
         ckptr.wait_until_finished()
-        with _META_LOCK:
-            if _META_LATEST.get(path, -1) > seq:
-                return  # a newer save's meta already committed
-            _META_LATEST[path] = seq
-            tmp = f"{path}.meta.json.tmp-{seq}"
-            with open(tmp, "w") as f:
-                f.write(meta_text)
-            os.replace(tmp, path + ".meta.json")
+        _write_meta(path, meta_text, seq)
 
     if wait:
         _commit()

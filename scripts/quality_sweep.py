@@ -47,6 +47,10 @@ def main(argv=None) -> None:
         "--truncate-dims", default="",
         help="comma-separated Matryoshka prefix widths (eval.truncate_dim)",
     )
+    p.add_argument(
+        "--rotate", action="store_true",
+        help="add +rot rows (CLIPRetrieval(rotate=True) packing space)",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="run on host CPU")
     args = p.parse_args(argv)
@@ -75,7 +79,7 @@ def main(argv=None) -> None:
     rows = quality_sweep(
         image, text, q, k=args.k, alpha=args.alpha,
         rerank_factor=args.rerank_factor, nprobes=nprobes,
-        truncate_dims=tdims,
+        truncate_dims=tdims, rotate=args.rotate, rotate_seed=args.seed,
     )
     print(format_table(rows))
     print(json.dumps({"k": args.k, "alpha": args.alpha, "rows": rows}))

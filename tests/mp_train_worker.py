@@ -61,8 +61,17 @@ def main() -> None:
     trainer = T.CLIPTrainer(model, params, pipe, pipe, cfg, out_dir=os.path.join(out, f"run_p{pid}"))
     result = trainer.train()
 
+    # one epoch-0 batch re-derived for the parent's disjointness check: the
+    # per-process shards of each global batch must partition it exactly
+    b0 = next(iter(pipe.epoch_batches(
+        cfg.batch_size, epoch=0, shuffle=True, seed=cfg.seed,
+        drop_last=True, num_shards=nproc, shard_index=pid,
+    )))
+
     report = {
         "pid": pid,
+        "first_batch_rows": int(b0.images.shape[0]),
+        "first_batch_indices": [int(i) for i in np.asarray(b0.indices)],
         "process_count": jax.process_count(),
         "global_devices": jax.device_count(),
         "epochs_run": result["epochs_run"],

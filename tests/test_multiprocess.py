@@ -94,9 +94,17 @@ def test_two_process_training_converges_identically(tmp_path):
     assert r0["final_param"] == pytest.approx(r1["final_param"], abs=1e-6)
     assert r0["final_loss"] == pytest.approx(r1["final_loss"], rel=1e-4)
 
-    # each process trained on its own data shard: 64 rows / batch 16 = 4
-    # global steps per epoch, 2 per process shard
-    assert r0["steps"] == r1["steps"] == [2, 2, 2]
+    # 64 rows / global batch 16 = 4 global steps per epoch; every process
+    # participates in every step with its own 8-row shard of each batch
+    # (DistributedSampler semantics: sharding splits batch ROWS, not the
+    # step count)
+    assert r0["steps"] == r1["steps"] == [4, 4, 4]
+
+    # the per-process shards genuinely PARTITION the global batch: 8 rows
+    # each, disjoint, union = the full 16-row batch
+    assert r0["first_batch_rows"] == r1["first_batch_rows"] == 8
+    s0, s1 = set(r0["first_batch_indices"]), set(r1["first_batch_indices"])
+    assert len(s0) == len(s1) == 8 and not (s0 & s1)
 
     # coordinator gating: only process 0's run dir carries the metrics file
     assert os.path.exists(os.path.join(str(tmp_path), "run_p0", "train_metrics.jsonl"))

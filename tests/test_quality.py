@@ -62,3 +62,25 @@ def test_cli_synthetic_smoke():
     assert proc.returncode == 0, proc.stderr
     payload = json.loads(proc.stdout.strip().splitlines()[-1])
     assert payload["k"] == 5 and len(payload["rows"]) >= 6
+
+
+def test_sweep_rotation_rows(rng):
+    """rotate=True adds +rot rows; on anisotropic embeddings the rotated
+    packings recover recall (the CLIPRetrieval(rotate=True) decision row)."""
+    d = 48
+    spec = 2.0 ** (-np.arange(d) / 3.0)
+
+    def aniso(n):
+        v = rng.standard_normal((n, d)) * spec
+        return (v / np.linalg.norm(v, axis=1, keepdims=True)).astype(np.float32)
+
+    image, text, q = aniso(256), aniso(256), aniso(16)
+    rows = quality_sweep(image, text, q, k=10, rotate=True)
+    by = {r["config"]: r for r in rows}
+    for name in ("int4+rot", "int8+rot", "binary+rot", "int4+rot+rerank4x"):
+        assert name in by, sorted(by)
+    assert by["binary+rot"]["recall_at_k"] > by["binary"]["recall_at_k"]
+    assert by["int4+rot"]["recall_at_k"] >= by["int4"]["recall_at_k"]
+    # without rotate no +rot rows appear
+    plain = {r["config"] for r in quality_sweep(image, text, q, k=10)}
+    assert not any("+rot" in c for c in plain)
