@@ -44,17 +44,26 @@ def make_mesh(
     cfg: MeshConfig = MeshConfig(),
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a ``(data, model)`` mesh over the available devices.
+    """Build a ``(data, model)`` — or ``(dcn, data, model)`` — mesh.
 
-    ``data_parallel == -1`` consumes all devices not claimed by the model
-    axis. Device order follows ``jax.devices()`` which is ICI-contiguous on a
-    TPU slice, so the data axis rides ICI.
+    ``data_parallel == -1`` consumes all devices not claimed by the other
+    axes. Device order follows ``jax.devices()`` which is ICI-contiguous on
+    a TPU slice, so the data axis rides ICI. ``dcn_parallel > 1`` adds a
+    LEADING ``dcn`` axis for hybrid data parallelism across slices: with
+    slice-major device order (the multi-slice ``jax.devices()`` contract),
+    the outer axis crosses DCN and the inner axes stay on each slice's ICI.
     """
     devs = list(devices if devices is not None else jax.devices())
     mp = max(1, cfg.model_parallel)
-    dp = cfg.data_parallel if cfg.data_parallel > 0 else len(devs) // mp
-    if dp * mp != len(devs):
-        raise ValueError(f"mesh {dp}x{mp} does not tile {len(devs)} devices")
+    dcn = max(1, getattr(cfg, "dcn_parallel", 1))
+    dp = cfg.data_parallel if cfg.data_parallel > 0 else len(devs) // (mp * dcn)
+    if dcn * dp * mp != len(devs):
+        raise ValueError(
+            f"mesh {dcn}x{dp}x{mp} (dcn x data x model) does not tile {len(devs)} devices"
+        )
+    if dcn > 1:
+        arr = np.array(devs).reshape(dcn, dp, mp)
+        return Mesh(arr, axis_names=(cfg.dcn_axis, cfg.data_axis, cfg.model_axis))
     arr = np.array(devs).reshape(dp, mp)
     return Mesh(arr, axis_names=(cfg.data_axis, cfg.model_axis))
 
@@ -67,21 +76,36 @@ class MeshRuntime:
     data_axis: str = "data"
     model_axis: str = "model"
     fsdp: bool = False  # shard train state over the data axis (parallel/fsdp.py)
+    # multi-slice hybrid DP: the leading DCN mesh axis name, or None for a
+    # single-slice (data, model) mesh. Batches shard over (dcn, data)
+    # jointly; fsdp/tp shard INSIDE a slice only.
+    dcn_axis: Optional[str] = None
 
     @staticmethod
     def create(cfg: MeshConfig = MeshConfig(), devices: Optional[Sequence[jax.Device]] = None) -> "MeshRuntime":
         mesh = make_mesh(cfg, devices)
+        dcn = cfg.dcn_axis if getattr(cfg, "dcn_parallel", 1) > 1 else None
         return MeshRuntime(
-            mesh=mesh, data_axis=cfg.data_axis, model_axis=cfg.model_axis, fsdp=cfg.fsdp
+            mesh=mesh, data_axis=cfg.data_axis, model_axis=cfg.model_axis,
+            fsdp=cfg.fsdp, dcn_axis=dcn,
         )
 
     @property
+    def data_axes(self) -> tuple:
+        """Every axis the batch shards over: ('dcn', 'data') or ('data',)."""
+        return (self.dcn_axis, self.data_axis) if self.dcn_axis else (self.data_axis,)
+
+    @property
     def num_data(self) -> int:
-        return self.mesh.shape[self.data_axis]
+        """Total batch-sharding ways (across DCN and ICI data axes)."""
+        n = self.mesh.shape[self.data_axis]
+        if self.dcn_axis:
+            n *= self.mesh.shape[self.dcn_axis]
+        return n
 
     def data_sharding(self, ndim: int = 1) -> NamedSharding:
-        """Batch-sharded over the data axis; trailing dims replicated."""
-        spec = P(self.data_axis, *([None] * (ndim - 1)))
+        """Batch-sharded over the data axes; trailing dims replicated."""
+        spec = P(self.data_axes, *([None] * (ndim - 1)))
         return NamedSharding(self.mesh, spec)
 
     def replicated_sharding(self) -> NamedSharding:

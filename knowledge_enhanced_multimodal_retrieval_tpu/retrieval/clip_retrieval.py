@@ -138,6 +138,12 @@ class CLIPRetrieval:
                 "shard_queries and shard_corpus both shard over the mesh's "
                 "data axis — pick one (capacity vs throughput scaling)"
             )
+        if (self.shard_corpus or self.shard_queries) and getattr(rt, "dcn_axis", None):
+            raise ValueError(
+                "serving shards over ONE intra-slice data axis; a multi-slice "
+                "(dcn) mesh is a training layout — serve each slice with its "
+                "own single-slice MeshRuntime"
+            )
         # None = auto: the fused Pallas path on TPU (it IS the product path),
         # the XLA path elsewhere
         self.use_pallas = on_tpu() if use_pallas is None else use_pallas

@@ -21,6 +21,20 @@ import jax
 import jax.numpy as jnp
 
 
+def _flat_axis_index(axis_name) -> jax.Array:
+    """Row-major index over one axis name or a tuple of them.
+
+    Tuple axis names (multi-slice hybrid DP: ``('dcn', 'data')``) must match
+    ``all_gather``'s tuple concatenation order — outer axis major.
+    """
+    if isinstance(axis_name, (tuple, list)):
+        idx = jnp.int32(0)
+        for a in axis_name:
+            idx = idx * jax.lax.psum(1, a) + jax.lax.axis_index(a)
+        return idx
+    return jax.lax.axis_index(axis_name)
+
+
 def info_nce(
     features_a: jax.Array,
     features_b: jax.Array,
@@ -51,7 +65,7 @@ def info_nce(
     else:
         b_all = jax.lax.all_gather(b, axis_name, tiled=True)  # [B_global, D]
         a_all = jax.lax.all_gather(a, axis_name, tiled=True)
-        offset = jax.lax.axis_index(axis_name) * n_local
+        offset = _flat_axis_index(axis_name) * n_local
         na = (
             jax.lax.all_gather(negatives_a.astype(jnp.float32), axis_name, tiled=True)
             if negatives_a is not None
@@ -188,7 +202,7 @@ def sigmoid_contrastive(
         na, nb = negatives_a, negatives_b
     else:
         b_all = jax.lax.all_gather(b, axis_name, tiled=True)  # [B_global, D]
-        offset = jax.lax.axis_index(axis_name) * n_local
+        offset = _flat_axis_index(axis_name) * n_local
         na = (
             jax.lax.all_gather(negatives_a.astype(jnp.float32), axis_name, tiled=True)
             if negatives_a is not None

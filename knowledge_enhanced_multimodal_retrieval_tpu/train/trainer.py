@@ -49,7 +49,7 @@ from ..parallel.sharding import host_local_batch_to_global, replicated
 from ..utils.config import TrainConfig
 from ..utils.logging_utils import MetricsWriter, is_coordinator, setup_logger
 from . import checkpoint as ckpt
-from .losses import joint_loss_for_config
+from .losses import _flat_axis_index, joint_loss_for_config
 from .schedule import cosine_annealing_lr
 
 # The reference validates on T2I + T2T only and early-stops on their mean
@@ -250,7 +250,11 @@ def make_train_step(
     the data axis. Per-shard loss on local examples (reference DDP
     semantics) or global negatives via all_gather when configured.
     """
-    axis = rt.data_axis
+    # all batch-sharding axes: ("data",) on one slice, ("dcn", "data") under
+    # multi-slice hybrid DP — pmean/all_gather over a tuple reduce over both
+    # (gradients ride ICI within a slice and DCN across)
+    axes = rt.data_axes
+    axis = axes if len(axes) > 1 else axes[0]
     loss_axis = axis if cfg.global_negatives else None
     joint_loss = joint_loss_for_config(cfg)
     fwd = forward_for_config(model, cfg)
@@ -267,7 +271,7 @@ def make_train_step(
             # FLIP masking: fresh per-image subsets each step, decorrelated
             # across shards (fold in the axis index)
             rng = jax.random.fold_in(
-                jax.random.fold_in(base_key, step), jax.lax.axis_index(axis)
+                jax.random.fold_in(base_key, step), _flat_axis_index(axis)
             )
             img_args = (images, sample_keep_idx(rng, images.shape[0], n_patches, mask_ratio))
 
@@ -494,7 +498,8 @@ def make_encode_step(model: CLIP, rt: MeshRuntime, fast: bool = False) -> Callab
     fetching of a collective program deadlocks the others. Replicated
     outputs make the fetch identical on every process. Single-host behavior
     is unchanged (same global array, one extra ICI gather)."""
-    axis = rt.data_axis
+    axes = rt.data_axes
+    axis = axes if len(axes) > 1 else axes[0]
 
     def local(params, images, query_ids, target_ids):
         if fast:
@@ -806,7 +811,7 @@ class CLIPTrainer:
             host["neg_ids"] = self.train_data.negative_target_ids(
                 batch.indices, self.neg_table, self.cfg.hard_negatives_k
             )
-        return host_local_batch_to_global(host, self.rt.mesh, self.rt.data_axis)
+        return host_local_batch_to_global(host, self.rt.mesh, self.rt.data_axes)
 
     # -- validation ---------------------------------------------------------
 
@@ -854,7 +859,7 @@ class CLIPTrainer:
             db = host_local_batch_to_global(
                 {"images": images, "query_ids": query_ids, "target_ids": target_ids},
                 self.rt.mesh,
-                self.rt.data_axis,
+                self.rt.data_axes,
             )
             img_e, q_e, t_e = self.encode_step(
                 eval_params, db["images"], db["query_ids"], db["target_ids"]

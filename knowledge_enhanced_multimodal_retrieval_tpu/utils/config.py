@@ -210,6 +210,13 @@ class MeshConfig:
     model_axis: str = "model"
     data_parallel: int = -1  # -1 = all devices
     model_parallel: int = 1
+    # Multi-slice data parallelism: a leading 'dcn' mesh axis for hybrid
+    # DP across TPU slices (gradient reduction rides DCN between slices,
+    # ICI within). Batches shard over (dcn, data) jointly; fsdp/tp stay
+    # INSIDE a slice (the standard hybrid — weight gathers never cross
+    # DCN). 1 = single slice (two-axis mesh, unchanged).
+    dcn_parallel: int = 1
+    dcn_axis: str = "dcn"
     # FSDP/ZeRO-3: shard params + optimizer moments over the data axis
     # (per-chip state memory scales 1/n; see parallel/fsdp.py)
     fsdp: bool = False
