@@ -135,6 +135,11 @@ def main(argv=None) -> None:
     # opt-in HTTP result cache (entries = (query, alpha) pairs; invalidated
     # on every corpus mutation): popular queries skip the device entirely
     cache_results = int(pop_flag(args, "--cache-results", "0"))
+    # opt-in seq-length bucketing of the HTTP micro-batches (short queries
+    # keep their cheap compiled program instead of paying the batch max's)
+    bucket_queries = "--bucket-queries" in args
+    if bucket_queries:
+        args.remove("--bucket-queries")
     cfg = config_from_argv(args)
     maybe_enable_compile_cache(cfg)
     logger = setup_logger("kemr_tpu.cli.serve")
@@ -222,6 +227,12 @@ def main(argv=None) -> None:
             filtered_batch_fn=filtered_batch_fn,
             candidates_batch_fn=candidates_batch_fn,
             fused_batch_fn=fused_batch_fn,
+            # --bucket-queries: split micro-batches by seq bucket so short
+            # queries keep their cheap compiled program (encode cost is
+            # linear in the batch's LONGEST query's bucket)
+            length_bucket_fn=(
+                engine.clip_retriever.seq_bucket if bucket_queries else None
+            ),
         )
         logger.info(
             "serving HTTP on %s:%d (/search, /search_image, /documents, "

@@ -770,6 +770,13 @@ class CLIPRetrieval:
         ids = self.tokenizer(list(queries), context_length=self.model.arch.context_length)
         return trim_to_bucket(ids)
 
+    def seq_bucket(self, query: str) -> int:
+        """The seq bucket this query encodes at (for the MicroBatcher's
+        length bucketing: grouping same-bucket queries keeps short queries
+        on their cheap compiled program instead of paying the batch
+        maximum's)."""
+        return int(self._tokenize([query]).shape[1])
+
     def search_batch(self, queries: Sequence[str], alpha: float = 0.5, top_k: Optional[int] = None):
         """Batched search: returns (values [Q, k_fetch], indices [Q, k_fetch]).
 

@@ -146,6 +146,7 @@ class RetrievalHTTPServer:
         filtered_batch_fn: Optional[Callable] = None,
         candidates_batch_fn: Optional[Callable] = None,
         fused_batch_fn: Optional[Callable] = None,
+        length_bucket_fn: Optional[Callable] = None,
     ):
         # with an alphas hook, batch items are (query, alpha-or-None) pairs
         # and the hook resolves defaults — per-request blends ride the same
@@ -155,9 +156,19 @@ class RetrievalHTTPServer:
         def _pairs_fn(items):
             return alphas_batch_fn([q for q, _ in items], [a for _, a in items])
 
+        # length bucketing (opt-in, e.g. CLIPRetrieval.seq_bucket): split
+        # each micro-batch by seq bucket so short queries keep their cheap
+        # compiled program; under per-request alpha the batch items are
+        # (query, alpha) pairs, so unwrap the query first
+        bucket_fn = length_bucket_fn
+        if bucket_fn is not None and per_request_alpha:
+            _raw_bucket = bucket_fn
+            bucket_fn = lambda item: _raw_bucket(item[0])  # noqa: E731
+
         self.batcher = MicroBatcher(
             _pairs_fn if per_request_alpha else batch_fn,
             max_batch=max_batch, max_wait_ms=max_wait_ms, max_pending=max_pending,
+            length_bucket_fn=bucket_fn,
         )
         batcher = self.batcher
 

@@ -49,12 +49,22 @@ class MicroBatcher:
         max_wait_ms: float = 2.0,
         pad_to_bucket: bool = True,
         max_pending: int = 0,
+        length_bucket_fn: Optional[Callable[[str], int]] = None,
     ):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self._batch_fn = batch_fn
         self._max_batch = max_batch
         self._max_wait_s = max_wait_ms / 1e3
+        # Sequence-length bucketing (opt-in): encode cost is linear in the
+        # batch's LONGEST query's seq bucket, so one long query makes every
+        # short query in its micro-batch pay the wide bucket. With a
+        # ``length_bucket_fn`` (query -> seq bucket, e.g.
+        # ``CLIPRetrieval.seq_bucket``), each micro-batch splits into
+        # per-bucket groups dispatched separately — short queries keep
+        # their cheap program. Warmup's (batch, seq-bucket) grid covers
+        # the extra signatures.
+        self._bucket_fn = length_bucket_fn
         # Backpressure: with max_pending > 0, submit() raises Overloaded once
         # that many requests are queued/in flight instead of letting latency
         # grow without bound (load-shed at admission, not after queueing).
@@ -196,25 +206,47 @@ class MicroBatcher:
                     self._finish()
             if not items:
                 continue
-            queries = [q for q, _, _ in items]
-            n = len(queries)
-            if self._pad_to_bucket and n < self._max_batch:
-                bucket = 1 << (n - 1).bit_length()  # next power of two
-                queries = queries + [queries[-1]] * (min(bucket, self._max_batch) - n)
+            for group in self._length_groups(items):
+                self._dispatch(group)
+
+    def _length_groups(self, items: list) -> list:
+        """Split a micro-batch into per-seq-bucket groups (identity without
+        a ``length_bucket_fn``). Bucket-fn failures (e.g. a query the
+        tokenizer rejects) fall into one shared group so the error surfaces
+        per-request from ``batch_fn``, not by killing the worker."""
+        if self._bucket_fn is None:
+            return [items]
+        groups: dict = {}
+        for it in items:
             try:
-                results = self._batch_fn(queries)
-                if len(results) != len(queries):
-                    raise RuntimeError(
-                        f"batch_fn returned {len(results)} results for {len(queries)} queries"
-                    )
-                results = results[:n]
-            except BaseException as e:
-                for _, fut, t0 in items:
-                    fut.set_exception(e)
-                    self._finish(t0)
-                continue
-            self._batches += 1
-            self._served += len(items)
-            for (_, fut, t0), res in zip(items, results):
-                fut.set_result(res)
+                b = self._bucket_fn(it[0])
+            except BaseException:
+                b = -1
+            groups.setdefault(b, []).append(it)
+        # widest bucket first: the expensive group compiles/dispatches while
+        # the cheap ones queue behind it, minimizing the slowest caller's wait
+        return [groups[b] for b in sorted(groups, reverse=True)]
+
+    def _dispatch(self, items: list) -> None:
+        queries = [q for q, _, _ in items]
+        n = len(queries)
+        if self._pad_to_bucket and n < self._max_batch:
+            bucket = 1 << (n - 1).bit_length()  # next power of two
+            queries = queries + [queries[-1]] * (min(bucket, self._max_batch) - n)
+        try:
+            results = self._batch_fn(queries)
+            if len(results) != len(queries):
+                raise RuntimeError(
+                    f"batch_fn returned {len(results)} results for {len(queries)} queries"
+                )
+            results = results[:n]
+        except BaseException as e:
+            for _, fut, t0 in items:
+                fut.set_exception(e)
                 self._finish(t0)
+            return
+        self._batches += 1
+        self._served += len(items)
+        for (_, fut, t0), res in zip(items, results):
+            fut.set_result(res)
+            self._finish(t0)

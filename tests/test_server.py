@@ -574,3 +574,55 @@ def test_http_result_cache_hit_and_invalidation():
         post(base, "/documents", {"documents": [doc]})
         c = json_mod.load(urlopen(f"{base}/search?q=vase", timeout=10))
         assert len(calls) == 2 and c["results"][0]["uuid"] == "v2-vase"
+
+
+def test_length_bucketing_splits_micro_batches():
+    """With a length_bucket_fn each dispatched batch is single-bucket, the
+    widest bucket dispatches first, and every caller still gets its own
+    result."""
+    calls = []
+
+    def batch_fn(queries):
+        calls.append(list(queries))
+        return [[{"uuid": q}] for q in queries]
+
+    bucket = lambda q: 32 if len(q) > 6 else 16  # noqa: E731
+
+    with MicroBatcher(
+        batch_fn, max_batch=64, max_wait_ms=200.0,
+        pad_to_bucket=False, length_bucket_fn=bucket,
+    ) as mb:
+        queries = ["short"] * 5 + ["a much longer query"] * 3 + ["tiny"] * 2
+        futs = [mb.submit(q) for q in queries]
+        results = [f.result(timeout=10) for f in futs]
+    assert [r[0]["uuid"] for r in results] == queries
+    # every dispatched group is single-bucket
+    for call in calls:
+        assert len({bucket(q) for q in call}) == 1, call
+    # both buckets were served, wide group first within its micro-batch
+    first_two = [bucket(c[0]) for c in calls[:2]]
+    assert set(first_two) == {16, 32}
+    assert first_two[0] == 32
+    assert mb.stats["served"] == 10
+
+
+def test_length_bucketing_bucket_fn_errors_stay_per_request():
+    """A bucket fn that raises must not kill the worker — the queries fall
+    into a shared group and batch_fn decides their fate."""
+
+    def batch_fn(queries):
+        return [[{"uuid": q}] for q in queries]
+
+    def bad_bucket(q):
+        if q == "boom":
+            raise ValueError("no bucket")
+        return 16
+
+    with MicroBatcher(
+        batch_fn, max_wait_ms=50.0, pad_to_bucket=False, length_bucket_fn=bad_bucket
+    ) as mb:
+        futs = [mb.submit(q) for q in ("boom", "ok")]
+        results = [f.result(timeout=10) for f in futs]
+    assert [r[0]["uuid"] for r in results] == ["boom", "ok"]
+    # and the batcher still serves after the bucket-fn failure
+    assert mb.stats["served"] == 2
