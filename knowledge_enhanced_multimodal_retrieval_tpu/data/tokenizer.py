@@ -255,7 +255,9 @@ class CLIPTokenizer:
         return out
 
 
-DEFAULT_BUCKETS = (32, 64, CONTEXT_LENGTH)
+# 16 serves genuinely short queries (<= 14 BPE tokens + SOT/EOT) at half
+# the encode cost of 32; sublane-aligned (16) so every kernel tiles it
+DEFAULT_BUCKETS = (16, 32, 64, CONTEXT_LENGTH)
 
 
 def trim_to_bucket(ids: np.ndarray, buckets: Sequence[int] = DEFAULT_BUCKETS) -> np.ndarray:

@@ -176,3 +176,20 @@ def test_trimmed_encoding_is_exact(tok):
     full = model.apply({"params": params}, jnp.asarray(ids), method=M.CLIP.encode_text)
     short = model.apply({"params": params}, jnp.asarray(trimmed), method=M.CLIP.encode_text)
     np.testing.assert_allclose(np.asarray(full), np.asarray(short), atol=1e-5)
+
+
+def test_default_buckets_include_16(tok):
+    """Short queries (<= 14 tokens + specials) ride the 16 bucket at half
+    the 32-bucket encode cost; exact math (causal mask + EOT pooling)."""
+    import numpy as np
+
+    from knowledge_enhanced_multimodal_retrieval_tpu.data.tokenizer import (
+        DEFAULT_BUCKETS,
+        trim_to_bucket,
+    )
+
+    assert DEFAULT_BUCKETS[0] == 16 and DEFAULT_BUCKETS[0] % 16 == 0
+    ids = np.zeros((3, 77), np.int64)
+    ids[:, 0] = 5
+    ids[:, 10] = 7  # last nonzero at col 10 -> used 11 -> bucket 16
+    assert trim_to_bucket(ids).shape == (3, 16)
