@@ -92,7 +92,7 @@ def encode_dataset(
             sl = slice(pi * local, (pi + 1) * local)
             images, query_ids, target_ids = images[sl], query_ids[sl], target_ids[sl]
         db = host_local_batch_to_global(
-            {"images": images, "query_ids": query_ids, "target_ids": target_ids}, rt.mesh, rt.data_axis
+            {"images": images, "query_ids": query_ids, "target_ids": target_ids}, rt.mesh, rt.data_axes
         )
         img_e, q_e, t_e = encode_step(params, db["images"], db["query_ids"], db["target_ids"])
         imgs.append(np.asarray(img_e)[:n])

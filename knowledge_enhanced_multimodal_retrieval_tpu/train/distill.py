@@ -187,7 +187,8 @@ def make_distill_step(
             f"(student {student_dim} vs teacher {teacher_dim}); set "
             f"--train.distill_embed_weight=0 for cross-dimension distillation"
         )
-    axis = rt.data_axis
+    axes = rt.data_axes  # ('dcn', 'data') under multi-slice hybrid DP
+    axis = axes if len(axes) > 1 else axes[0]
 
     def local_step(params, opt_state, step, images, query_ids, target_ids, t_img, t_q, t_t):
         def loss_fn(p):

@@ -128,11 +128,12 @@ def make_train_step_lora(
     non-differentiated argument. Loss semantics (per-shard negatives or
     global via all_gather) match the full fine-tune step exactly."""
     from ..models.clip import CLIP, l2_normalize
-    from .losses import joint_loss_for_config
+    from .losses import _flat_axis_index, joint_loss_for_config
 
     from .trainer import forward_for_config, sample_keep_idx
 
-    axis = rt.data_axis
+    axes = rt.data_axes  # ('dcn', 'data') under multi-slice hybrid DP
+    axis = axes if len(axes) > 1 else axes[0]
     loss_axis = axis if cfg.global_negatives else None
     joint_loss = joint_loss_for_config(cfg)
     # QAT composes: the MERGED weights (what serving quantizes after
@@ -149,7 +150,7 @@ def make_train_step_lora(
         img_args = (images,)
         if mask_ratio > 0:
             rng = jax.random.fold_in(
-                jax.random.fold_in(base_key, step), jax.lax.axis_index(axis)
+                jax.random.fold_in(base_key, step), _flat_axis_index(axis)
             )
             img_args = (images, sample_keep_idx(rng, images.shape[0], n_patches, mask_ratio))
 

@@ -154,3 +154,26 @@ def test_dcn_mesh_refused_for_serving_shards(setup, devices8):
     for kw in (dict(shard_queries=True), dict(shard_corpus=True)):
         with pytest.raises(ValueError, match="multi-slice"):
             CLIPRetrieval(model, params, tok, store, rt=rt, **kw)
+
+
+def test_dcn_composes_with_lora(setup, devices8, tmp_path):
+    """The LoRA adapter step rides the axis tuple too: dcn2 x dp4 matches
+    flat dp8 adapter training exactly."""
+    model, params, pipe = setup
+    batch = pipe.make_batch(list(range(16)))
+    leafs = {}
+    for name, mcfg in (
+        ("flat", MeshConfig(data_parallel=8)),
+        ("hybrid", MeshConfig(dcn_parallel=2, data_parallel=4)),
+    ):
+        cfg = _cfg(str(tmp_path) + name, lora_rank=2, global_negatives=True)
+        rt = MeshRuntime.create(mcfg)
+        tr = T.CLIPTrainer(model, params, pipe, None, cfg, rt=rt, out_dir=str(tmp_path))
+        state, metrics = tr.train_step(tr.state, tr._device_batch(batch))
+        merged = tr._merge(tr.base_params, state["params"])
+        leafs[name] = (
+            float(metrics["loss"]),
+            np.asarray(merged["text"]["text_projection"]),
+        )
+    assert leafs["flat"][0] == pytest.approx(leafs["hybrid"][0], rel=1e-5)
+    np.testing.assert_allclose(leafs["flat"][1], leafs["hybrid"][1], atol=2e-6)
