@@ -63,6 +63,7 @@ def build_engine(cfg, store_path: str, kg_path: str = "") -> RetrievalEngine:
         truncate_dim=cfg.eval.truncate_dim,
         rotate=cfg.eval.rotate,
         rotate_seed=cfg.eval.rotate_seed,
+        pq_m=cfg.eval.pq_m,
     )
 
     t2s = None

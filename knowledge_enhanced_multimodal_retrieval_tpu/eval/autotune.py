@@ -23,13 +23,16 @@ import numpy as np
 from .quality import quality_sweep
 
 # f32 corpus bytes/dim for each packing mode (scales/overheads are O(1/D)
-# per row and ignored); capacity multiplier = 4 / bytes_per_dim
-_BYTES_PER_DIM = {"exact": 4.0, "int8": 1.0, "int4": 0.5, "binary": 1.0 / 32.0}
+# per row and ignored); capacity multiplier = 4 / bytes_per_dim. pq uses the
+# default m = D/8 subspaces -> one uint8 code per 8 dims.
+_BYTES_PER_DIM = {
+    "exact": 4.0, "int8": 1.0, "int4": 0.5, "pq": 1.0 / 8.0, "binary": 1.0 / 32.0,
+}
 
 
 def _parse_config(name: str) -> Optional[Dict]:
     """Sweep row name -> CLIPRetrieval kwargs (None for non-packing rows)."""
-    m = re.fullmatch(r"(exact|int8|int4|binary)(\+rot)?(?:\+rerank(\d+)x)?", name)
+    m = re.fullmatch(r"(exact|int8|int4|pq|binary)(\+rot)?(?:\+rerank(\d+)x)?", name)
     if not m:
         return None  # ivf / trunc rows are tuned separately
     mode, rot, factor = m.group(1), bool(m.group(2)), m.group(3)

@@ -128,6 +128,29 @@ def quality_sweep(
                 **_agreement(ei, ri), "score_mae": score_mae(ri, rv),
             })
 
+        # product quantization (~30x capacity at binary footprint): codebooks
+        # train per space (rotated rows get rotated codebooks — OPQ-lite,
+        # exactly what CLIPRetrieval(quantize_corpus="pq", rotate=True) does)
+        from ..ops.pq import pack_pq_host, pq_similarity_topk, train_pq_codebooks
+
+        m = max(1, im.shape[1] // 8)
+        cb_i = train_pq_codebooks(im, m=m)
+        cb_t = train_pq_codebooks(tx, m=m)
+        (pi, psi), (pt, pst) = pack_pq_host(im, cb_i), pack_pq_host(tx, cb_t)
+        cbi_j, cbt_j = jnp.asarray(cb_i), jnp.asarray(cb_t)
+        v, i = pq_similarity_topk(qjs, pi, psi, pt, pst, cbi_j, cbt_j, k, alpha)
+        rows.append({
+            "config": "pq" + suffix,
+            **_agreement(ei, np.asarray(i)), "score_mae": score_mae(i, v),
+        })
+        _, i = pq_similarity_topk(qjs, pi, psi, pt, pst, cbi_j, cbt_j, kf, alpha)
+        rv, ri = rerank_scores_host(queries, image, text, i, alpha)
+        rv, ri = rv[:, :k], ri[:, :k]
+        rows.append({
+            "config": f"pq{suffix}+rerank{rerank_factor}x",
+            **_agreement(ei, ri), "score_mae": score_mae(ri, rv),
+        })
+
         # binary sketch (32x capacity): candidate quality with and without
         # the mandatory-in-serving rerank (raw rows show why it's enforced)
         bi, bt = pack_sign_bits_host(im), pack_sign_bits_host(tx)

@@ -1,0 +1,354 @@
+"""Product-quantized corpus: codebook codes + decode-and-matmul scan.
+
+The capacity tier between int4 and the binary sketch on the packing ladder
+(f32 -> int8 2x -> int4 4x -> **pq ~30x** -> binary 32x): each embedding row
+splits into ``M`` subvectors and every subvector is replaced by the index of
+its nearest centroid in a 256-entry per-subspace codebook (classic product
+quantization, Jegou et al. 2011). A 768-dim f32 row (3072 B) becomes
+``M`` uint8 codes + one f32 row scale (M=96 default: 100 B) — binary-sketch
+footprint, but scores are approximate INNER PRODUCTS (serveable like int4),
+not Hamming proxies, and measured recall is far higher than sign bits.
+
+TPU-native scoring is **decode-and-matmul**, not the classic LUT/ADC walk:
+per corpus chunk, gather the centroid rows out of the (tiny, VMEM-resident)
+codebooks — one embedding-style row gather — reconstruct ``[chunk, D]``, and
+run the full-width MXU dot against the query block. Same FLOPs as the exact
+scan (the fused top-k at product shapes is compute/merge-bound, not
+HBM-bound — CLAUDE.md int4 measurements), but corpus HBM traffic and
+capacity improve ~30x, and the arithmetic is exactly the oracle's
+``q @ recon.T`` so tests can pin it bit-for-bit.
+
+Per-row scales make capacity-pad rows exact: a zero row packs to
+``scale = 0`` and scores exactly 0 like every other tier (codes are
+irrelevant), and real rows keep their norm outside the codebook so the
+codebooks only ever model DIRECTIONS.
+
+No reference counterpart (the reference's corpus lives as f32 numpy,
+``src/clip/clip_retrieval.py:26-37`` / SURVEY §2.2); composes with the
+seeded random rotation (``rotate=True``) exactly like int4/int8 — rotation
+spreads energy across subspaces, the OPQ-lite trick.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax, shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .similarity import (
+    _merge_shard_winners,
+    _segmented_topk_from_scores,
+    alpha_column,
+    normalize_mask,
+)
+
+_NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+# corpus rows reconstructed per scoring step: bounds the decoded [chunk, D]
+# intermediate (4096 x 768 bf16 = 6 MB) while keeping the MXU dot wide
+_DECODE_CHUNK = 4096
+
+
+def train_pq_codebooks(
+    rows,
+    m: int,
+    k: int = 256,
+    iters: int = 12,
+    seed: int = 0,
+    train_rows: int = 8192,
+) -> np.ndarray:
+    """Host k-means per subspace: ``[N, D] -> codebooks [M, K, ds]`` f32.
+
+    Rows are treated as DIRECTIONS (callers pass L2-normalized embeddings;
+    zero rows are dropped from training). Each of the ``m`` subspaces of
+    width ``ds = D/m`` gets an independent ``k``-centroid Lloyd fit on (a
+    ``train_rows`` subsample of) the corpus — per-subspace problems are tiny
+    ([train_rows, ds] with ds ~ 8), so host BLAS handles production corpora
+    in seconds. Deterministic per seed. ``k`` clamps to the available
+    training rows and must stay <= 256 (codes are uint8).
+    """
+    rows = np.asarray(rows, np.float32)
+    n, d = rows.shape
+    if d % m:
+        raise ValueError(f"pq subspaces m={m} must divide the embedding dim {d}")
+    if k > 256:
+        raise ValueError(f"pq codebook size k={k} exceeds uint8 codes (max 256)")
+    live = rows[np.linalg.norm(rows, axis=1) > 0]
+    if live.shape[0] == 0:
+        raise ValueError("cannot train pq codebooks on an all-zero corpus")
+    rng = np.random.default_rng(np.uint64(seed) + 0x9C)
+    if live.shape[0] > train_rows:
+        live = live[rng.choice(live.shape[0], train_rows, replace=False)]
+    k = min(k, live.shape[0])
+    ds = d // m
+    sub = live.reshape(live.shape[0], m, ds)  # [N, M, ds]
+    codebooks = np.empty((m, k, ds), np.float32)
+    for j in range(m):
+        x = sub[:, j, :]  # [N, ds]
+        cent = x[rng.choice(x.shape[0], k, replace=False)].copy()
+        for _ in range(iters):
+            # argmin ||x - c||^2 == argmax (x.c - 0.5 ||c||^2)
+            aff = x @ cent.T - 0.5 * np.sum(cent * cent, axis=1)[None, :]
+            assign = np.argmax(aff, axis=1)
+            onehot = np.zeros((x.shape[0], k), np.float32)
+            onehot[np.arange(x.shape[0]), assign] = 1.0
+            counts = onehot.sum(axis=0)  # [K]
+            sums = onehot.T @ x  # [K, ds]
+            empty = counts == 0
+            cent = np.where(
+                empty[:, None], cent, sums / np.maximum(counts, 1.0)[:, None]
+            )
+            if empty.any():
+                # re-seed dead centroids onto random data rows
+                cent[empty] = x[rng.choice(x.shape[0], int(empty.sum()))]
+        codebooks[j] = cent
+    return codebooks
+
+
+def pack_pq_host(
+    rows,
+    codebooks: np.ndarray,
+    mesh: Optional[Mesh] = None,
+    axis: str = "data",
+) -> Tuple[jax.Array, jax.Array]:
+    """Encode ``[N, D]`` rows -> ``(codes uint8 [N, M], scale f32 [N, 1])``.
+
+    ``recon(row) = scale * concat_m codebooks[m, codes[m]]`` where the codes
+    quantize the row's DIRECTION (row / ||row||) and ``scale = ||row||``.
+    Zero rows (capacity padding) pack to ``scale = 0`` — they score exactly
+    0 regardless of codes, matching every other packing tier. Host-side so
+    the f32 corpus never stages in device HBM; with ``mesh``, codes and
+    scales upload row-sharded over ``axis``.
+    """
+    rows = np.asarray(rows, np.float32)
+    n, d = rows.shape
+    m, k, ds = codebooks.shape
+    if m * ds != d:
+        raise ValueError(f"codebooks [{m}, {k}, {ds}] do not tile dim {d}")
+    norms = np.linalg.norm(rows, axis=1, keepdims=True)  # [N, 1]
+    dirs = rows / np.maximum(norms, 1e-12)
+    sub = dirs.reshape(n, m, ds)
+    codes = np.empty((n, m), np.uint8)
+    # chunk rows so the [chunk, K] affinity stays cache-friendly
+    half_c2 = 0.5 * np.sum(codebooks * codebooks, axis=2)  # [M, K]
+    for lo in range(0, n, 65536):
+        hi = min(n, lo + 65536)
+        for j in range(m):
+            aff = sub[lo:hi, j, :] @ codebooks[j].T - half_c2[j][None, :]
+            codes[lo:hi, j] = np.argmax(aff, axis=1).astype(np.uint8)
+    scale = norms.astype(np.float32)
+    scale[norms[:, 0] == 0] = 0.0
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P(axis, None))
+        return jax.device_put(codes, sharding), jax.device_put(scale, sharding)
+    return jnp.asarray(codes), jnp.asarray(scale)
+
+
+def decode_pq(codes: jax.Array, scale: jax.Array, codebooks: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """Reconstruct ``[N, D]`` rows from codes (the scoring decode, unchunked).
+
+    Decode happens in ``dtype`` (bf16 on the serving path — the codebook
+    cast is the only rounding beyond the PQ assignment itself); the per-row
+    scale applies in f32.
+    """
+    m, k, ds = codebooks.shape
+    flat = codebooks.reshape(m * k, ds).astype(dtype)
+    idx = codes.astype(jnp.int32) + (jnp.arange(m, dtype=jnp.int32) * k)[None, :]
+    recon = flat[idx].reshape(codes.shape[0], m * ds)  # [N, D] gather
+    return (recon.astype(jnp.float32) * scale).astype(dtype)
+
+
+def _tower_scores_pq(q, codes, scale, codebooks, chunk: int) -> jax.Array:
+    """``[Q, D] x (codes [N, M], scale [N, 1]) -> f32 [Q, N]``.
+
+    Decode-and-matmul, corpus-chunked: gather centroid rows for a chunk,
+    MXU dot at the query dtype with f32 accumulation, then the per-row
+    scales multiply the score COLUMNS (identical op order to the q8/q4
+    scans, and to :func:`decode_pq` + matmul — the oracle in tests).
+    """
+    qn = q.shape[0]
+    n = codes.shape[0]
+    m, k, ds = codebooks.shape
+    flat = codebooks.reshape(m * k, ds).astype(q.dtype)
+    offs = (jnp.arange(m, dtype=jnp.int32) * k)[None, :]
+
+    def one(args):
+        c, s = args  # [C, M] uint8, [C, 1] f32
+        recon = flat[c.astype(jnp.int32) + offs].reshape(c.shape[0], m * ds)
+        dots = jnp.dot(q, recon.T, preferred_element_type=jnp.float32)
+        return dots * s.reshape(1, -1)  # [Q, C]
+
+    if n <= chunk:
+        return one((codes, scale))
+    pad = (-n) % chunk
+    if pad:
+        codes = jnp.pad(codes, ((0, pad), (0, 0)))
+        scale = jnp.pad(scale, ((0, pad), (0, 0)))  # pad scale 0 -> score 0
+    n_chunks = codes.shape[0] // chunk
+    scores = lax.map(
+        one,
+        (codes.reshape(n_chunks, chunk, m), scale.reshape(n_chunks, chunk, 1)),
+    )  # [n_chunks, Q, C]
+    return jnp.moveaxis(scores, 0, 1).reshape(qn, -1)[:, :n]
+
+
+def blended_scores_pq(
+    queries: jax.Array,
+    img_codes: jax.Array,
+    img_scale: jax.Array,
+    txt_codes: jax.Array,
+    txt_scale: jax.Array,
+    cb_img: jax.Array,
+    cb_txt: jax.Array,
+    alpha,
+    chunk: int = _DECODE_CHUNK,
+) -> jax.Array:
+    """[Q, N] blended scores over a product-quantized corpus."""
+    a = alpha_column(alpha, queries.shape[0])
+    t2i = _tower_scores_pq(queries, img_codes, img_scale, cb_img, chunk)
+    t2t = _tower_scores_pq(queries, txt_codes, txt_scale, cb_txt, chunk)
+    return a * t2i + (1.0 - a) * t2t
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def pq_similarity_topk(
+    queries: jax.Array,
+    img_codes: jax.Array,
+    img_scale: jax.Array,
+    txt_codes: jax.Array,
+    txt_scale: jax.Array,
+    cb_img: jax.Array,
+    cb_txt: jax.Array,
+    k: int,
+    alpha=0.5,
+    chunk: int = _DECODE_CHUNK,
+) -> Tuple[jax.Array, jax.Array]:
+    """Blended top-k over a PQ corpus. Codebooks are runtime OPERANDS (never
+    jit closure constants — relay rule), queries are real embeddings."""
+    n = img_codes.shape[0]
+    scores = blended_scores_pq(
+        queries, img_codes, img_scale, txt_codes, txt_scale, cb_img, cb_txt, alpha, chunk
+    )
+    return _segmented_topk_from_scores(scores, min(k, n), segment=4096)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def masked_pq_similarity_topk(
+    queries: jax.Array,
+    img_codes: jax.Array,
+    img_scale: jax.Array,
+    txt_codes: jax.Array,
+    txt_scale: jax.Array,
+    cb_img: jax.Array,
+    cb_txt: jax.Array,
+    mask,
+    k: int,
+    alpha=0.5,
+    chunk: int = _DECODE_CHUNK,
+) -> Tuple[jax.Array, jax.Array]:
+    """Filtered top-k over a PQ corpus: runtime bool row mask, ``-1`` idx
+    sentinels on dead slots (same semantics as ``masked_similarity_topk``)."""
+    n = img_codes.shape[0]
+    scores = blended_scores_pq(
+        queries, img_codes, img_scale, txt_codes, txt_scale, cb_img, cb_txt, alpha, chunk
+    )
+    scores = jnp.where(normalize_mask(mask, scores.shape[0], n), scores, _NEG_INF)
+    vals, idx = _segmented_topk_from_scores(scores, min(k, n), segment=4096)
+    return vals, jnp.where(vals > _NEG_INF / 2, idx, -1)
+
+
+def sharded_masked_pq_similarity_topk(
+    queries: jax.Array,
+    img_codes: jax.Array,
+    img_scale: jax.Array,
+    txt_codes: jax.Array,
+    txt_scale: jax.Array,
+    cb_img: jax.Array,
+    cb_txt: jax.Array,
+    mask,
+    k: int,
+    alpha,
+    mesh: Mesh,
+    axis: str = "data",
+    chunk: int = _DECODE_CHUNK,
+) -> Tuple[jax.Array, jax.Array]:
+    """Filtered PQ top-k over a row-sharded code corpus (the mask shards
+    with the rows; ``-1`` sentinels on dead slots like the other tiers)."""
+    n_shards = mesh.shape[axis]
+    n = img_codes.shape[0]
+    shard_n = n // n_shards
+    k = min(k, n)
+    k_local = min(k, shard_n)
+    a = alpha_column(alpha, queries.shape[0])
+    mask2d = normalize_mask(mask, queries.shape[0], n)
+
+    def local(q, a, m, ci, si, ct, st, cbi, cbt):
+        scores = jnp.where(m, blended_scores_pq(q, ci, si, ct, st, cbi, cbt, a, chunk), _NEG_INF)
+        vals, idx = _segmented_topk_from_scores(scores, k_local, segment=4096)
+        vals, idx = _merge_shard_winners(vals, idx, axis, shard_n, k)
+        return vals, jnp.where(vals > _NEG_INF / 2, idx, -1)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(None, axis),
+            P(axis, None), P(axis, None), P(axis, None), P(axis, None),
+            P(), P(),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)(
+        queries, a, mask2d, img_codes, img_scale, txt_codes, txt_scale, cb_img, cb_txt
+    )
+
+
+def sharded_pq_similarity_topk(
+    queries: jax.Array,
+    img_codes: jax.Array,
+    img_scale: jax.Array,
+    txt_codes: jax.Array,
+    txt_scale: jax.Array,
+    cb_img: jax.Array,
+    cb_txt: jax.Array,
+    k: int,
+    alpha,
+    mesh: Mesh,
+    axis: str = "data",
+    chunk: int = _DECODE_CHUNK,
+) -> Tuple[jax.Array, jax.Array]:
+    """PQ top-k over a row-sharded code corpus: each device decodes and
+    scans only its local codes (codebooks replicate — they are KB-sized),
+    and only the per-shard ``[Q, k]`` winners cross ICI for the merge.
+    Corpus capacity scales ~30x per chip AND linearly with the mesh."""
+    n_shards = mesh.shape[axis]
+    n = img_codes.shape[0]
+    shard_n = n // n_shards
+    k = min(k, n)
+    k_local = min(k, shard_n)
+    a = alpha_column(alpha, queries.shape[0])
+
+    def local(q, a, ci, si, ct, st, cbi, cbt):
+        scores = blended_scores_pq(q, ci, si, ct, st, cbi, cbt, a, chunk)
+        vals, idx = _segmented_topk_from_scores(scores, k_local, segment=4096)
+        return _merge_shard_winners(vals, idx, axis, shard_n, k)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(axis, None), P(axis, None), P(axis, None), P(axis, None),
+            P(), P(),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,  # replicated after all_gather + top_k (unprovable)
+    )
+    return jax.jit(fn)(
+        queries, a, img_codes, img_scale, txt_codes, txt_scale, cb_img, cb_txt
+    )

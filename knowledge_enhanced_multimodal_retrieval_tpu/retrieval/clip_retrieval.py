@@ -33,6 +33,14 @@ from ..ops.binary_sketch import (
     sharded_hamming_topk,
 )
 from ..ops.dispatch import on_tpu
+from ..ops.pq import (
+    masked_pq_similarity_topk,
+    pack_pq_host,
+    pq_similarity_topk,
+    sharded_masked_pq_similarity_topk,
+    sharded_pq_similarity_topk,
+    train_pq_codebooks,
+)
 from ..ops.similarity import (
     alpha_column,
     prefix_normalize,
@@ -112,6 +120,7 @@ class CLIPRetrieval:
         truncate_dim: int = 0,
         rotate: bool = False,
         rotate_seed: int = 0,
+        pq_m: int = 0,
     ):
         self.model = model
         self.params = params
@@ -173,15 +182,20 @@ class CLIPRetrieval:
         )
 
         # corpus packing: False = exact (bf16/f32), "int8" (True) = half the
-        # HBM footprint, "int4" = quarter (nibble-packed; coarser rounding —
-        # the capacity mode). See ops.similarity quantize_corpus_host[_q4].
+        # HBM footprint, "int4" = quarter (nibble-packed), "pq" = ~30x
+        # (product-quantization codes + per-row scales — binary footprint at
+        # far better recall, ops.pq), "binary" = 32x sign sketches. See
+        # ops.similarity quantize_corpus_host[_q4] / ops.pq / ops.binary_sketch.
         if quantize_corpus is True:
             quantize_corpus = "int8"
-        if quantize_corpus not in (False, None, "int8", "int4", "binary"):
+        if quantize_corpus not in (False, None, "int8", "int4", "pq", "binary"):
             raise ValueError(
                 f"unknown quantize_corpus mode {quantize_corpus!r} "
-                "(expected False, True/'int8', 'int4', or 'binary')"
+                "(expected False, True/'int8', 'int4', 'pq', or 'binary')"
             )
+        # product-quantization subspace count (0 = dim/8, ~8 dims per code);
+        # must divide the staged width (truncate_dim if set, else store.dim)
+        self.pq_m = int(pq_m)
         self.quantize_corpus = quantize_corpus or False
         if self.quantize_corpus == "binary":
             # sign-sketch candidate tier (ops.binary_sketch): 32x capacity,
@@ -227,8 +241,8 @@ class CLIPRetrieval:
         if self.rotate:
             if not quantize_corpus:
                 raise ValueError(
-                    "rotate requires a packed corpus mode "
-                    "(quantize_corpus='int8'|'int4'|'binary') — it only changes "
+                    "rotate requires a packed corpus mode (quantize_corpus="
+                    "'int8'|'int4'|'pq'|'binary') — it only changes "
                     "quantization rounding, exact scans gain nothing"
                 )
             if ann is not None:
@@ -243,7 +257,7 @@ class CLIPRetrieval:
         # latency). Exact paths stay the default.
         if ann not in (None, "ivf"):
             raise ValueError(f"unknown ann mode {ann!r} (expected None or 'ivf')")
-        if ann == "ivf" and self.quantize_corpus == "int4":
+        if ann == "ivf" and self.quantize_corpus in ("int4", "pq"):
             raise ValueError("ann='ivf' composes with int8 corpus packing only")
         # Host-side exact rerank (opt-in): the device program over-fetches
         # rerank_factor * k candidates from the packed/approximate corpus,
@@ -374,6 +388,20 @@ class CLIPRetrieval:
                 return hamming_topk(
                     q.astype(jnp.float32), cimg, ctxt, dim=dim, k=k, alpha=alpha,
                 )
+            if self.quantize_corpus == "pq":
+                # decode-and-matmul over codebook codes (ops.pq): codebooks
+                # ride inside the (cimg, ctxt) operand tuples
+                q = q.astype(model.dtype)
+                codes_i, cb_i = cimg
+                codes_t, cb_t = ctxt
+                if self.shard_corpus:
+                    return sharded_pq_similarity_topk(
+                        q, codes_i, cimg_s, codes_t, ctxt_s, cb_i, cb_t,
+                        k=k, alpha=alpha, mesh=self.rt.mesh,
+                    )
+                return pq_similarity_topk(
+                    q, codes_i, cimg_s, codes_t, ctxt_s, cb_i, cb_t, k=k, alpha=alpha
+                )
             if self.quantize_corpus:
                 q = q.astype(model.dtype)
                 sharded, fused, xla = (
@@ -450,6 +478,19 @@ class CLIPRetrieval:
                 raise ValueError(
                     "filtered search is not supported over a binary-sketch "
                     "corpus — use candidate scoring (retrieval_candidates_batch)"
+                )
+            if self.quantize_corpus == "pq":
+                q = q.astype(model.dtype)
+                codes_i, cb_i = cimg
+                codes_t, cb_t = ctxt
+                if self.shard_corpus:
+                    return sharded_masked_pq_similarity_topk(
+                        q, codes_i, cimg_s, codes_t, ctxt_s, cb_i, cb_t, mask,
+                        k=k, alpha=alpha, mesh=self.rt.mesh,
+                    )
+                return masked_pq_similarity_topk(
+                    q, codes_i, cimg_s, codes_t, ctxt_s, cb_i, cb_t, mask,
+                    k=k, alpha=alpha,
                 )
             if self.quantize_corpus:
                 q = q.astype(model.dtype)
@@ -584,6 +625,24 @@ class CLIPRetrieval:
                 cimg = pack_sign_bits_host(src_img, mesh)
                 ctxt = pack_sign_bits_host(src_txt, mesh)
                 cimg_s = ctxt_s = None
+            elif self.quantize_corpus == "pq":
+                # product quantization (ops.pq): per-tower codebooks train
+                # on the staged rows (post truncate/rotate — rotation is the
+                # OPQ-lite trick), codes + per-row scales upload (~30x
+                # smaller than f32), the KB-sized codebooks replicate and
+                # ride every score program as OPERANDS. Zero pad rows pack
+                # to scale 0 (score exactly 0). Live updates retrain the
+                # codebooks on rebuild (this whole branch re-runs).
+                dim = src_img.shape[1]
+                m = self.pq_m or max(1, dim // 8)
+                src_img = np.asarray(src_img, np.float32)
+                src_txt = np.asarray(src_txt, np.float32)
+                cb_i = train_pq_codebooks(src_img, m=m)
+                cb_t = train_pq_codebooks(src_txt, m=m)
+                codes_i, cimg_s = pack_pq_host(src_img, cb_i, mesh)
+                codes_t, ctxt_s = pack_pq_host(src_txt, cb_t, mesh)
+                cimg = (codes_i, jnp.asarray(cb_i))
+                ctxt = (codes_t, jnp.asarray(cb_t))
             elif self.quantize_corpus:
                 # int8/int4 per-row packing, quantized ON HOST so the full
                 # f32 corpus never stages in device HBM (a corpus sized to

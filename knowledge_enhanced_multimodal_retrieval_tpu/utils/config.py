@@ -356,9 +356,13 @@ class EvalConfig:
     # scores)
     encoder: str = "flax"
     # pack the serving corpus: "" = exact, "int8"/"true" = per-row int8
-    # (half the HBM footprint), "int4" = nibble-packed int4 (quarter —
-    # the capacity mode; coarser rounding)
+    # (half the HBM footprint), "int4" = nibble-packed int4 (quarter),
+    # "pq" = product-quantization codes (~30x — binary footprint at far
+    # better recall), "binary" = sign sketches (32x; rerank mandatory)
     quantize_corpus: str = ""
+    # product-quantization subspace count (0 = dim/8); must divide the
+    # staged embedding width
+    pq_m: int = 0
     # shard the serving corpus over the mesh data axis (capacity scales
     # linearly with device count; composes with quantize_corpus)
     shard_corpus: bool = False
@@ -428,12 +432,11 @@ def resolve_quantize_corpus(value: str):
         return False
     if v in ("1", "true", "yes", "on", "int8"):
         return "int8"
-    if v == "int4":
-        return "int4"
-    if v == "binary":
-        return "binary"
+    if v in ("int4", "pq", "binary"):
+        return v
     raise ValueError(
-        f"unknown eval.quantize_corpus {value!r}: expected ''|true|int8|int4|binary"
+        f"unknown eval.quantize_corpus {value!r}: "
+        "expected ''|true|int8|int4|pq|binary"
     )
 
 

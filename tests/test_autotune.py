@@ -39,6 +39,11 @@ def test_parse_config_round_trips():
     assert p["capacity_multiplier"] == 8.0
     assert _parse_config("ivf-nprobe4/16") is None
     assert _parse_config("trunc16") is None
+    pq = _parse_config("pq+rerank8x")
+    assert pq["kwargs"] == {
+        "quantize_corpus": "pq", "rerank": True, "rerank_factor": 8,
+    }
+    assert pq["capacity_multiplier"] == 32.0  # default m = D/8 codes
     assert serve_flags(p["kwargs"], rotate_seed=3) == (
         "--eval.quantize_corpus=int4 --eval.rotate=true "
         "--eval.rotate_seed=3 --eval.rerank=true --eval.rerank_factor=4"

@@ -29,7 +29,10 @@ def test_sweep_rows_and_invariants(rng):
     # full-width rerank (40 * 10 = 400 = n) IS an exact rescore: recall 1.0
     assert by["int8+rerank40x"]["recall_at_k"] == 1.0
     assert by["int4+rerank40x"]["recall_at_k"] == 1.0
+    assert by["pq+rerank40x"]["recall_at_k"] == 1.0
     assert by["int8+rerank40x"]["score_mae"] < 1e-5
+    # pq rows present: candidate-quality recall between raw binary and int8
+    assert 0.0 < by["pq"]["recall_at_k"] <= by["int8"]["recall_at_k"]
     # coarser packing -> larger score error
     assert by["int4"]["score_mae"] > by["int8"]["score_mae"] > 0.0
     # every recall is a valid fraction and int8 tracks exact closely
