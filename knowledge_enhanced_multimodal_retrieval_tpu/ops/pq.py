@@ -38,10 +38,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax, shard_map
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .similarity import (
     _merge_shard_winners,
+    _merge_topk,
     _segmented_topk_from_scores,
     alpha_column,
     normalize_mask,
@@ -216,7 +219,7 @@ def blended_scores_pq(
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))
-def pq_similarity_topk(
+def pq_similarity_topk_xla(
     queries: jax.Array,
     img_codes: jax.Array,
     img_scale: jax.Array,
@@ -228,13 +231,289 @@ def pq_similarity_topk(
     alpha=0.5,
     chunk: int = _DECODE_CHUNK,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Blended top-k over a PQ corpus. Codebooks are runtime OPERANDS (never
-    jit closure constants — relay rule), queries are real embeddings."""
+    """XLA blended top-k over a PQ corpus (decode-and-matmul scores).
+
+    The CPU-serving path and the big-k fallback; gather-bound on TPU
+    (measured 24.7 ms vs the ADC kernel's MXU-bound scan at product
+    shapes). Codebooks are runtime OPERANDS (never jit closure constants —
+    relay rule), queries are real embeddings.
+    """
     n = img_codes.shape[0]
     scores = blended_scores_pq(
         queries, img_codes, img_scale, txt_codes, txt_scale, cb_img, cb_txt, alpha, chunk
     )
     return _segmented_topk_from_scores(scores, min(k, n), segment=4096)
+
+
+def pq_similarity_topk(
+    queries: jax.Array,
+    img_codes: jax.Array,
+    img_scale: jax.Array,
+    txt_codes: jax.Array,
+    txt_scale: jax.Array,
+    cb_img: jax.Array,
+    cb_txt: jax.Array,
+    k: int,
+    alpha=0.5,
+    chunk: int = _DECODE_CHUNK,
+    use_pallas: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Blended top-k over a PQ corpus: the ADC Pallas kernel on TPU
+    (MXU-bound), the XLA decode-and-matmul path elsewhere / for big k."""
+    if use_pallas is None:
+        from .dispatch import on_tpu
+
+        use_pallas = on_tpu()
+    if use_pallas and k <= 128:
+        return fused_pq_topk(
+            queries, img_codes, img_scale, txt_codes, txt_scale,
+            cb_img, cb_txt, k=k, alpha=alpha,
+        )
+    return pq_similarity_topk_xla(
+        queries, img_codes, img_scale, txt_codes, txt_scale,
+        cb_img, cb_txt, k, alpha, chunk,
+    )
+
+
+# ---------------------------------------------------------------------------
+# ADC Pallas kernel — asymmetric distance computation as one-hot MXU matmuls
+# ---------------------------------------------------------------------------
+#
+# The classic PQ scan walks a [M, K] lookup table per query (LUT/ADC); the
+# walk is a scalar gather, which TPUs hate (the XLA decode path measured
+# 24.7 ms/batch-256 at 43k x 768 — gather-bound). TPU-native formulation:
+#
+#   scores[q, n] = scale_n * sum_m LUT[m, q, codes[n, m]]
+#                = scale_n * sum_m (LUT[m] @ onehot(codes[:, m]).T)[q, n]
+#
+# i.e. per subspace, one [Q, K] x [K, T] matmul whose RHS is the one-hot
+# expansion of the code column — built in VMEM by an iota-compare (never
+# touching HBM) and fed straight to the MXU. 16x more FLOPs than the
+# decode-dot (K=256 one-hot columns vs ds=8 dense), but they are DENSE MXU
+# flops with zero gathers; HBM traffic is just the codes (~100 B/row).
+# The running top-k merge is the same VMEM scratch scheme as
+# similarity._fused_kernel.
+
+_PQ_TILE_N = 512
+
+
+def _pq_adc_kernel(
+    alpha_ref, lut_i_ref, lut_t_ref, ci_ref, ct_ref, si_ref, st_ref,
+    vals_ref, idx_ref, acc_i, acc_t, vals_scr, idx_scr,
+    *, k: int, tile_n: int, corpus_n: int, n_k: int, n_groups: int, group: int,
+):
+    j = pl.program_id(0)
+    m = pl.program_id(1)
+    n_tiles = pl.num_programs(0)
+
+    @pl.when((j == 0) & (m == 0))
+    def _init_run():
+        vals_scr[:] = jnp.full_like(vals_scr, _NEG_INF)
+        idx_scr[:] = jnp.zeros_like(idx_scr)
+
+    @pl.when(m == 0)
+    def _init_acc():
+        acc_i[:] = jnp.zeros_like(acc_i)
+        acc_t[:] = jnp.zeros_like(acc_t)
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n_k, tile_n), 0)
+    dot = lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # `group` subspaces per grid step (the code block's sublane dim must be
+    # 8-divisible): static unroll; codes ride as int8 (uint8 values wrap
+    # negative; & 0xFF recovers)
+    for i in range(group):
+        codes_i = ci_ref[i : i + 1, :].astype(jnp.int32) & 0xFF  # [1, T]
+        oh_i = (iota == codes_i).astype(jnp.bfloat16)  # [K, T]
+        acc_i[:] += dot(lut_i_ref[i], oh_i)
+        codes_t = ct_ref[i : i + 1, :].astype(jnp.int32) & 0xFF
+        oh_t = (iota == codes_t).astype(jnp.bfloat16)
+        acc_t[:] += dot(lut_t_ref[i], oh_t)
+
+    @pl.when(m == n_groups - 1)
+    def _merge():
+        a = alpha_ref[:]
+        scores = a * (acc_i[:] * si_ref[:]) + (1.0 - a) * (acc_t[:] * st_ref[:])
+        qn = scores.shape[0]
+        local_col = jax.lax.broadcasted_iota(jnp.int32, (qn, tile_n), 1)
+        global_idx = local_col + j * tile_n
+        valid = (global_idx < corpus_n) & ~jnp.isnan(scores)
+        scores = jnp.where(valid, scores, _NEG_INF)
+        new_vals, new_idx = _merge_topk(vals_scr[:], idx_scr[:], scores, global_idx, k)
+        vals_scr[:] = new_vals
+        idx_scr[:] = new_idx
+
+    @pl.when((j == n_tiles - 1) & (m == n_groups - 1))
+    def _write():
+        vals_ref[:] = vals_scr[:]
+        idx_ref[:] = idx_scr[:]
+
+
+def pq_luts(queries: jax.Array, codebooks: jax.Array) -> jax.Array:
+    """``[Q, D] x [M, K, ds] -> bf16 LUT [M, Q, K]``.
+
+    ``LUT[m, q, k] = q_sub[q, m] . cb[m, k]`` in f32, cast to bf16 (the MXU
+    operand dtype — the one rounding the ADC path adds beyond PQ itself).
+    Tiny: Q*M*K*ds flops, [M, Q, K] bf16 ~ 12 MB at product shapes.
+    """
+    m, n_k, ds = codebooks.shape
+    q_sub = queries.astype(jnp.float32).reshape(queries.shape[0], m, ds)
+    lut = jnp.einsum(
+        "qmd,mkd->mqk", q_sub, codebooks.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return lut.astype(jnp.bfloat16)
+
+
+def blended_scores_pq_adc(
+    queries: jax.Array,
+    img_codes: jax.Array,
+    img_scale: jax.Array,
+    txt_codes: jax.Array,
+    txt_scale: jax.Array,
+    cb_img: jax.Array,
+    cb_txt: jax.Array,
+    alpha,
+) -> jax.Array:
+    """XLA reference of the ADC kernel's exact math (the oracle in tests):
+    bf16 LUT x bf16 one-hot matmuls, f32 accumulation in subspace order,
+    per-row scales on the f32 score columns, then the alpha blend."""
+    a = alpha_column(alpha, queries.shape[0])
+
+    def tower(codes, scale, cb):
+        lut = pq_luts(queries, cb)  # [M, Q, K]
+        m, qn, n_k = lut.shape
+        c = codes.astype(jnp.int32) & 0xFF  # [N, M]
+
+        def body(mm, acc):
+            oh = jax.nn.one_hot(c[:, mm], n_k, dtype=jnp.bfloat16).T  # [K, N]
+            return acc + jax.lax.dot_general(
+                lax.dynamic_index_in_dim(lut, mm, 0, keepdims=False), oh,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+
+        acc = lax.fori_loop(
+            0, m, body, jnp.zeros((qn, codes.shape[0]), jnp.float32)
+        )
+        return acc * scale.reshape(1, -1)
+
+    t2i = tower(img_codes, img_scale, cb_img)
+    t2t = tower(txt_codes, txt_scale, cb_txt)
+    return a * t2i + (1.0 - a) * t2t
+
+
+def fused_pq_topk(
+    queries: jax.Array,
+    img_codes: jax.Array,
+    img_scale: jax.Array,
+    txt_codes: jax.Array,
+    txt_scale: jax.Array,
+    cb_img: jax.Array,
+    cb_txt: jax.Array,
+    k: int,
+    alpha=0.5,
+    tile_n: int = _PQ_TILE_N,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused ADC scan + running top-k over a PQ corpus (k <= 128).
+
+    Selection semantics match the other fused kernels (running VMEM top-k,
+    argmax-round merge); scores match :func:`blended_scores_pq_adc` exactly.
+    """
+    if interpret is None:
+        from .dispatch import on_tpu
+
+        interpret = not on_tpu()
+    n, m = img_codes.shape
+    mk, n_k, ds = cb_img.shape
+    if mk != m:
+        raise ValueError(f"codebooks [{mk}] do not match codes [{m}] subspaces")
+    if k > 128:
+        raise ValueError("fused_pq_topk caps k at 128 (argmax-round merge)")
+    k = min(k, n)
+
+    lut_i = pq_luts(queries, cb_img)  # [M, Q, K] bf16
+    lut_t = pq_luts(queries, cb_txt)
+    qn = queries.shape[0]
+    alpha_col = alpha_column(alpha, qn)
+
+    # sublane-align the query axis (bf16 LUT blocks want 16-row multiples)
+    pad_q = (-qn) % 16
+    if pad_q:
+        lut_i = jnp.pad(lut_i, ((0, 0), (0, pad_q), (0, 0)))
+        lut_t = jnp.pad(lut_t, ((0, 0), (0, pad_q), (0, 0)))
+        alpha_col = jnp.pad(alpha_col, ((0, pad_q), (0, 0)))
+    qn_p = qn + pad_q
+    # lane-align the one-hot K axis (bf16 min tile 16 x 128)
+    pad_k = (-n_k) % 128
+    if pad_k:
+        lut_i = jnp.pad(lut_i, ((0, 0), (0, 0), (0, pad_k)))
+        lut_t = jnp.pad(lut_t, ((0, 0), (0, 0), (0, pad_k)))
+    n_k_p = n_k + pad_k
+
+    tile_n = min(tile_n, max(128, 1 << (n - 1).bit_length()))
+    pad_n = (-n) % tile_n
+    # codes transpose to [M, N] so each grid step loads one lane-contiguous
+    # code row; int8 view (values > 127 wrap, recovered by & 0xFF in-kernel)
+    ci = jnp.pad(img_codes, ((0, pad_n), (0, 0))).astype(jnp.int8).T
+    ct = jnp.pad(txt_codes, ((0, pad_n), (0, 0))).astype(jnp.int8).T
+    si = jnp.pad(
+        jnp.asarray(img_scale, jnp.float32).reshape(1, -1), ((0, 0), (0, pad_n))
+    )
+    st = jnp.pad(
+        jnp.asarray(txt_scale, jnp.float32).reshape(1, -1), ((0, 0), (0, pad_n))
+    )
+    n_tiles = ci.shape[1] // tile_n
+    # subspaces per grid step: the code block's sublane dim must divide by 8
+    # or equal M; 8 also amortizes the grid/step overhead 8x
+    group = 8 if m % 8 == 0 else m
+    n_groups = m // group
+
+    lut_spec = pl.BlockSpec(
+        (group, qn_p, n_k_p), lambda j, mm: (mm, 0, 0), memory_space=pltpu.VMEM
+    )
+    code_spec = pl.BlockSpec(
+        (group, tile_n), lambda j, mm: (mm, j), memory_space=pltpu.VMEM
+    )
+    scale_spec = pl.BlockSpec(
+        (1, tile_n), lambda j, mm: (0, j), memory_space=pltpu.VMEM
+    )
+    alpha_spec = pl.BlockSpec(
+        (qn_p, 1), lambda j, mm: (0, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec((qn_p, k), lambda j, mm: (0, 0), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _pq_adc_kernel, k=k, tile_n=tile_n, corpus_n=n, n_k=n_k_p,
+        n_groups=n_groups, group=group,
+    )
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_groups),
+        in_specs=[alpha_spec, lut_spec, lut_spec, code_spec, code_spec, scale_spec, scale_spec],
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((qn_p, k), jnp.float32),
+            jax.ShapeDtypeStruct((qn_p, k), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((qn_p, tile_n), jnp.float32),
+            pltpu.VMEM((qn_p, tile_n), jnp.float32),
+            pltpu.VMEM((qn_p, k), jnp.float32),
+            pltpu.VMEM((qn_p, k), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * qn_p * n_k_p * (n + pad_n) * m,
+            bytes_accessed=2 * (n + pad_n) * m + 2 * lut_i.size * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(alpha_col, lut_i, lut_t, ci, ct, si, st)
+    return vals[:qn], idx[:qn]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))
@@ -335,8 +614,11 @@ def sharded_pq_similarity_topk(
     a = alpha_column(alpha, queries.shape[0])
 
     def local(q, a, ci, si, ct, st, cbi, cbt):
-        scores = blended_scores_pq(q, ci, si, ct, st, cbi, cbt, a, chunk)
-        vals, idx = _segmented_topk_from_scores(scores, k_local, segment=4096)
+        if jax.default_backend() == "tpu" and k_local <= 128:
+            vals, idx = fused_pq_topk(q, ci, si, ct, st, cbi, cbt, k=k_local, alpha=a)
+        else:
+            scores = blended_scores_pq(q, ci, si, ct, st, cbi, cbt, a, chunk)
+            vals, idx = _segmented_topk_from_scores(scores, k_local, segment=4096)
         return _merge_shard_winners(vals, idx, axis, shard_n, k)
 
     fn = shard_map(

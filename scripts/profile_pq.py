@@ -22,9 +22,18 @@ sys.path.insert(0, ".")
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+from knowledge_enhanced_multimodal_retrieval_tpu.ops.dispatch import (  # noqa: E402
+    enable_compile_cache,
+)
+
+# reruns of this script reuse compiled programs (the relay's own compile
+# cache is not shared across client processes)
+enable_compile_cache("/tmp/kemr_compile_cache")
+
 from knowledge_enhanced_multimodal_retrieval_tpu.ops.pq import (  # noqa: E402
+    fused_pq_topk,
     pack_pq_host,
-    pq_similarity_topk,
+    pq_similarity_topk_xla,
     train_pq_codebooks,
 )
 from knowledge_enhanced_multimodal_retrieval_tpu.ops.similarity import (  # noqa: E402
@@ -105,10 +114,15 @@ def main(argv=None):
     pack_s = time.perf_counter() - t0
     cbi_j, cbt_j = jnp.asarray(cb_i), jnp.asarray(cb_t)
     t = median_time(
-        lambda qq, a, sa, b, sb, ca, cb: pq_similarity_topk(qq, a, sa, b, sb, ca, cb, k=k),
+        lambda qq, a, sa, b, sb, ca, cb: pq_similarity_topk_xla(qq, a, sa, b, sb, ca, cb, k=k),
         q, (pi, psi, pt, pst, cbi_j, cbt_j), args.iters,
     )
-    rows.append((f"pq m={m}", t, m + 4))
+    rows.append((f"pq m={m} xla", t, m + 4))
+    t = median_time(
+        lambda qq, a, sa, b, sb, ca, cb: fused_pq_topk(qq, a, sa, b, sb, ca, cb, k=k),
+        q, (pi, psi, pt, pst, cbi_j, cbt_j), args.iters,
+    )
+    rows.append((f"pq m={m} adc", t, m + 4))
 
     print(f"top-k @ [{args.n}, {args.d}] x2 towers, batch {args.q}, k={k} "
           f"(medians of 5 x {args.iters} chained iters on {jax.devices()[0].platform})")

@@ -12,7 +12,9 @@ import pytest
 
 from knowledge_enhanced_multimodal_retrieval_tpu.ops.pq import (
     blended_scores_pq,
+    blended_scores_pq_adc,
     decode_pq,
+    fused_pq_topk,
     masked_pq_similarity_topk,
     pack_pq_host,
     pq_similarity_topk,
@@ -177,6 +179,52 @@ def test_masked_sentinels(packed):
     idx = np.asarray(idx)
     assert np.all(idx[:, 4:] == -1)
     assert np.all((idx[:, :4] >= 0) & (idx[:, :4] < 4))
+
+
+def test_adc_kernel_matches_adc_oracle(packed):
+    """The Pallas ADC kernel (interpret mode) selects exactly what its XLA
+    one-hot-matmul oracle selects, values to float tolerance."""
+    _, _, cb_img, cb_txt, ci, si, ct, st = packed
+    q = jnp.asarray(_rows(12, D, seed=20))
+    cbi, cbt = jnp.asarray(cb_img), jnp.asarray(cb_txt)
+    vals, idx = fused_pq_topk(
+        q, ci, si, ct, st, cbi, cbt, k=9, alpha=0.35, interpret=True, tile_n=128
+    )
+    scores = blended_scores_pq_adc(q, ci, si, ct, st, cbi, cbt, 0.35)
+    ovals, oidx = _segmented_topk_from_scores(scores, 9, 4096)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(oidx))
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ovals), rtol=1e-5, atol=1e-6)
+
+
+def test_adc_scores_close_to_decode_scores(packed):
+    """ADC (bf16 LUT) and decode-and-matmul (bf16 centroids) are two
+    roundings of the same math — scores agree to bf16 tolerance."""
+    _, _, cb_img, cb_txt, ci, si, ct, st = packed
+    q = jnp.asarray(_rows(8, D, seed=21))
+    cbi, cbt = jnp.asarray(cb_img), jnp.asarray(cb_txt)
+    adc = blended_scores_pq_adc(q, ci, si, ct, st, cbi, cbt, 0.5)
+    dec = blended_scores_pq(q, ci, si, ct, st, cbi, cbt, 0.5)
+    np.testing.assert_allclose(np.asarray(adc), np.asarray(dec), atol=2e-2)
+
+
+def test_adc_kernel_per_query_alpha_and_pads(packed):
+    img, txt, cb_img, cb_txt, *_ = packed
+    padded_img = np.concatenate([img[:40], np.zeros((8, D), np.float32)])
+    padded_txt = np.concatenate([txt[:40], np.zeros((8, D), np.float32)])
+    ci, si = pack_pq_host(padded_img, cb_img)
+    ct, st = pack_pq_host(padded_txt, cb_txt)
+    q = jnp.asarray(_rows(4, D, seed=22))
+    cbi, cbt = jnp.asarray(cb_img), jnp.asarray(cb_txt)
+    alphas = jnp.asarray([0.0, 0.3, 0.8, 1.0])
+    vals, idx = fused_pq_topk(
+        q, ci, si, ct, st, cbi, cbt, k=6, alpha=alphas, interpret=True, tile_n=128
+    )
+    scores = blended_scores_pq_adc(q, ci, si, ct, st, cbi, cbt, alphas)
+    ovals, oidx = _segmented_topk_from_scores(scores, 6, 4096)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(oidx))
+    # zero pad rows score 0 in the kernel too (scale 0), and never beat
+    # positive real winners
+    assert np.asarray(vals).min() >= 0.0 or np.all(np.asarray(idx) < 40)
 
 
 def test_sharded_matches_unsharded(packed):
