@@ -258,8 +258,14 @@ def pq_similarity_topk(
     chunk: int = _DECODE_CHUNK,
     use_pallas: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Blended top-k over a PQ corpus: the ADC Pallas kernel on TPU
-    (MXU-bound), the XLA decode-and-matmul path elsewhere / for big k."""
+    """Blended top-k over a PQ corpus, dispatched by backend and k.
+
+    TPU: the fused ADC Pallas kernel for k <= 128 (10.05 ms vs 25.1 decode
+    at product shapes), the XLA ADC formulation + segmented top-k for
+    larger k (18.2 ms vs 28.4 decode at k=512 — still MXU-bound, no
+    gathers). Elsewhere: the decode-and-matmul path (host BLAS handles the
+    gathers fine, and it is the bit-exact oracle of the packed math).
+    """
     if use_pallas is None:
         from .dispatch import on_tpu
 
@@ -269,10 +275,38 @@ def pq_similarity_topk(
             queries, img_codes, img_scale, txt_codes, txt_scale,
             cb_img, cb_txt, k=k, alpha=alpha,
         )
+    if use_pallas:
+        return pq_similarity_topk_adc(
+            queries, img_codes, img_scale, txt_codes, txt_scale,
+            cb_img, cb_txt, k=k, alpha=alpha,
+        )
     return pq_similarity_topk_xla(
         queries, img_codes, img_scale, txt_codes, txt_scale,
         cb_img, cb_txt, k, alpha, chunk,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def pq_similarity_topk_adc(
+    queries: jax.Array,
+    img_codes: jax.Array,
+    img_scale: jax.Array,
+    txt_codes: jax.Array,
+    txt_scale: jax.Array,
+    cb_img: jax.Array,
+    cb_txt: jax.Array,
+    k: int,
+    alpha=0.5,
+) -> Tuple[jax.Array, jax.Array]:
+    """Big-k TPU path: XLA ADC scores (one-hot MXU matmuls, no gathers) +
+    segmented two-stage top-k. Same selection semantics as the decode path;
+    scores carry the ADC bf16-LUT rounding instead of decode's bf16
+    centroids (both tolerance-pinned in tests)."""
+    n = img_codes.shape[0]
+    scores = blended_scores_pq_adc(
+        queries, img_codes, img_scale, txt_codes, txt_scale, cb_img, cb_txt, alpha
+    )
+    return _segmented_topk_from_scores(scores, min(k, n), segment=4096)
 
 
 # ---------------------------------------------------------------------------
@@ -616,6 +650,9 @@ def sharded_pq_similarity_topk(
     def local(q, a, ci, si, ct, st, cbi, cbt):
         if jax.default_backend() == "tpu" and k_local <= 128:
             vals, idx = fused_pq_topk(q, ci, si, ct, st, cbi, cbt, k=k_local, alpha=a)
+        elif jax.default_backend() == "tpu":
+            scores = blended_scores_pq_adc(q, ci, si, ct, st, cbi, cbt, a)
+            vals, idx = _segmented_topk_from_scores(scores, k_local, segment=4096)
         else:
             scores = blended_scores_pq(q, ci, si, ct, st, cbi, cbt, a, chunk)
             vals, idx = _segmented_topk_from_scores(scores, k_local, segment=4096)

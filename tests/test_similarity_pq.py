@@ -196,6 +196,24 @@ def test_adc_kernel_matches_adc_oracle(packed):
     np.testing.assert_allclose(np.asarray(vals), np.asarray(ovals), rtol=1e-5, atol=1e-6)
 
 
+def test_bigk_adc_path_matches_oracle(packed):
+    """The big-k TPU route (ADC scores + segmented top-k) selects what the
+    ADC score oracle selects — any k, no kernel cap."""
+    from knowledge_enhanced_multimodal_retrieval_tpu.ops.pq import (
+        pq_similarity_topk_adc,
+    )
+
+    _, _, cb_img, cb_txt, ci, si, ct, st = packed
+    q = jnp.asarray(_rows(6, D, seed=22))
+    cbi, cbt = jnp.asarray(cb_img), jnp.asarray(cb_txt)
+    k = 160  # > the fused kernel's 128 cap
+    vals, idx = pq_similarity_topk_adc(q, ci, si, ct, st, cbi, cbt, k=k, alpha=0.5)
+    scores = blended_scores_pq_adc(q, ci, si, ct, st, cbi, cbt, 0.5)
+    ovals, oidx = _segmented_topk_from_scores(scores, min(k, ci.shape[0]), 4096)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(oidx))
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ovals), rtol=1e-5)
+
+
 def test_adc_scores_close_to_decode_scores(packed):
     """ADC (bf16 LUT) and decode-and-matmul (bf16 centroids) are two
     roundings of the same math — scores agree to bf16 tolerance."""
