@@ -61,7 +61,7 @@ def build_engine(cfg, store_path: str, kg_path: str = "") -> RetrievalEngine:
         rerank=cfg.eval.rerank,
         rerank_factor=cfg.eval.rerank_factor,
         truncate_dim=cfg.eval.truncate_dim,
-        rotate=cfg.eval.rotate,
+        rotate=(cfg.eval.rotate_mode if cfg.eval.rotate else False),
         rotate_seed=cfg.eval.rotate_seed,
         pq_m=cfg.eval.pq_m,
     )

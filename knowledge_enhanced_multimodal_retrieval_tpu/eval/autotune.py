@@ -32,15 +32,15 @@ _BYTES_PER_DIM = {
 
 def _parse_config(name: str) -> Optional[Dict]:
     """Sweep row name -> CLIPRetrieval kwargs (None for non-packing rows)."""
-    m = re.fullmatch(r"(exact|int8|int4|pq|binary)(\+rot)?(?:\+rerank(\d+)x)?", name)
+    m = re.fullmatch(r"(exact|int8|int4|pq|binary)(\+rot|\+opq)?(?:\+rerank(\d+)x)?", name)
     if not m:
         return None  # ivf / trunc rows are tuned separately
-    mode, rot, factor = m.group(1), bool(m.group(2)), m.group(3)
+    mode, rot, factor = m.group(1), m.group(2), m.group(3)
     kwargs: Dict = {}
     if mode != "exact":
         kwargs["quantize_corpus"] = mode
     if rot:
-        kwargs["rotate"] = True
+        kwargs["rotate"] = "opq" if rot == "+opq" else True
     if factor:
         kwargs["rerank"] = True
         kwargs["rerank_factor"] = int(factor)
@@ -60,6 +60,8 @@ def serve_flags(kwargs: Dict, rotate_seed: int = 0) -> str:
         flags.append(f"--eval.quantize_corpus={kwargs['quantize_corpus']}")
     if kwargs.get("rotate"):
         flags.append("--eval.rotate=true")
+        if kwargs["rotate"] == "opq":
+            flags.append("--eval.rotate_mode=opq")
         if rotate_seed:
             flags.append(f"--eval.rotate_seed={rotate_seed}")
     if kwargs.get("rerank"):

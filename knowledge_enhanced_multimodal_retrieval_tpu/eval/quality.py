@@ -168,6 +168,36 @@ def quality_sweep(
             **_agreement(ei, ri), "score_mae": score_mae(ri, rv),
         })
 
+    if rotate:
+        # OPQ (pq-only): the LEARNED rotation (ops.pq.train_opq_rotation)
+        # instead of the random one — what CLIPRetrieval(rotate="opq",
+        # quantize_corpus="pq") serves. Rerank rescoring stays original-space.
+        from ..ops.pq import (
+            pack_pq_host, pq_similarity_topk, train_opq_rotation, train_pq_codebooks,
+        )
+
+        m = max(1, image.shape[1] // 8)
+        r_opq = train_opq_rotation(
+            np.concatenate([image, text], axis=0), m=m, seed=rotate_seed
+        )
+        im, tx = image @ r_opq, text @ r_opq
+        qjs = jnp.asarray(queries @ r_opq)
+        cb_i, cb_t = train_pq_codebooks(im, m=m), train_pq_codebooks(tx, m=m)
+        (pi, psi), (pt, pst) = pack_pq_host(im, cb_i), pack_pq_host(tx, cb_t)
+        cbi_j, cbt_j = jnp.asarray(cb_i), jnp.asarray(cb_t)
+        v, i = pq_similarity_topk(qjs, pi, psi, pt, pst, cbi_j, cbt_j, k, alpha)
+        rows.append({
+            "config": "pq+opq",
+            **_agreement(ei, np.asarray(i)), "score_mae": score_mae(i, v),
+        })
+        _, i = pq_similarity_topk(qjs, pi, psi, pt, pst, cbi_j, cbt_j, kf, alpha)
+        rv, ri = rerank_scores_host(queries, image, text, i, alpha)
+        rv, ri = rv[:, :k], ri[:, :k]
+        rows.append({
+            "config": f"pq+opq+rerank{rerank_factor}x",
+            **_agreement(ei, ri), "score_mae": score_mae(ri, rv),
+        })
+
     # Matryoshka prefixes (CLIPRetrieval(truncate_dim=d)): candidate quality
     # of the d-dim scan, raw and with the serving rerank. Meaningful recall
     # needs MRL-trained embeddings (train.matryoshka_dims); on vanilla

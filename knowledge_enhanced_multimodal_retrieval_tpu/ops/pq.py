@@ -113,6 +113,73 @@ def train_pq_codebooks(
     return codebooks
 
 
+def _pq_encode_decode_host(x: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Host encode+reconstruct ``[N, D]`` under per-subspace codebooks
+    (assignment math identical to :func:`pack_pq_host`, rows taken as-is)."""
+    n, d = x.shape
+    m, k, ds = codebooks.shape
+    sub = x.reshape(n, m, ds)
+    recon = np.empty_like(x)
+    half_c2 = 0.5 * np.sum(codebooks * codebooks, axis=2)  # [M, K]
+    for j in range(m):
+        aff = sub[:, j, :] @ codebooks[j].T - half_c2[j][None, :]
+        recon[:, j * ds : (j + 1) * ds] = codebooks[j][np.argmax(aff, axis=1)]
+    return recon
+
+
+def train_opq_rotation(
+    rows,
+    m: int,
+    k: int = 256,
+    opq_iters: int = 10,
+    kmeans_iters: int = 4,
+    seed: int = 0,
+    train_rows: int = 8192,
+) -> np.ndarray:
+    """Learn an orthonormal rotation minimizing PQ reconstruction error.
+
+    Non-parametric OPQ (Ge et al., CVPR 2013): starting from the seeded
+    random rotation, alternate (a) a short per-subspace k-means fit of the
+    PQ codebooks in the rotated space with (b) the orthogonal Procrustes
+    update ``R = U V^T`` from ``svd(X^T Y)``, where ``Y`` is the current
+    reconstruction of the rotated rows — the rotation that best aligns the
+    data with what the codebooks can express. Beats the random rotation
+    exactly where PQ hurts most: correlated/anisotropic subspaces.
+
+    ``rows`` [N, D] corpus rows (both towers stacked — serving rotates
+    queries ONCE, so one R must serve both packed towers); zero rows drop
+    and the rest train as DIRECTIONS, matching :func:`pack_pq_host`.
+    Host-side, deterministic per seed; subsampled to ``train_rows``.
+    Returns ``R [D, D]`` f32 — exact inner products are invariant, so it
+    drops into the ``rotate=`` seam unchanged.
+    """
+    rows = np.asarray(rows, np.float32)
+    norms = np.linalg.norm(rows, axis=1, keepdims=True)
+    live = rows[norms[:, 0] > 0] / np.maximum(norms[norms[:, 0] > 0], 1e-12)
+    if live.shape[0] == 0:
+        raise ValueError("cannot train an OPQ rotation on an all-zero corpus")
+    d = live.shape[1]
+    if d % m:
+        raise ValueError(f"pq subspaces m={m} must divide the embedding dim {d}")
+    rng = np.random.default_rng(np.uint64(seed) + 0x09C)
+    if live.shape[0] > train_rows:
+        live = live[rng.choice(live.shape[0], train_rows, replace=False)]
+    from .similarity import random_rotation
+
+    r = random_rotation(d, seed)
+    for t in range(opq_iters):
+        xr = live @ r
+        cb = train_pq_codebooks(
+            xr, m, k=k, iters=kmeans_iters, seed=seed + t,
+            train_rows=xr.shape[0],
+        )
+        recon = _pq_encode_decode_host(xr, cb)
+        # min_R ||X R - Y||_F over orthogonal R: R = U V^T of svd(X^T Y)
+        u, _, vt = np.linalg.svd(live.T @ recon, full_matrices=False)
+        r = np.ascontiguousarray((u @ vt).astype(np.float32))
+    return r
+
+
 def pack_pq_host(
     rows,
     codebooks: np.ndarray,

@@ -39,6 +39,7 @@ from ..ops.pq import (
     pq_similarity_topk,
     sharded_masked_pq_similarity_topk,
     sharded_pq_similarity_topk,
+    train_opq_rotation,
     train_pq_codebooks,
 )
 from ..ops.similarity import (
@@ -236,7 +237,13 @@ class CLIPRetrieval:
         # anisotropic embeddings — the LSH/OPQ random-rotation trick. The
         # host f32 store stays UNROTATED: rerank and candidate rescoring
         # keep working in the original space.
-        self.rotate = bool(rotate)
+        rotate_mode = rotate if isinstance(rotate, str) else ("random" if rotate else None)
+        if rotate_mode not in (None, "random", "opq"):
+            raise ValueError(
+                f"unknown rotate mode {rotate!r} (expected bool, 'random' or 'opq')"
+            )
+        self.rotate = rotate_mode is not None
+        self.rotate_mode = rotate_mode
         self._rot_np = self._rot = None
         if self.rotate:
             if not quantize_corpus:
@@ -247,9 +254,31 @@ class CLIPRetrieval:
                 )
             if ann is not None:
                 raise ValueError("rotate does not compose with ann")
-            self._rot_np = random_rotation(
-                int(truncate_dim) or store.dim, rotate_seed
-            )
+            dim = int(truncate_dim) or store.dim
+            if rotate_mode == "opq":
+                # OPQ: learn the rotation that minimizes PQ reconstruction
+                # error on THIS corpus (ops.pq.train_opq_rotation) — only
+                # meaningful for codebook packing; the other packed modes
+                # keep the data-free random rotation. Trained ONCE at
+                # construction; live updates keep R (codebooks retrain on
+                # every rebuild, which is where the data-dependence lives).
+                if quantize_corpus != "pq":
+                    raise ValueError(
+                        "rotate='opq' learns a PQ-reconstruction rotation — "
+                        "it requires quantize_corpus='pq' (use rotate=True "
+                        "for the random rotation on int8/int4/binary)"
+                    )
+                rows = np.concatenate(
+                    [np.asarray(store.image, np.float32),
+                     np.asarray(store.text, np.float32)], axis=0
+                )
+                if truncate_dim:
+                    rows = prefix_normalize_host(rows, int(truncate_dim))
+                self._rot_np = train_opq_rotation(
+                    rows, m=self.pq_m or max(1, dim // 8), seed=rotate_seed
+                )
+            else:
+                self._rot_np = random_rotation(dim, rotate_seed)
 
         # opt-in ANN mode (retrieval/ann.py): IVF cluster probing instead of
         # the exact brute-force scan — the scaling path for corpora where a

@@ -407,6 +407,10 @@ class EvalConfig:
     # far less recall on anisotropic embeddings (the LSH/OPQ trick)
     rotate: bool = False
     rotate_seed: int = 0
+    # rotation mode: "random" (seeded Haar rotation, any packed mode) or
+    # "opq" (learned PQ-reconstruction rotation, quantize_corpus="pq" only
+    # — ops.pq.train_opq_rotation)
+    rotate_mode: str = "random"
 
 
 def resolve_encoder(encoder: str):

@@ -226,6 +226,75 @@ def test_rotate_survives_live_updates(world):
     assert _uuid_lists(a) == _uuid_lists(b)
 
 
+def test_opq_rotation_orthonormal_and_improves_reconstruction(world):
+    """OPQ (learned rotation) is orthonormal, deterministic per seed, and
+    beats the random rotation on ITS OWN objective: PQ reconstruction error
+    of the rotated rows under freshly trained codebooks."""
+    from knowledge_enhanced_multimodal_retrieval_tpu.ops.pq import (
+        _pq_encode_decode_host,
+        train_opq_rotation,
+        train_pq_codebooks,
+    )
+
+    _, _, _, store, _ = world
+    rows = np.concatenate([store.image, store.text], axis=0)
+    m = D // 8
+    r_opq = train_opq_rotation(rows, m=m, seed=0)
+    np.testing.assert_allclose(r_opq @ r_opq.T, np.eye(D), atol=1e-4)
+    np.testing.assert_array_equal(r_opq, train_opq_rotation(rows, m=m, seed=0))
+
+    def recon_err(r):
+        xr = rows @ r
+        cb = train_pq_codebooks(xr, m=m, seed=99)
+        return float(np.mean((xr - _pq_encode_decode_host(xr, cb)) ** 2))
+
+    err_opq, err_rand = recon_err(r_opq), recon_err(random_rotation(D, seed=0))
+    assert err_opq < err_rand, (err_opq, err_rand)
+
+
+def test_opq_serving_recall_and_exact_rerank(world):
+    """rotate='opq' serves through the same seam as the random rotation:
+    recall at least matches it, and full-fetch rerank stays exact THROUGH
+    the learned rotation (host store unrotated)."""
+    model, params, tok, store, q = world
+    exact = CLIPRetrieval(model, params, tok, store, top_k=10)
+    gold = _uuid_lists(exact.retrieval_embeddings_batch(q, alpha=0.6))
+
+    def recall(**kw):
+        ret = CLIPRetrieval(
+            model, params, tok, store, top_k=10, quantize_corpus="pq", **kw
+        )
+        return _recall(ret.retrieval_embeddings_batch(q, alpha=0.6), gold)
+
+    r_rand, r_opq = recall(rotate=True), recall(rotate="opq")
+    assert r_opq + 0.02 >= r_rand, (r_rand, r_opq)
+    assert r_opq >= 0.8, r_opq
+
+    full = CLIPRetrieval(
+        model, params, tok, store, top_k=8,
+        quantize_corpus="pq", rotate="opq", rerank=True, rerank_factor=N,
+    )
+    gold8 = exact.retrieval_embeddings_batch(q[:5], alpha=0.5, top_k=8)
+    got = full.retrieval_embeddings_batch(q[:5], alpha=0.5)
+    for g, r in zip(gold8, got):
+        assert [x["uuid"] for x in g] == [x["uuid"] for x in r]
+        np.testing.assert_allclose(
+            [x["score"] for x in g], [x["score"] for x in r], atol=1e-5
+        )
+
+
+def test_opq_refusals(world):
+    model, params, tok, store, _ = world
+    with pytest.raises(ValueError, match="requires quantize_corpus='pq'"):
+        CLIPRetrieval(
+            model, params, tok, store, rotate="opq", quantize_corpus="int8"
+        )
+    with pytest.raises(ValueError, match="unknown rotate mode"):
+        CLIPRetrieval(
+            model, params, tok, store, rotate="bogus", quantize_corpus="pq"
+        )
+
+
 def test_rotate_refusals(world):
     model, params, tok, store, _ = world
     with pytest.raises(ValueError, match="rotate requires a packed corpus"):
