@@ -31,6 +31,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import signal
+import threading
 import time
 from typing import Any, Callable, Dict, Optional
 
@@ -71,6 +73,71 @@ def sync_early_stop_monitor(value: float) -> float:
     from jax.experimental import multihost_utils
 
     return float(multihost_utils.broadcast_one_to_all(np.float32(value)))
+
+
+def sync_preempt_flag(flag: bool) -> bool:
+    """Collective OR of a host-local preemption flag across processes.
+
+    Preemption (SIGTERM) can land on any subset of hosts between different
+    steps; if each process drained on ITS OWN flag they would run different
+    numbers of ``train_step`` collectives and hang. Every process calls this
+    at the same step boundaries and all drain iff any was signalled.
+    Single-process runs short-circuit (no device work at all).
+    """
+    if jax.process_count() == 1:
+        return bool(flag)
+    from jax.experimental import multihost_utils
+
+    return bool(np.any(multihost_utils.process_allgather(np.asarray(bool(flag)))))
+
+
+class PreemptionGuard:
+    """Cooperative SIGTERM drain for the trainer.
+
+    TPU maintenance events and spot reclaims deliver SIGTERM with a grace
+    window; the default Python behavior (immediate KeyboardInterrupt-less
+    death) loses everything since the last epoch checkpoint. The guard
+    flips a flag the train loop polls at step boundaries, so the trainer
+    saves a resumable checkpoint and exits cleanly instead. The reference
+    has no preemption story (``src/clip/train/trainer.py`` dies mid-epoch).
+
+    Installs only from the main thread (signal module requirement); call
+    :meth:`uninstall` (or use as a context manager) to restore previous
+    handlers. ``trigger()`` arms the flag programmatically (tests, or an
+    external watchdog thread).
+    """
+
+    def __init__(self, signals=(signal.SIGTERM,), install: bool = True):
+        self._flag = False
+        self._installed = []
+        if install and threading.current_thread() is threading.main_thread():
+            for s in signals:
+                try:
+                    prev = signal.signal(s, self._on_signal)
+                except (ValueError, OSError):  # non-main thread / exotic os
+                    continue
+                self._installed.append((s, prev))
+
+    def _on_signal(self, signum, frame):
+        self._flag = True
+
+    def trigger(self) -> None:
+        self._flag = True
+
+    @property
+    def triggered(self) -> bool:
+        return self._flag
+
+    def uninstall(self) -> None:
+        for s, prev in self._installed:
+            signal.signal(s, prev)
+        self._installed = []
+
+    def __enter__(self) -> "PreemptionGuard":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.uninstall()
 
 
 # ---------------------------------------------------------------------------
@@ -876,9 +943,19 @@ class CLIPTrainer:
 
     # -- main loop ----------------------------------------------------------
 
-    def train(self) -> Dict[str, Any]:
+    def train(self, guard: Optional["PreemptionGuard"] = None) -> Dict[str, Any]:
+        # `guard` injection: tests / external watchdogs drive the drain
+        # deterministically via guard.trigger() without raising real signals
+        guard = guard or PreemptionGuard(install=self.cfg.preempt_save)
+        try:
+            return self._train(guard)
+        finally:
+            guard.uninstall()
+
+    def _train(self, guard: "PreemptionGuard") -> Dict[str, Any]:
         cfg = self.cfg
         history = []
+        preempted = False
         for epoch in range(self.start_epoch, cfg.epochs):
             t0 = time.perf_counter()
             # per-epoch metric means (reference trainer.py:208-226), summed on
@@ -898,6 +975,35 @@ class CLIPTrainer:
                         "epoch %d step %d/%d: loss=%.4f",
                         epoch, n_steps, self.steps_per_epoch, float(metrics["loss"]),
                     )
+                # preemption drain, agreed collectively at fixed step
+                # boundaries so every process breaks at the SAME step
+                if (
+                    cfg.preempt_save
+                    and cfg.preempt_check_every
+                    and n_steps % cfg.preempt_check_every == 0
+                    and sync_preempt_flag(guard.triggered)
+                ):
+                    preempted = True
+                    break
+            if not preempted and cfg.preempt_save and sync_preempt_flag(guard.triggered):
+                preempted = True  # signal landed in the epoch's tail steps
+            if preempted:
+                # salvage save: resumable "latest" recorded at epoch-1 so
+                # _resume (start_epoch = saved+1) RESTARTS this epoch's data
+                # pass with the mid-epoch params — epoch-granular resume,
+                # nothing is lost but the partial pass's step count
+                self._save("latest", epoch - 1)
+                ckpt.wait_for_checkpoints()
+                self.logger.info(
+                    "preempted at epoch %d step %d: salvage checkpoint saved, draining",
+                    epoch, n_steps,
+                )
+                history.append({
+                    "epoch": epoch, "steps": n_steps, "preempted": True,
+                    "train": {k: float(v) / n_steps for k, v in metric_sums.items()}
+                    if metric_sums else {},
+                })
+                break
             running = (
                 {k: float(v) / n_steps for k, v in metric_sums.items()} if metric_sums else {}
             )
@@ -945,6 +1051,7 @@ class CLIPTrainer:
             "best_metric": self.stopper.best,
             "best_epoch": self.stopper.best_epoch,
             "epochs_run": len(history),
+            "preempted": preempted,
             "history": history,
         }
         ckpt.wait_for_checkpoints()  # flush async epoch saves before returning

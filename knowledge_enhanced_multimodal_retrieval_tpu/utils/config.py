@@ -337,6 +337,16 @@ class TrainConfig:
     distill_embed_weight: float = 0.5  # direct cosine loss (needs equal dims)
     checkpoint_dir: str = "checkpoints"
     resume: bool = False
+    # preemption-safe training: install a SIGTERM handler (TPU maintenance
+    # events / spot reclaims deliver SIGTERM with a grace window) and, at
+    # the next step boundary, drain — save a resumable "latest" checkpoint
+    # and return cleanly with {"preempted": True}. Multi-process runs agree
+    # on the drain collectively so train-step collectives never desync.
+    preempt_save: bool = True
+    # steps between preemption-flag checks; on multi-process meshes each
+    # check is one tiny all-gather, so keep it coarse (single-process
+    # checks are free). 0 disables mid-epoch checks (epoch ends only).
+    preempt_check_every: int = 20
     log_every: int = 50
     wandb_project: Optional[str] = None  # optional wandb logging (trainer.py:117-131)
 
