@@ -46,13 +46,14 @@ def main(argv=None) -> str:
     store = EmbeddingStore.load(store_path, mmap=cfg.eval.mmap_store)
     nlist = cfg.eval.ann_nlist or max(1, int(np.sqrt(len(store))))
     quantize = resolve_quantize_corpus(cfg.eval.quantize_corpus)
-    if quantize == "int4":
-        raise ValueError("IVF composes with int8 corpus packing only")
+    if quantize in ("int4", "binary"):
+        raise ValueError("IVF composes with int8 or pq corpus packing only")
     logger.info("clustering %d rows into %d lists%s", len(store), nlist,
-                " (int8-packed)" if quantize else "")
+                f" ({quantize}-packed)" if quantize else "")
     index = build_ivf_index(
         store.image, store.text, nlist,
-        quantize="int8" if quantize else None,
+        quantize=quantize or None,
+        pq_m=cfg.eval.pq_m or None,
     )
     fp = corpus_fingerprint(store.image, store.text)
     save_ivf_index(out, index, fingerprint=fp)

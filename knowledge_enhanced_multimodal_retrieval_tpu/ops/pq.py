@@ -180,20 +180,15 @@ def train_opq_rotation(
     return r
 
 
-def pack_pq_host(
-    rows,
-    codebooks: np.ndarray,
-    mesh: Optional[Mesh] = None,
-    axis: str = "data",
-) -> Tuple[jax.Array, jax.Array]:
-    """Encode ``[N, D]`` rows -> ``(codes uint8 [N, M], scale f32 [N, 1])``.
+def pq_encode_host(rows, codebooks: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Host encode ``[N, D]`` rows -> ``(codes uint8 [N, M], scale f32 [N, 1])``.
 
     ``recon(row) = scale * concat_m codebooks[m, codes[m]]`` where the codes
     quantize the row's DIRECTION (row / ||row||) and ``scale = ||row||``.
     Zero rows (capacity padding) pack to ``scale = 0`` — they score exactly
-    0 regardless of codes, matching every other packing tier. Host-side so
-    the f32 corpus never stages in device HBM; with ``mesh``, codes and
-    scales upload row-sharded over ``axis``.
+    0 regardless of codes, matching every other packing tier. Pure numpy so
+    both the flat PQ corpus (:func:`pack_pq_host`) and the IVF-PQ packer
+    (``retrieval.ann.build_ivf_index(quantize="pq")``) share one encoder.
     """
     rows = np.asarray(rows, np.float32)
     n, d = rows.shape
@@ -213,6 +208,17 @@ def pack_pq_host(
             codes[lo:hi, j] = np.argmax(aff, axis=1).astype(np.uint8)
     scale = norms.astype(np.float32)
     scale[norms[:, 0] == 0] = 0.0
+    return codes, scale
+
+
+def pack_pq_host(
+    rows,
+    codebooks: np.ndarray,
+    mesh: Optional[Mesh] = None,
+    axis: str = "data",
+) -> Tuple[jax.Array, jax.Array]:
+    """:func:`pq_encode_host` + device upload (row-sharded with ``mesh``)."""
+    codes, scale = pq_encode_host(rows, codebooks)
     if mesh is not None:
         sharding = NamedSharding(mesh, P(axis, None))
         return jax.device_put(codes, sharding), jax.device_put(scale, sharding)

@@ -151,20 +151,29 @@ def _pack_with_spill(pref: np.ndarray, nlist: int, cap: int) -> np.ndarray:
 class IVFIndex:
     """Packed two-tower IVF index (all arrays device-resident).
 
-    With ``packed_*_scale`` set, ``packed_img``/``packed_txt`` hold symmetric
-    per-row int8 (same rounding as ``ops.similarity.quantize_corpus``) and
-    the probe dequantizes by applying the gathered per-row scales to the
-    score columns — the index HBM footprint (and probe traffic) halves.
+    With ``packed_*_scale`` set (and no codebooks), ``packed_img``/
+    ``packed_txt`` hold symmetric per-row int8 (same rounding as
+    ``ops.similarity.quantize_corpus``) and the probe dequantizes by applying
+    the gathered per-row scales to the score columns — the index HBM
+    footprint (and probe traffic) halves.
+
+    With ``cb_img``/``cb_txt`` set (IVF-PQ, the FAISS ``IndexIVFPQ`` shape),
+    ``packed_img``/``packed_txt`` hold uint8 PQ codes ``[nlist, cap, M]``
+    (directions; ``ops.pq.pq_encode_host``) and ``packed_*_scale`` the
+    per-row norms — ~30x f32 capacity AND sublinear probing, scores via
+    per-query ADC lookup tables on the probed rows only.
     """
 
     centroids_img: jax.Array  # [nlist, D] f32
     centroids_txt: jax.Array  # [nlist, D] f32
-    packed_img: jax.Array  # [nlist, cap, D] (f32/bf16, or int8 when quantized)
-    packed_txt: jax.Array  # [nlist, cap, D]
+    packed_img: jax.Array  # [nlist, cap, D] (f32/bf16/int8) or [nlist, cap, M] uint8 codes
+    packed_txt: jax.Array  # [nlist, cap, D] / [nlist, cap, M]
     packed_rows: jax.Array  # [nlist, cap] int32, -1 = empty slot
     spill_fraction: float  # diagnostic: rows not in their best cluster
     packed_img_scale: Optional[jax.Array] = None  # [nlist, cap] f32 per-row scales
     packed_txt_scale: Optional[jax.Array] = None
+    cb_img: Optional[jax.Array] = None  # [M, K, ds] f32 PQ codebooks (pq mode)
+    cb_txt: Optional[jax.Array] = None
 
     @property
     def nlist(self) -> int:
@@ -175,8 +184,17 @@ class IVFIndex:
         return self.packed_rows.shape[1]
 
     @property
+    def is_pq(self) -> bool:
+        return self.cb_img is not None
+
+    @property
     def quantized(self) -> bool:
-        return self.packed_img_scale is not None
+        """int8-packed tiles (per-row scales, NO codebooks)."""
+        return self.packed_img_scale is not None and self.cb_img is None
+
+    @property
+    def mode(self) -> str:
+        return "pq" if self.is_pq else ("int8" if self.quantized else "exact")
 
 
 def build_ivf_index(
@@ -193,6 +211,7 @@ def build_ivf_index(
     mesh=None,
     shard_axis: str = "data",
     kmeans_init: str = "maxmin",
+    pq_m: Optional[int] = None,
 ) -> IVFIndex:
     """Cluster the corpus and pack it cluster-major.
 
@@ -204,6 +223,10 @@ def build_ivf_index(
 
     ``quantize="int8"`` packs symmetric per-row int8 + scales (half the
     index memory/probe traffic; same rounding as the exact int8 corpus).
+    ``quantize="pq"`` packs uint8 product-quantization codes + per-row
+    norms (IVF-PQ — ~30x capacity and sublinear probing; per-tower
+    codebooks train on the corpus, ``pq_m`` subspaces, default D/8; same
+    encoder as the flat PQ corpus, ``ops.pq.pq_encode_host``).
     ``train_rows`` subsamples k-means training (assignment still covers
     every row) — standard practice when the full corpus is too big to
     stage on one device in f32. ``mesh`` shards the index over the
@@ -213,7 +236,7 @@ def build_ivf_index(
     n, d = image.shape
     if text.shape != image.shape:
         raise ValueError(f"tower shape mismatch: {image.shape} vs {text.shape}")
-    if quantize not in (None, "int8"):
+    if quantize not in (None, "int8", "pq"):
         raise ValueError(f"unknown quantize mode {quantize!r}")
     if mesh is not None and nlist % mesh.shape[shard_axis] != 0:
         raise ValueError(
@@ -245,7 +268,26 @@ def build_ivf_index(
     gather = np.where(packed_rows >= 0, packed_rows, 0)
     zero_mask = (packed_rows < 0)[..., None]
     img_scale = txt_scale = None
-    if quantize == "int8":
+    cb_i = cb_t = None
+    if quantize == "pq":
+        # IVF-PQ: per-tower codebooks train on the corpus rows (directions;
+        # zero rows drop inside the trainer), then every slot packs its
+        # row's codes + norm — the SAME encoder as the flat PQ corpus so
+        # scores match ops.pq bit for bit at equal codebooks. Empty slots
+        # pack to scale 0 (score exactly 0, codes irrelevant).
+        from ..ops.pq import pq_encode_host, train_pq_codebooks
+
+        m = pq_m or max(1, d // 8)
+        cb_i = train_pq_codebooks(img_np, m=m)
+        cb_t = train_pq_codebooks(txt_np, m=m)
+        img_c, img_s = pq_encode_host(img_np, cb_i)
+        txt_c, txt_s = pq_encode_host(txt_np, cb_t)
+        packed_img = np.where(zero_mask, np.uint8(0), img_c[gather])
+        packed_txt = np.where(zero_mask, np.uint8(0), txt_c[gather])
+        img_scale = np.where(packed_rows < 0, 0.0, img_s[gather, 0]).astype(np.float32)
+        txt_scale = np.where(packed_rows < 0, 0.0, txt_s[gather, 0]).astype(np.float32)
+        pack_dtype = jnp.uint8
+    elif quantize == "int8":
         # the SAME quantizer as the exact int8 corpus path, so the int8
         # representation matches it bit for bit (pinned in tests/test_ann.py)
         from ..ops.similarity import quantize_corpus_host
@@ -278,6 +320,9 @@ def build_ivf_index(
         spill_fraction=spill_fraction,
         packed_img_scale=None if img_scale is None else put(jnp.asarray(img_scale)),
         packed_txt_scale=None if txt_scale is None else put(jnp.asarray(txt_scale)),
+        # KB-sized codebooks replicate (never shard) — every device decodes
+        cb_img=None if cb_i is None else jnp.asarray(cb_i),
+        cb_txt=None if cb_t is None else jnp.asarray(cb_t),
     )
 
 
@@ -316,17 +361,52 @@ def ivf_search(
     if not 1 <= nprobe <= nlist:
         raise ValueError(f"nprobe {nprobe} out of range [1, {nlist}]")
     a = alpha_column(alpha, queries.shape[0])  # [B, 1] f32
-    compute_dtype = queries.dtype if index.quantized else index.packed_img.dtype
+    compute_dtype = (
+        index.packed_img.dtype if index.mode == "exact" else queries.dtype
+    )
     q = queries.astype(compute_dtype)
     cs = a * (q @ index.centroids_img.T.astype(q.dtype)).astype(jnp.float32) + (
         1.0 - a
     ) * (q @ index.centroids_txt.T.astype(q.dtype)).astype(jnp.float32)
     _, probe = jax.lax.top_k(cs.astype(jnp.float32), nprobe)  # [B, nprobe]
 
-    pi = jnp.take(index.packed_img, probe, axis=0)  # [B, nprobe, cap, D]
-    pt = jnp.take(index.packed_txt, probe, axis=0)
     rows = jnp.take(index.packed_rows, probe, axis=0)  # [B, nprobe, cap]
-    if index.quantized:
+    if index.is_pq:
+        # IVF-PQ ADC: per-query lookup tables (bf16, the same rounding as
+        # ops.pq.blended_scores_pq_adc — one LUT value gathered per code is
+        # exactly one one-hot MXU product, f32-accumulated in subspace
+        # order, so full-probe scores match the flat ADC scan bit for bit),
+        # walked over only the probed rows. The walk is a [B, P] vectorized
+        # gather per subspace — tiny by construction (P = nprobe*cap
+        # << corpus), which is the point of IVF.
+        from ..ops.pq import pq_luts
+
+        b = queries.shape[0]
+        p_rows = nprobe * index.cap
+        qf = q.astype(jnp.float32)
+
+        def adc(packed_codes, cb, scale):
+            lut = pq_luts(qf, cb)  # [M, Q, K] bf16
+            codes = jnp.take(packed_codes, probe, axis=0)  # [B, nprobe, cap, M]
+            c = codes.reshape(b, p_rows, -1).astype(jnp.int32)
+            m = lut.shape[0]
+
+            def body(mm, acc):
+                lut_m = jax.lax.dynamic_index_in_dim(
+                    lut, mm, 0, keepdims=False
+                ).astype(jnp.float32)  # [Q, K]
+                return acc + jnp.take_along_axis(lut_m, c[:, :, mm], axis=1)
+
+            acc = jax.lax.fori_loop(0, m, body, jnp.zeros((b, p_rows), jnp.float32))
+            s = jnp.take(scale, probe, axis=0).reshape(b, p_rows)
+            return acc * s
+
+        s_img = adc(index.packed_img, index.cb_img, index.packed_img_scale)
+        s_txt = adc(index.packed_txt, index.cb_txt, index.packed_txt_scale)
+        s = (a * s_img + (1.0 - a) * s_txt).reshape(b, nprobe, index.cap)
+    elif index.quantized:
+        pi = jnp.take(index.packed_img, probe, axis=0)  # [B, nprobe, cap, D]
+        pt = jnp.take(index.packed_txt, probe, axis=0)
         # int8 tiles: the int8->f dtype cast is exact; per-row scales fold
         # into the score columns post-matmul (same math as the exact int8
         # corpus path in ops.similarity.blended_scores_q8)
@@ -337,6 +417,8 @@ def ivf_search(
         a3 = a[:, :, None]  # [B, 1, 1] broadcast over (probe, cap)
         s = a3 * s_img + (1.0 - a3) * s_txt
     else:
+        pi = jnp.take(index.packed_img, probe, axis=0)  # [B, nprobe, cap, D]
+        pt = jnp.take(index.packed_txt, probe, axis=0)
         a3 = a[:, :, None].astype(pi.dtype) if pi.dtype != jnp.float32 else a[:, :, None]
         s = a3 * jnp.einsum("bd,bpcd->bpc", q, pi) + (1.0 - a3) * jnp.einsum(
             "bd,bpcd->bpc", q, pt
@@ -381,25 +463,30 @@ def sharded_ivf_search(
     from ..ops.similarity import alpha_column
 
     fn = _sharded_ivf_program(
-        mesh, axis, k, nprobe, index.quantized, index.nlist, index.cap
+        mesh, axis, k, nprobe, index.mode, index.nlist, index.cap
     )
-    si = index.packed_img_scale if index.quantized else jnp.zeros((), jnp.float32)
-    st = index.packed_txt_scale if index.quantized else jnp.zeros((), jnp.float32)
+    has_scales = index.packed_img_scale is not None
+    si = index.packed_img_scale if has_scales else jnp.zeros((), jnp.float32)
+    st = index.packed_txt_scale if has_scales else jnp.zeros((), jnp.float32)
+    cbi = index.cb_img if index.is_pq else jnp.zeros((), jnp.float32)
+    cbt = index.cb_txt if index.is_pq else jnp.zeros((), jnp.float32)
     return fn(
         queries, alpha_column(alpha, queries.shape[0]),
         index.centroids_img, index.centroids_txt,
-        index.packed_img, index.packed_txt, index.packed_rows, si, st,
+        index.packed_img, index.packed_txt, index.packed_rows, si, st, cbi, cbt,
     )
 
 
 @functools.lru_cache(maxsize=128)
-def _sharded_ivf_program(mesh, axis, k, nprobe, has_scales, nlist, cap):
+def _sharded_ivf_program(mesh, axis, k, nprobe, mode, nlist, cap):
     """The jitted shard_map program, cached per static signature so repeat
     callers retrace/recompile only on genuinely new shapes (a Mesh is
     hashable; a fresh jit wrapper per call would never hit the jit cache)."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
+    has_scales = mode in ("int8", "pq")
+    is_pq = mode == "pq"
     n_shards = mesh.shape[axis]
     nlist_local = nlist // n_shards
     nprobe_local = min(-(-nprobe // n_shards), nlist_local)
@@ -407,13 +494,16 @@ def _sharded_ivf_program(mesh, axis, k, nprobe, has_scales, nlist, cap):
     spec3 = P(axis, None, None)
     spec2 = P(axis, None)
 
-    def local(q, a, ci, ct, pi, pt, pr, si, st):
+    def local(q, a, ci, ct, pi, pt, pr, si, st, cbi, cbt):
         li = IVFIndex(
             centroids_img=ci, centroids_txt=ct, packed_img=pi, packed_txt=pt,
             packed_rows=pr, spill_fraction=0.0,
-            # without scales, si/st ride as scalar-zero placeholders
+            # without scales/codebooks, the operands ride as scalar-zero
+            # placeholders (a pytree None would change the arg structure)
             packed_img_scale=si if has_scales else None,
             packed_txt_scale=st if has_scales else None,
+            cb_img=cbi if is_pq else None,
+            cb_txt=cbt if is_pq else None,
         )
         vals, ids = ivf_search(q, li, k=k_local, nprobe=nprobe_local, alpha=a)
         all_vals = jax.lax.all_gather(vals, axis)  # [n_shards, Q, k_local]
@@ -434,7 +524,8 @@ def _sharded_ivf_program(mesh, axis, k, nprobe, has_scales, nlist, cap):
         local,
         mesh=mesh,
         in_specs=(P(), P(), spec2, spec2, spec3, spec3, spec2,
-                  spec2 if has_scales else P(), spec2 if has_scales else P()),
+                  spec2 if has_scales else P(), spec2 if has_scales else P(),
+                  P(), P()),  # codebooks (or placeholders) replicate
         out_specs=(P(), P()),
         check_vma=False,  # replicated after all_gather+top_k; see sharded_similarity_topk
     )
@@ -482,9 +573,12 @@ def save_ivf_index(path: str, index: IVFIndex, fingerprint: Optional[str] = None
         "packed_rows": np.asarray(index.packed_rows),
         "spill_fraction": np.float32(index.spill_fraction),
     }
-    if index.quantized:
+    if index.packed_img_scale is not None:
         arrays["packed_img_scale"] = np.asarray(index.packed_img_scale)
         arrays["packed_txt_scale"] = np.asarray(index.packed_txt_scale)
+    if index.is_pq:
+        arrays["cb_img"] = np.asarray(index.cb_img)
+        arrays["cb_txt"] = np.asarray(index.cb_txt)
     # atomic: temp file + rename, so a kill mid-save never leaves a
     # truncated cache that crashes the next startup
     import os
@@ -528,7 +622,8 @@ def load_ivf_index(
                 f"axis {shard_axis!r}={mesh.shape[shard_axis]}"
             )
         put = _cluster_put(mesh, shard_axis)
-        quantized = "packed_img_scale" in data
+        scaled = "packed_img_scale" in data
+        is_pq = "cb_img" in data
         return IVFIndex(
             centroids_img=put(jnp.asarray(data["centroids_img"])),
             centroids_txt=put(jnp.asarray(data["centroids_txt"])),
@@ -536,8 +631,10 @@ def load_ivf_index(
             packed_txt=put(jnp.asarray(data["packed_txt"])),
             packed_rows=put(jnp.asarray(data["packed_rows"])),
             spill_fraction=float(data["spill_fraction"]),
-            packed_img_scale=put(jnp.asarray(data["packed_img_scale"])) if quantized else None,
-            packed_txt_scale=put(jnp.asarray(data["packed_txt_scale"])) if quantized else None,
+            packed_img_scale=put(jnp.asarray(data["packed_img_scale"])) if scaled else None,
+            packed_txt_scale=put(jnp.asarray(data["packed_txt_scale"])) if scaled else None,
+            cb_img=jnp.asarray(data["cb_img"]) if is_pq else None,  # replicated
+            cb_txt=jnp.asarray(data["cb_txt"]) if is_pq else None,
         )
 
 
@@ -584,8 +681,8 @@ def calibrate_nprobe(
     if search_fn is None:
 
         @functools.partial(jax.jit, static_argnames=("k", "nprobe"))
-        def _run(qq, ci, ct, pi, pt, pr, si, st, *, k, nprobe):
-            idx = IVFIndex(ci, ct, pi, pt, pr, 0.0, si, st)
+        def _run(qq, ci, ct, pi, pt, pr, si, st, cbi, cbt, *, k, nprobe):
+            idx = IVFIndex(ci, ct, pi, pt, pr, 0.0, si, st, cbi, cbt)
             return ivf_search(qq, idx, k=k, nprobe=nprobe, alpha=alpha)
 
         def search_fn(qq, kk, nprobe):
@@ -593,6 +690,7 @@ def calibrate_nprobe(
                 jnp.asarray(qq), index.centroids_img, index.centroids_txt,
                 index.packed_img, index.packed_txt, index.packed_rows,
                 index.packed_img_scale, index.packed_txt_scale,
+                index.cb_img, index.cb_txt,
                 k=kk, nprobe=nprobe,
             )
 

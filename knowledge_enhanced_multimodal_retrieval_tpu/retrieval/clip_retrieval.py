@@ -286,8 +286,10 @@ class CLIPRetrieval:
         # latency). Exact paths stay the default.
         if ann not in (None, "ivf"):
             raise ValueError(f"unknown ann mode {ann!r} (expected None or 'ivf')")
-        if ann == "ivf" and self.quantize_corpus in ("int4", "pq"):
-            raise ValueError("ann='ivf' composes with int8 corpus packing only")
+        if ann == "ivf" and self.quantize_corpus in ("int4", "binary"):
+            raise ValueError(
+                "ann='ivf' composes with int8 or pq corpus packing only"
+            )
         # Host-side exact rerank (opt-in): the device program over-fetches
         # rerank_factor * k candidates from the packed/approximate corpus,
         # then the f32 corpus ALREADY RESIDENT IN HOST RAM (EmbeddingStore)
@@ -397,8 +399,8 @@ class CLIPRetrieval:
                 # cimg carries the packed index pytree (passed as an
                 # argument — index arrays must never be jit constants on
                 # the relay); scales are None unless quantize_corpus
-                ci, ct, pi, pt, pr, si, st = cimg
-                index = IVFIndex(ci, ct, pi, pt, pr, 0.0, si, st)
+                ci, ct, pi, pt, pr, si, st, cbi, cbt = cimg
+                index = IVFIndex(ci, ct, pi, pt, pr, 0.0, si, st, cbi, cbt)
                 if self.shard_corpus:
                     return sharded_ivf_search(
                         q, index, k=k, nprobe=nprobe,
@@ -621,6 +623,7 @@ class CLIPRetrieval:
                     index.centroids_img, index.centroids_txt,
                     index.packed_img, index.packed_txt, index.packed_rows,
                     index.packed_img_scale, index.packed_txt_scale,
+                    index.cb_img, index.cb_txt,
                 ),
                 ann_spill_fraction=index.spill_fraction,
                 top_k=min(self._requested_top_k, n_real),
@@ -738,12 +741,20 @@ class CLIPRetrieval:
                     -(-int(np.ceil(self._ann_capacity_factor * len(store) / nlist)) // _CAP_SUBLANE)
                     * _CAP_SUBLANE,
                 )
+                quantize = self.quantize_corpus or None  # 'int8' | 'pq' | None
+                expected_m = (
+                    (self.pq_m or max(1, store.dim // 8)) if quantize == "pq" else None
+                )
                 config_ok = (
-                    index.quantized == bool(self.quantize_corpus)
+                    index.mode == (quantize or "exact")
                     and index.nlist == nlist
                     and index.cap >= expected_cap
                     and (
-                        index.quantized
+                        quantize != "pq"
+                        or index.packed_img.shape[-1] == expected_m
+                    )
+                    and (
+                        quantize is not None
                         or index.packed_img.dtype == jnp.dtype(self.corpus_dtype)
                     )
                 )
@@ -754,7 +765,8 @@ class CLIPRetrieval:
         index = build_ivf_index(
             store.image, store.text, nlist,
             capacity_factor=self._ann_capacity_factor, dtype=self.corpus_dtype,
-            quantize="int8" if self.quantize_corpus else None,
+            quantize=self.quantize_corpus or None,
+            pq_m=self.pq_m or None,
             mesh=mesh,
         )
         if use_cache:
@@ -1030,8 +1042,8 @@ class CLIPRetrieval:
 
     def _index_view(self, c: _CorpusState) -> IVFIndex:
         """The corpus state's IVF arrays as an :class:`IVFIndex` (ann mode)."""
-        ci, ct, pi, pt, pr, si, st = c.ivf_arrays
-        return IVFIndex(ci, ct, pi, pt, pr, c.ann_spill_fraction, si, st)
+        ci, ct, pi, pt, pr, si, st, cbi, cbt = c.ivf_arrays
+        return IVFIndex(ci, ct, pi, pt, pr, c.ann_spill_fraction, si, st, cbi, cbt)
 
     # -- host-side exact rerank (TPU-native extension) ---------------------------
 

@@ -187,6 +187,113 @@ def test_train_rows_subsample_still_exact_at_full_probe():
     np.testing.assert_array_equal(np.asarray(ids), bi)
 
 
+# -- IVF-PQ (pq-packed inverted lists; FAISS IndexIVFPQ shape) ------------------
+
+
+def _brute_pq_adc(q, index, alpha, k):
+    """Host oracle of the IVF-PQ full-probe ranking: the flat ADC scan
+    (ops.pq.blended_scores_pq_adc — identical per-element math to the probe's
+    LUT walk) over the index's OWN packed slots, mapped back to row ids."""
+    from knowledge_enhanced_multimodal_retrieval_tpu.ops.pq import (
+        blended_scores_pq_adc,
+    )
+
+    nlist, cap, m = index.packed_img.shape
+    ci = jnp.asarray(index.packed_img).reshape(nlist * cap, m)
+    ct = jnp.asarray(index.packed_txt).reshape(nlist * cap, m)
+    si = jnp.asarray(index.packed_img_scale).reshape(nlist * cap, 1)
+    st = jnp.asarray(index.packed_txt_scale).reshape(nlist * cap, 1)
+    s = np.asarray(
+        blended_scores_pq_adc(
+            jnp.asarray(q), ci, si, ct, st, index.cb_img, index.cb_txt, alpha
+        )
+    )
+    rows = np.asarray(index.packed_rows).ravel()
+    s = np.where(rows[None, :] >= 0, s, -np.inf)
+    pos = np.argsort(-s, axis=1)[:, :k]
+    return np.take_along_axis(s, pos, axis=1), rows[pos]
+
+
+def test_pq_index_full_probe_matches_adc_oracle():
+    rng = np.random.default_rng(13)
+    img, txt = _normed(rng, 256, 32), _normed(rng, 256, 32)
+    q = _normed(rng, 6, 32)
+    index = build_ivf_index(img, txt, nlist=8, seed=1, quantize="pq", pq_m=8)
+    assert index.is_pq and index.mode == "pq"
+    assert index.packed_img.dtype == jnp.uint8
+    assert index.packed_img.shape[-1] == 8  # M codes per row, not D floats
+    vals, ids = ivf_search(jnp.asarray(q), index, k=10, nprobe=index.nlist, alpha=0.6)
+    bv, bi = _brute_pq_adc(q, index, 0.6, 10)
+    np.testing.assert_allclose(np.asarray(vals), bv, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ids), bi)
+
+
+def test_pq_index_default_m_is_dim_over_8():
+    rng = np.random.default_rng(14)
+    img, txt = _normed(rng, 64, 32), _normed(rng, 64, 32)
+    index = build_ivf_index(img, txt, nlist=4, seed=0, quantize="pq")
+    assert index.packed_img.shape[-1] == 4  # 32 / 8
+
+
+def test_pq_index_recall_on_clustered_data():
+    rng = np.random.default_rng(15)
+    img = _clustered(rng, 2000, 32, 24)
+    txt = _clustered(rng, 2000, 32, 24)
+    sel = rng.integers(0, 2000, 16)
+    q = img[sel] + 0.05 * rng.standard_normal((16, 32)).astype(np.float32)
+    q = (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float32)
+    index = build_ivf_index(img, txt, nlist=32, seed=2, quantize="pq", pq_m=8)
+    vals, ids = ivf_search(jnp.asarray(q), index, k=10, nprobe=8, alpha=0.5)
+    _, bi = _brute(q, img, txt, 0.5, 10)
+    hits = np.mean([
+        len(set(np.asarray(ids)[i].tolist()) & set(bi[i].tolist())) / 10
+        for i in range(len(q))
+    ])
+    # PQ rounding stacks on the probe approximation — still most of the
+    # exact top-10 at a quarter of the corpus probed
+    assert hits >= 0.6, f"ivf-pq recall@10 {hits:.2f} too low"
+    assert probed_fraction(index, 8) < 0.5
+
+
+def test_sharded_ivf_pq_full_probe_matches_unsharded(devices8):
+    from knowledge_enhanced_multimodal_retrieval_tpu.parallel import MeshRuntime
+
+    rt = MeshRuntime.create()
+    rng = np.random.default_rng(16)
+    img, txt = _normed(rng, 320, 32), _normed(rng, 320, 32)
+    q = _normed(rng, 5, 32)
+    index = build_ivf_index(
+        img, txt, nlist=16, seed=3, quantize="pq", pq_m=8, mesh=rt.mesh
+    )
+    assert not index.packed_img.sharding.is_fully_replicated
+    vals, ids = sharded_ivf_search(
+        jnp.asarray(q), index, k=10, nprobe=index.nlist, mesh=rt.mesh, alpha=0.4
+    )
+    bv, bi = _brute_pq_adc(q, index, 0.4, 10)
+    np.testing.assert_allclose(np.asarray(vals), bv, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ids), bi)
+
+
+def test_pq_index_save_load_roundtrip(tmp_path):
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval.ann import (
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    rng = np.random.default_rng(17)
+    img, txt = _normed(rng, 128, 32), _normed(rng, 128, 32)
+    q = _normed(rng, 4, 32)
+    index = build_ivf_index(img, txt, nlist=8, seed=4, quantize="pq", pq_m=8)
+    path = str(tmp_path / "ivfpq.npz")
+    save_ivf_index(path, index)
+    loaded = load_ivf_index(path)
+    assert loaded.is_pq and loaded.packed_img.shape == index.packed_img.shape
+    v0, i0 = ivf_search(jnp.asarray(q), index, k=8, nprobe=4)
+    v1, i1 = ivf_search(jnp.asarray(q), loaded, k=8, nprobe=4)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-6)
+
+
 @pytest.mark.parametrize("quantize", [None, "int8"])
 def test_sharded_ivf_full_probe_exact(devices8, quantize):
     """Cluster-sharded IVF over the 8-device mesh: probing every cluster
@@ -376,6 +483,74 @@ def test_clip_retrieval_ivf_composes_with_int8_and_sharding(devices8):
         ["hot-doc"],
     )
     assert r.retrieval("hello cat", alpha=0.5)[0]["uuid"] == "hot-doc"
+
+
+def test_clip_retrieval_ivfpq_mode(devices8):
+    """ann='ivf' x quantize_corpus='pq' (IVF-PQ) through the retriever:
+    serves sorted valid results; with full probe + host rerank the final
+    ranking is EXACT (candidates cover the top-k, f32 rescoring wins)."""
+    import jax.numpy as jnp
+
+    from knowledge_enhanced_multimodal_retrieval_tpu.data.datasets import (
+        DataPipeline,
+        make_synthetic_source,
+    )
+    from knowledge_enhanced_multimodal_retrieval_tpu.data.tokenizer import CLIPTokenizer
+    from knowledge_enhanced_multimodal_retrieval_tpu.models import clip as M
+    from knowledge_enhanced_multimodal_retrieval_tpu.parallel import MeshRuntime
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval import (
+        CLIPRetrieval,
+        build_embedding_store,
+    )
+
+    tok = CLIPTokenizer([("c", "a"), ("ca", "t</w>"), ("h", "e"), ("he", "l")])
+    arch = M.CLIPArch(16, 32, 1, 32, 16, 16, tok.vocab_size, 32, 2, 1, vision_heads=2)
+    model = M.CLIP(arch, dtype=jnp.float32)
+    params = M.init_params(model, jax.random.PRNGKey(0))
+    src = make_synthetic_source(48, image_size=32)
+    pipe = DataPipeline(src, tok, image_size=32, context_length=16, num_workers=2)
+    rt = MeshRuntime.create()
+    store = build_embedding_store(model, params, pipe, rt, batch_size=16)
+
+    exact = CLIPRetrieval(model, params, tok, store, top_k=5)
+    want = exact.retrieval("hello cat", alpha=0.5)
+
+    ivfpq = CLIPRetrieval(
+        model, params, tok, store, top_k=5,
+        ann="ivf", ann_nlist=8, ann_nprobe=4, quantize_corpus="pq", pq_m=4,
+    )
+    got = ivfpq.retrieval("hello cat", alpha=0.5)
+    scores = [r["score"] for r in got]
+    assert scores == sorted(scores, reverse=True) and len(got) > 0
+
+    # full probe + rerank: candidates cover the whole corpus, host f32
+    # rescoring restores the exact ordering bit for bit
+    reranked = CLIPRetrieval(
+        model, params, tok, store, top_k=5,
+        ann="ivf", ann_nlist=8, ann_nprobe=8, quantize_corpus="pq", pq_m=4,
+        rerank=True, rerank_factor=10,
+    )
+    got = reranked.retrieval("hello cat", alpha=0.5)
+    assert [r["uuid"] for r in got] == [r["uuid"] for r in want]
+    np.testing.assert_allclose(
+        [r["score"] for r in got], [r["score"] for r in want], rtol=1e-5, atol=1e-6
+    )
+
+    # sharded IVF-PQ: the build is deterministic per seed, so the sharded
+    # full probe must reproduce the unsharded full-probe ranking exactly
+    # (codes shard cluster-major, codebooks ride replicated)
+    full = CLIPRetrieval(
+        model, params, tok, store, top_k=5,
+        ann="ivf", ann_nlist=8, ann_nprobe=8, quantize_corpus="pq", pq_m=4,
+    )
+    sharded = CLIPRetrieval(
+        model, params, tok, store, top_k=5,
+        ann="ivf", ann_nlist=8, ann_nprobe=8, quantize_corpus="pq", pq_m=4,
+        rt=rt, shard_corpus=True,
+    )
+    want_s = full.retrieval("hello cat", alpha=0.5)
+    got_s = sharded.retrieval("hello cat", alpha=0.5)
+    assert [r["uuid"] for r in got_s] == [r["uuid"] for r in want_s]
 
 
 def test_clip_retrieval_ivf_shard_too_small(devices8):

@@ -213,9 +213,11 @@ def test_pq_survives_live_updates(world):
 
 def test_pq_refusals(world):
     model, params, tok, store, _ = world
-    with pytest.raises(ValueError, match="int8 corpus packing only"):
+    # pq + ann='ivf' is now a supported composition (IVF-PQ, tests/test_ann.py);
+    # int4 stays refused
+    with pytest.raises(ValueError, match="int8 or pq corpus packing only"):
         CLIPRetrieval(
-            model, params, tok, store, quantize_corpus="pq", ann="ivf", ann_nlist=4
+            model, params, tok, store, quantize_corpus="int4", ann="ivf", ann_nlist=4
         )
     with pytest.raises(ValueError, match="divide"):
         CLIPRetrieval(model, params, tok, store, quantize_corpus="pq", pq_m=7)
