@@ -191,9 +191,10 @@ def test_train_rows_subsample_still_exact_at_full_probe():
 
 
 def _brute_pq_adc(q, index, alpha, k):
-    """Host oracle of the IVF-PQ full-probe ranking: the flat ADC scan
+    """Host oracle of the IVF-PQ full-probe ranking: per-tower flat ADC scan
     (ops.pq.blended_scores_pq_adc — identical per-element math to the probe's
-    LUT walk) over the index's OWN packed slots, mapped back to row ids."""
+    LUT walk) over the index's OWN packed residual codes, plus the owning
+    cluster's centroid dot (residual encoding), mapped back to row ids."""
     from knowledge_enhanced_multimodal_retrieval_tpu.ops.pq import (
         blended_scores_pq_adc,
     )
@@ -203,11 +204,18 @@ def _brute_pq_adc(q, index, alpha, k):
     ct = jnp.asarray(index.packed_txt).reshape(nlist * cap, m)
     si = jnp.asarray(index.packed_img_scale).reshape(nlist * cap, 1)
     st = jnp.asarray(index.packed_txt_scale).reshape(nlist * cap, 1)
-    s = np.asarray(
-        blended_scores_pq_adc(
-            jnp.asarray(q), ci, si, ct, st, index.cb_img, index.cb_txt, alpha
-        )
+    qj = jnp.asarray(q)
+    # alpha=1 / alpha=0 isolate the per-tower residual ADC sums
+    t2i = np.asarray(
+        blended_scores_pq_adc(qj, ci, si, ct, st, index.cb_img, index.cb_txt, 1.0)
     )
+    t2t = np.asarray(
+        blended_scores_pq_adc(qj, ci, si, ct, st, index.cb_img, index.cb_txt, 0.0)
+    )
+    cluster = np.repeat(np.arange(nlist), cap)  # owning cluster per slot
+    cs_i = np.asarray(q, np.float32) @ np.asarray(index.centroids_img).T
+    cs_t = np.asarray(q, np.float32) @ np.asarray(index.centroids_txt).T
+    s = alpha * (cs_i[:, cluster] + t2i) + (1.0 - alpha) * (cs_t[:, cluster] + t2t)
     rows = np.asarray(index.packed_rows).ravel()
     s = np.where(rows[None, :] >= 0, s, -np.inf)
     pos = np.argsort(-s, axis=1)[:, :k]
@@ -551,6 +559,12 @@ def test_clip_retrieval_ivfpq_mode(devices8):
     want_s = full.retrieval("hello cat", alpha=0.5)
     got_s = sharded.retrieval("hello cat", alpha=0.5)
     assert [r["uuid"] for r in got_s] == [r["uuid"] for r in want_s]
+
+    # live update: re-clusters, retrains residual codebooks, and the new
+    # doc (the query's own embedding) wins top-1
+    emb = np.asarray(exact.encode_queries(["hello cat"]), np.float32)
+    ivfpq.add_documents(emb, emb.copy(), ["hot-doc"])
+    assert ivfpq.retrieval("hello cat", alpha=0.5)[0]["uuid"] == "hot-doc"
 
 
 def test_clip_retrieval_ivf_shard_too_small(devices8):
