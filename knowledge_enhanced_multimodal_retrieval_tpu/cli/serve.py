@@ -64,6 +64,7 @@ def build_engine(cfg, store_path: str, kg_path: str = "") -> RetrievalEngine:
         rotate=(cfg.eval.rotate_mode if cfg.eval.rotate else False),
         rotate_seed=cfg.eval.rotate_seed,
         pq_m=cfg.eval.pq_m,
+        pq_aniso_t=cfg.eval.pq_aniso_t,
     )
 
     t2s = None

@@ -52,6 +52,7 @@ def quality_sweep(
     truncate_dims: Sequence[int] = (),
     rotate: bool = False,
     rotate_seed: int = 0,
+    pq_aniso_t: float = 0.0,
 ) -> List[Dict]:
     """Measure each packing mode against exact brute force.
 
@@ -63,6 +64,9 @@ def quality_sweep(
     ``rotate`` adds ``+rot`` rows: the packed scans rerun on rotated
     corpus/queries (``CLIPRetrieval(rotate=True)``) — on anisotropic
     embeddings the rotated rows recover most of the packing recall loss.
+    ``pq_aniso_t`` adds ``pq+aniso`` rows (score-aware codebooks,
+    ``CLIPRetrieval(pq_aniso_t=t)`` — typically halves score_mae at equal
+    bitrate; training is the slow part, so the rows are opt-in).
     """
     image = np.asarray(image, np.float32)
     text = np.asarray(text, np.float32)
@@ -150,6 +154,30 @@ def quality_sweep(
             "config": f"pq{suffix}+rerank{rerank_factor}x",
             **_agreement(ei, ri), "score_mae": score_mae(ri, rv),
         })
+
+        # score-aware PQ (opt-in, base space only): anisotropic codebooks +
+        # coordinate-descent codes — same kernels/footprint as pq, the
+        # score_mae column is where the win shows
+        if pq_aniso_t and suffix == "":
+            from ..ops.pq import train_pq_codebooks_anisotropic
+
+            acb_i = train_pq_codebooks_anisotropic(im, m=m, t=pq_aniso_t)
+            acb_t = train_pq_codebooks_anisotropic(tx, m=m, t=pq_aniso_t)
+            (api, apsi) = pack_pq_host(im, acb_i, aniso_t=pq_aniso_t)
+            (apt, apst) = pack_pq_host(tx, acb_t, aniso_t=pq_aniso_t)
+            acbi_j, acbt_j = jnp.asarray(acb_i), jnp.asarray(acb_t)
+            v, i = pq_similarity_topk(qjs, api, apsi, apt, apst, acbi_j, acbt_j, k, alpha)
+            rows.append({
+                "config": "pq+aniso",
+                **_agreement(ei, np.asarray(i)), "score_mae": score_mae(i, v),
+            })
+            _, i = pq_similarity_topk(qjs, api, apsi, apt, apst, acbi_j, acbt_j, kf, alpha)
+            rv, ri = rerank_scores_host(queries, image, text, i, alpha)
+            rv, ri = rv[:, :k], ri[:, :k]
+            rows.append({
+                "config": f"pq+aniso+rerank{rerank_factor}x",
+                **_agreement(ei, ri), "score_mae": score_mae(ri, rv),
+            })
 
         # binary sketch (32x capacity): candidate quality with and without
         # the mandatory-in-serving rerank (raw rows show why it's enforced)

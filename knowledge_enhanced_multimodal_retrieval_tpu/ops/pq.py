@@ -113,6 +113,182 @@ def train_pq_codebooks(
     return codebooks
 
 
+def anisotropic_eta(t: float, dim: int) -> float:
+    """The parallel/orthogonal residual weight ratio ``η`` for score-aware
+    (anisotropic) quantization at score threshold ``t`` (Guo et al., ICML
+    2020, "Accelerating Large-Scale Inference with Anisotropic Vector
+    Quantization" — the ScaNN objective): for unit-norm datapoints and
+    queries that matter above cosine ``t``, η = (d−1)·t²/(1−t²). ``t=0.2``
+    is the paper's default operating point."""
+    if not 0.0 < t < 1.0:
+        raise ValueError(f"anisotropic threshold t must be in (0, 1), got {t}")
+    return float((dim - 1) * t * t / (1.0 - t * t))
+
+
+def _aniso_assign(
+    dirs: np.ndarray, codebooks: np.ndarray, eta: float, passes: int,
+    codes: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Coordinate-descent code assignment under the anisotropic loss.
+
+    The score-aware loss couples subspaces through the parallel residual
+    ``(r·x̂)² = (Σ_m (c_m − x_m)·x_m)²`` (``x̂`` is the unit row, so its
+    ``m``-th block IS ``x_m``), so codes cannot be chosen independently per
+    subspace like vanilla PQ — each pass sweeps the subspaces, re-picking
+    one code with the others' parallel contribution ``ρ₋ₘ`` held fixed:
+
+        loss_m(k) = ‖c_k − x_m‖² + (η−1)·(ρ₋ₘ + (c_k − x_m)·x_m)²
+
+    Returns ``(codes [N, M] int32, d_cur [N, M], ρ [N])`` where ``d_cur[m]
+    = (c_code − x_m)·x_m`` and ``ρ = Σ_m d_cur[m]`` (the parallel residual
+    dot) — callers reuse them for the codebook update. Vectorized numpy:
+    one ``[N, K]`` affinity per (pass, subspace)."""
+    n, d = dirs.shape
+    m_sub, k, ds = codebooks.shape
+    xb = dirs.reshape(n, m_sub, ds)
+    xnorm2 = np.einsum("nmd,nmd->nm", xb, xb)  # [N, M] block sq-norms
+    if codes is None:
+        # warm start: vanilla independent assignment (η=1 solution)
+        codes = np.empty((n, m_sub), np.int32)
+        for j in range(m_sub):
+            aff = xb[:, j, :] @ codebooks[j].T - 0.5 * np.sum(
+                codebooks[j] * codebooks[j], axis=1
+            )[None, :]
+            codes[:, j] = np.argmax(aff, axis=1)
+    else:
+        codes = codes.astype(np.int32).copy()
+    d_cur = np.empty((n, m_sub), np.float32)
+    for j in range(m_sub):
+        d_cur[:, j] = (
+            np.einsum("nd,nd->n", codebooks[j][codes[:, j]], xb[:, j, :])
+            - xnorm2[:, j]
+        )
+    rho = d_cur.sum(axis=1)  # [N]
+    rows_idx = np.arange(n)
+    for _ in range(passes):
+        for j in range(m_sub):
+            dot = xb[:, j, :] @ codebooks[j].T  # [N, K]
+            cb2 = np.sum(codebooks[j] * codebooks[j], axis=1)[None, :]
+            l2 = cb2 - 2.0 * dot + xnorm2[:, j][:, None]
+            dk = dot - xnorm2[:, j][:, None]  # (c − x_m)·x_m
+            rho_minus = rho - d_cur[:, j]
+            loss = l2 + (eta - 1.0) * np.square(rho_minus[:, None] + dk)
+            new = np.argmin(loss, axis=1)
+            codes[:, j] = new
+            d_cur[:, j] = dk[rows_idx, new]
+            rho = rho_minus + d_cur[:, j]
+    return codes, d_cur, rho
+
+
+def train_pq_codebooks_anisotropic(
+    rows,
+    m: int,
+    k: int = 256,
+    t: float = 0.2,
+    eta: Optional[float] = None,
+    iters: int = 8,
+    passes: int = 2,
+    seed: int = 0,
+    train_rows: int = 8192,
+) -> np.ndarray:
+    """Score-aware PQ codebooks (ScaNN's anisotropic objective).
+
+    Vanilla PQ minimizes reconstruction MSE, but for INNER-PRODUCT serving
+    the residual component PARALLEL to the datapoint is what biases scores
+    for the queries that matter (those scoring high on it); the orthogonal
+    component averages out. The anisotropic loss weights parallel error
+    ``η``× (``η`` from :func:`anisotropic_eta`; ``t=0.2`` default), trained
+    by alternating coordinate-descent assignment (:func:`_aniso_assign`)
+    with the closed-form per-centroid update — a ``ds × ds`` ridge solve:
+
+        [|S|·I + (η−1)·Σ_S x_m x_mᵀ] c = Σ_S x_m + (η−1)·Σ_S (‖x_m‖² − ρ₋ₘ)·x_m
+
+    Drop-in with the vanilla trainer: the returned codebooks feed the SAME
+    encoders and serving kernels (ADC Pallas / XLA — only the values
+    change). Encode with :func:`pq_encode_host_anisotropic` so assignment
+    uses the same loss. Deterministic per seed. No reference counterpart.
+    """
+    rows = np.asarray(rows, np.float32)
+    n, d = rows.shape
+    if d % m:
+        raise ValueError(f"pq subspaces m={m} must divide the embedding dim {d}")
+    if k > 256:
+        raise ValueError(f"pq codebook size k={k} exceeds uint8 codes (max 256)")
+    if eta is None:
+        eta = anisotropic_eta(t, d)
+    norms = np.linalg.norm(rows, axis=1)
+    live = rows[norms > 0] / norms[norms > 0][:, None]
+    if live.shape[0] == 0:
+        raise ValueError("cannot train pq codebooks on an all-zero corpus")
+    rng = np.random.default_rng(np.uint64(seed) + 0xA9C)
+    if live.shape[0] > train_rows:
+        live = live[rng.choice(live.shape[0], train_rows, replace=False)]
+    k = min(k, live.shape[0])
+    ds = d // m
+    # vanilla Lloyd warm start keeps the alternation stable
+    cb = train_pq_codebooks(live, m, k=k, iters=4, seed=seed, train_rows=live.shape[0])
+    xb = live.reshape(live.shape[0], m, ds)
+    xnorm2 = np.einsum("nmd,nmd->nm", xb, xb)
+    eye = np.eye(ds, dtype=np.float32)
+    codes = None
+    for _ in range(iters):
+        codes, d_cur, rho = _aniso_assign(live, cb, eta, passes, codes)
+        for j in range(m):
+            onehot = np.zeros((live.shape[0], k), np.float32)
+            onehot[np.arange(live.shape[0]), codes[:, j]] = 1.0
+            counts = onehot.sum(axis=0)  # [K]
+            x = xb[:, j, :]
+            rho_minus = rho - d_cur[:, j]
+            # optimize=True: contract (nd,ne->nde) then one [K,N]@[N,ds²]
+            # BLAS matmul — the default path is orders slower at N=8192
+            sxx = np.einsum("nk,nd,ne->kde", onehot, x, x, optimize=True)
+            sx = onehot.T @ x  # [K, ds]
+            w = xnorm2[:, j] - rho_minus  # [N]
+            swx = onehot.T @ (w[:, None] * x)  # [K, ds]
+            a = counts[:, None, None] * eye[None] + (eta - 1.0) * sxx
+            a += 1e-6 * eye[None]  # ridge: empty/degenerate groups stay solvable
+            b = sx + (eta - 1.0) * swx
+            new_c = np.linalg.solve(a, b[..., None])[..., 0].astype(np.float32)
+            empty = counts == 0
+            if empty.any():
+                new_c[empty] = x[rng.choice(x.shape[0], int(empty.sum()))]
+            cb[j] = new_c
+            # keep d_cur/rho consistent with the moved centroids
+            d_cur[:, j] = (
+                np.einsum("nd,nd->n", cb[j][codes[:, j]], x) - xnorm2[:, j]
+            )
+        rho = d_cur.sum(axis=1)
+    return cb
+
+
+def pq_encode_host_anisotropic(
+    rows, codebooks: np.ndarray, t: float = 0.2, eta: Optional[float] = None,
+    passes: int = 3,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Anisotropic-loss encode: like :func:`pq_encode_host` (codes quantize
+    the row DIRECTION, ``scale = ‖row‖``, zero rows pack to scale 0) but the
+    code assignment runs the coordinate-descent sweep of
+    :func:`_aniso_assign` under the same η used in training — independent
+    per-subspace argmin would silently optimize the wrong (MSE) objective."""
+    rows = np.asarray(rows, np.float32)
+    n, d = rows.shape
+    m, k, ds = codebooks.shape
+    if m * ds != d:
+        raise ValueError(f"codebooks [{m}, {k}, {ds}] do not tile dim {d}")
+    if eta is None:
+        eta = anisotropic_eta(t, d)
+    norms = np.linalg.norm(rows, axis=1, keepdims=True)
+    dirs = rows / np.maximum(norms, 1e-12)
+    codes = np.empty((n, m), np.uint8)
+    for lo in range(0, n, 65536):
+        hi = min(n, lo + 65536)
+        c, _, _ = _aniso_assign(dirs[lo:hi], codebooks, eta, passes)
+        codes[lo:hi] = c.astype(np.uint8)
+    scale = norms.astype(np.float32)
+    scale[norms[:, 0] == 0] = 0.0
+    return codes, scale
+
+
 def _pq_encode_decode_host(x: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     """Host encode+reconstruct ``[N, D]`` under per-subspace codebooks
     (assignment math identical to :func:`pack_pq_host`, rows taken as-is)."""
@@ -216,9 +392,17 @@ def pack_pq_host(
     codebooks: np.ndarray,
     mesh: Optional[Mesh] = None,
     axis: str = "data",
+    aniso_t: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array]:
-    """:func:`pq_encode_host` + device upload (row-sharded with ``mesh``)."""
-    codes, scale = pq_encode_host(rows, codebooks)
+    """:func:`pq_encode_host` + device upload (row-sharded with ``mesh``).
+
+    ``aniso_t > 0`` assigns codes under the score-aware loss instead
+    (:func:`pq_encode_host_anisotropic`) — pair with codebooks from
+    :func:`train_pq_codebooks_anisotropic` at the same ``t``."""
+    if aniso_t:
+        codes, scale = pq_encode_host_anisotropic(rows, codebooks, t=aniso_t)
+    else:
+        codes, scale = pq_encode_host(rows, codebooks)
     if mesh is not None:
         sharding = NamedSharding(mesh, P(axis, None))
         return jax.device_put(codes, sharding), jax.device_put(scale, sharding)

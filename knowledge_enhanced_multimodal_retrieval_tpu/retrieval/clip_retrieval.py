@@ -122,6 +122,7 @@ class CLIPRetrieval:
         rotate: bool = False,
         rotate_seed: int = 0,
         pq_m: int = 0,
+        pq_aniso_t: float = 0.0,
     ):
         self.model = model
         self.params = params
@@ -197,6 +198,26 @@ class CLIPRetrieval:
         # product-quantization subspace count (0 = dim/8, ~8 dims per code);
         # must divide the staged width (truncate_dim if set, else store.dim)
         self.pq_m = int(pq_m)
+        # Score-aware (anisotropic / ScaNN-objective) PQ: weight the
+        # residual component PARALLEL to each row eta(t)x in codebook
+        # training and code assignment (ops.pq.train_pq_codebooks_
+        # anisotropic) — measured to roughly HALVE the score error on the
+        # true top-k at equal bitrate (the scores users see and the
+        # engine thresholds on), recall neutral-to-positive. 0 = off;
+        # t=0.2 is the standard operating point. Serving kernels are
+        # unchanged (only the codebook/code VALUES differ).
+        self.pq_aniso_t = float(pq_aniso_t)
+        if self.pq_aniso_t and quantize_corpus != "pq":
+            raise ValueError("pq_aniso_t requires quantize_corpus='pq'")
+        if self.pq_aniso_t and ann is not None:
+            # IVF-PQ codes model residuals; the anisotropic loss weights
+            # directions of the ORIGINAL rows — not wired up (yet)
+            raise ValueError("pq_aniso_t does not compose with ann")
+        if self.pq_aniso_t and rotate == "opq":
+            raise ValueError(
+                "pq_aniso_t and rotate='opq' train conflicting objectives "
+                "(score-aware vs reconstruction) — pick one"
+            )
         self.quantize_corpus = quantize_corpus or False
         if self.quantize_corpus == "binary":
             # sign-sketch candidate tier (ops.binary_sketch): 32x capacity,
@@ -669,10 +690,23 @@ class CLIPRetrieval:
                 m = self.pq_m or max(1, dim // 8)
                 src_img = np.asarray(src_img, np.float32)
                 src_txt = np.asarray(src_txt, np.float32)
-                cb_i = train_pq_codebooks(src_img, m=m)
-                cb_t = train_pq_codebooks(src_txt, m=m)
-                codes_i, cimg_s = pack_pq_host(src_img, cb_i, mesh)
-                codes_t, ctxt_s = pack_pq_host(src_txt, cb_t, mesh)
+                if self.pq_aniso_t:
+                    # score-aware codebooks + coordinate-descent assignment
+                    # (ops.pq.train_pq_codebooks_anisotropic) — the serving
+                    # kernels are identical, only the values differ
+                    from ..ops.pq import train_pq_codebooks_anisotropic
+
+                    cb_i = train_pq_codebooks_anisotropic(
+                        src_img, m=m, t=self.pq_aniso_t
+                    )
+                    cb_t = train_pq_codebooks_anisotropic(
+                        src_txt, m=m, t=self.pq_aniso_t
+                    )
+                else:
+                    cb_i = train_pq_codebooks(src_img, m=m)
+                    cb_t = train_pq_codebooks(src_txt, m=m)
+                codes_i, cimg_s = pack_pq_host(src_img, cb_i, mesh, aniso_t=self.pq_aniso_t)
+                codes_t, ctxt_s = pack_pq_host(src_txt, cb_t, mesh, aniso_t=self.pq_aniso_t)
                 cimg = (codes_i, jnp.asarray(cb_i))
                 ctxt = (codes_t, jnp.asarray(cb_t))
             elif self.quantize_corpus:

@@ -373,6 +373,10 @@ class EvalConfig:
     # product-quantization subspace count (0 = dim/8); must divide the
     # staged embedding width
     pq_m: int = 0
+    # score-aware (anisotropic / ScaNN-objective) PQ training: weight the
+    # residual parallel to each row by eta(t) — halves the score error on
+    # the true winners at equal bitrate; 0 = off, 0.2 = standard
+    pq_aniso_t: float = 0.0
     # shard the serving corpus over the mesh data axis (capacity scales
     # linearly with device count; composes with quantize_corpus)
     shard_corpus: bool = False

@@ -51,6 +51,11 @@ def main(argv=None) -> None:
         "--rotate", action="store_true",
         help="add +rot rows (CLIPRetrieval(rotate=True) packing space)",
     )
+    p.add_argument(
+        "--pq-aniso-t", type=float, default=0.0,
+        help="add pq+aniso rows (score-aware codebooks at this threshold, "
+        "CLIPRetrieval(pq_aniso_t=t); 0.2 is the standard point)",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="run on host CPU")
     args = p.parse_args(argv)
@@ -80,6 +85,7 @@ def main(argv=None) -> None:
         image, text, q, k=args.k, alpha=args.alpha,
         rerank_factor=args.rerank_factor, nprobes=nprobes,
         truncate_dims=tdims, rotate=args.rotate, rotate_seed=args.seed,
+        pq_aniso_t=args.pq_aniso_t,
     )
     print(format_table(rows))
     print(json.dumps({"k": args.k, "alpha": args.alpha, "rows": rows}))
