@@ -46,8 +46,8 @@ def main(argv=None) -> str:
     store = EmbeddingStore.load(store_path, mmap=cfg.eval.mmap_store)
     nlist = cfg.eval.ann_nlist or max(1, int(np.sqrt(len(store))))
     quantize = resolve_quantize_corpus(cfg.eval.quantize_corpus)
-    if quantize in ("int4", "binary"):
-        raise ValueError("IVF composes with int8 or pq corpus packing only")
+    if quantize == "binary":
+        raise ValueError("IVF composes with int8, int4, or pq corpus packing")
     logger.info("clustering %d rows into %d lists%s", len(store), nlist,
                 f" ({quantize}-packed)" if quantize else "")
     index = build_ivf_index(

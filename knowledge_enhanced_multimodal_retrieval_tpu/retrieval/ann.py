@@ -155,7 +155,10 @@ class IVFIndex:
     ``packed_txt`` hold symmetric per-row int8 (same rounding as
     ``ops.similarity.quantize_corpus``) and the probe dequantizes by applying
     the gathered per-row scales to the score columns — the index HBM
-    footprint (and probe traffic) halves.
+    footprint (and probe traffic) halves. A last axis of ``D/2`` instead of
+    ``D`` marks nibble-packed int4 (same plane layout as
+    ``ops.similarity.quantize_corpus_host_q4`` — the FAISS ``IVFSQ4`` rung):
+    quarter footprint, the probe unpacks the two planes in registers.
 
     With ``cb_img``/``cb_txt`` set (IVF-PQ, the FAISS ``IndexIVFPQ`` shape),
     ``packed_img``/``packed_txt`` hold uint8 PQ codes ``[nlist, cap, M]``
@@ -188,13 +191,31 @@ class IVFIndex:
         return self.cb_img is not None
 
     @property
+    def is_int4(self) -> bool:
+        """Nibble-packed int4 tiles: the packed last axis is D/2 (scales set,
+        no codebooks). Shape-based so save/load needs no schema change."""
+        return (
+            self.packed_img_scale is not None
+            and self.cb_img is None
+            and self.packed_img.shape[-1] * 2 == self.centroids_img.shape[-1]
+        )
+
+    @property
     def quantized(self) -> bool:
-        """int8-packed tiles (per-row scales, NO codebooks)."""
-        return self.packed_img_scale is not None and self.cb_img is None
+        """int8-packed tiles (per-row scales, NO codebooks, full-width)."""
+        return (
+            self.packed_img_scale is not None
+            and self.cb_img is None
+            and not self.is_int4
+        )
 
     @property
     def mode(self) -> str:
-        return "pq" if self.is_pq else ("int8" if self.quantized else "exact")
+        if self.is_pq:
+            return "pq"
+        if self.is_int4:
+            return "int4"
+        return "int8" if self.quantized else "exact"
 
 
 def build_ivf_index(
@@ -223,6 +244,10 @@ def build_ivf_index(
 
     ``quantize="int8"`` packs symmetric per-row int8 + scales (half the
     index memory/probe traffic; same rounding as the exact int8 corpus).
+    ``quantize="int4"`` packs nibble-paired int4 + scales (QUARTER the
+    footprint — the FAISS ``IVFSQ4`` rung between int8 and pq; same plane
+    layout and rounding as the flat int4 corpus,
+    ``ops.similarity.quantize_corpus_host_q4``; ``D`` must be even).
     ``quantize="pq"`` packs uint8 product-quantization codes + per-row
     norms (IVF-PQ — ~30x capacity and sublinear probing; per-tower
     codebooks train on the corpus, ``pq_m`` subspaces, default D/8; same
@@ -236,7 +261,7 @@ def build_ivf_index(
     n, d = image.shape
     if text.shape != image.shape:
         raise ValueError(f"tower shape mismatch: {image.shape} vs {text.shape}")
-    if quantize not in (None, "int8", "pq"):
+    if quantize not in (None, "int8", "int4", "pq"):
         raise ValueError(f"unknown quantize mode {quantize!r}")
     if mesh is not None and nlist % mesh.shape[shard_axis] != 0:
         raise ValueError(
@@ -307,17 +332,22 @@ def build_ivf_index(
         img_scale = img_scale.astype(np.float32)
         txt_scale = txt_scale.astype(np.float32)
         pack_dtype = jnp.uint8
-    elif quantize == "int8":
-        # the SAME quantizer as the exact int8 corpus path, so the int8
-        # representation matches it bit for bit (pinned in tests/test_ann.py)
-        from ..ops.similarity import quantize_corpus_host
+    elif quantize in ("int8", "int4"):
+        # the SAME quantizers as the exact int8/int4 corpus paths, so the
+        # packed representation matches them bit for bit (pinned in
+        # tests/test_ann.py). int4 nibble-pairs dims (j, j + D/2) into one
+        # byte — a zero byte unpacks to two zero nibbles, so empty slots
+        # mask identically to the int8 case.
+        from ..ops.similarity import quantize_corpus_host, quantize_corpus_host_q4
 
-        def q8(x):
-            q, s = quantize_corpus_host(x)
+        quant_fn = quantize_corpus_host if quantize == "int8" else quantize_corpus_host_q4
+
+        def qpack(x):
+            q, s = quant_fn(x)
             return np.asarray(q), np.asarray(s, np.float32)[:, 0]
 
-        img_q, img_s = q8(img_np)
-        txt_q, txt_s = q8(txt_np)
+        img_q, img_s = qpack(img_np)
+        txt_q, txt_s = qpack(txt_np)
         packed_img = np.where(zero_mask, np.int8(0), img_q[gather])
         packed_txt = np.where(zero_mask, np.int8(0), txt_q[gather])
         img_scale = np.where(packed_rows < 0, 0.0, img_s[gather]).astype(np.float32)
@@ -429,6 +459,32 @@ def ivf_search(
         s_txt = adc(index.packed_txt, index.cb_txt, index.packed_txt_scale, cs_t)
         a3 = a[:, :, None]
         s = a3 * s_img + (1.0 - a3) * s_txt
+    elif index.is_int4:
+        # int4 tiles: gather the packed [B, nprobe, cap, D/2] bytes, unpack
+        # the two nibble planes in registers (exact int->float casts), and
+        # split the query the same way: q·row == q_lo·lo + q_hi·hi — the
+        # same plane math as the flat int4 corpus
+        # (ops.similarity.blended_scores_q4); per-row scales fold into the
+        # score columns post-matmul.
+        from ..ops.similarity import _unpack_q4
+
+        d2 = index.packed_img.shape[-1]
+        q_lo, q_hi = q[:, :d2], q[:, d2:]
+        si = jnp.take(index.packed_img_scale, probe, axis=0)  # [B, nprobe, cap]
+        st = jnp.take(index.packed_txt_scale, probe, axis=0)
+
+        def q4_scores(packed, q_lo, q_hi):
+            p = jnp.take(packed, probe, axis=0)  # [B, nprobe, cap, D/2] bytes
+            lo, hi = _unpack_q4(p, q.dtype)
+            return (
+                jnp.einsum("bd,bpcd->bpc", q_lo, lo)
+                + jnp.einsum("bd,bpcd->bpc", q_hi, hi)
+            ).astype(jnp.float32)
+
+        s_img = q4_scores(index.packed_img, q_lo, q_hi) * si
+        s_txt = q4_scores(index.packed_txt, q_lo, q_hi) * st
+        a3 = a[:, :, None]
+        s = a3 * s_img + (1.0 - a3) * s_txt
     elif index.quantized:
         pi = jnp.take(index.packed_img, probe, axis=0)  # [B, nprobe, cap, D]
         pt = jnp.take(index.packed_txt, probe, axis=0)
@@ -510,7 +566,7 @@ def _sharded_ivf_program(mesh, axis, k, nprobe, mode, nlist, cap):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    has_scales = mode in ("int8", "pq")
+    has_scales = mode in ("int8", "int4", "pq")
     is_pq = mode == "pq"
     n_shards = mesh.shape[axis]
     nlist_local = nlist // n_shards

@@ -307,10 +307,8 @@ class CLIPRetrieval:
         # latency). Exact paths stay the default.
         if ann not in (None, "ivf"):
             raise ValueError(f"unknown ann mode {ann!r} (expected None or 'ivf')")
-        if ann == "ivf" and self.quantize_corpus in ("int4", "binary"):
-            raise ValueError(
-                "ann='ivf' composes with int8 or pq corpus packing only"
-            )
+        # ann='ivf' composes with int8, int4 (IVFSQ4), and pq (IVF-PQ)
+        # packing; binary raised above (Hamming proxy, not inner products)
         # Host-side exact rerank (opt-in): the device program over-fetches
         # rerank_factor * k candidates from the packed/approximate corpus,
         # then the f32 corpus ALREADY RESIDENT IN HOST RAM (EmbeddingStore)
@@ -775,7 +773,7 @@ class CLIPRetrieval:
                     -(-int(np.ceil(self._ann_capacity_factor * len(store) / nlist)) // _CAP_SUBLANE)
                     * _CAP_SUBLANE,
                 )
-                quantize = self.quantize_corpus or None  # 'int8' | 'pq' | None
+                quantize = self.quantize_corpus or None  # 'int8'|'int4'|'pq'|None
                 expected_m = (
                     (self.pq_m or max(1, store.dim // 8)) if quantize == "pq" else None
                 )

@@ -176,6 +176,45 @@ def test_int8_index_full_probe_matches_q8_oracle():
     assert overlap >= 0.9
 
 
+def _brute_q4(q, img, txt, alpha, k):
+    """Exact scores over int4-dequantized rows (the int4 ANN oracle — same
+    rounding as ops.similarity.quantize_corpus_host_q4)."""
+
+    def dq4(x):
+        scale = np.maximum(np.max(np.abs(x), axis=1, keepdims=True) / 7.0, 1e-12)
+        return np.clip(np.round(x / scale), -8, 7).astype(np.float32) * scale
+
+    s = alpha * (q @ dq4(img).T) + (1 - alpha) * (q @ dq4(txt).T)
+    idx = np.argsort(-s, axis=1)[:, :k]
+    return np.take_along_axis(s, idx, axis=1), idx
+
+
+def test_int4_index_full_probe_matches_q4_oracle():
+    rng = np.random.default_rng(8)
+    img, txt = _normed(rng, 256, 24), _normed(rng, 256, 24)
+    q = _normed(rng, 6, 24)
+    index = build_ivf_index(img, txt, nlist=8, seed=1, quantize="int4")
+    assert index.is_int4 and index.mode == "int4" and not index.quantized
+    assert index.packed_img.shape[-1] == 12  # nibble-packed D/2 bytes
+    vals, ids = ivf_search(jnp.asarray(q), index, k=10, nprobe=index.nlist, alpha=0.6)
+    bv, bi = _brute_q4(q, img, txt, 0.6, 10)
+    np.testing.assert_allclose(np.asarray(vals), bv, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ids), bi)
+    # int4 rankings still track the exact f32 brute force (coarser than int8)
+    _, bi_f32 = _brute(q, img, txt, 0.6, 10)
+    overlap = np.mean([
+        len(set(bi[i].tolist()) & set(bi_f32[i].tolist())) / 10 for i in range(len(q))
+    ])
+    assert overlap >= 0.6
+
+
+def test_int4_build_requires_even_dim():
+    rng = np.random.default_rng(8)
+    img, txt = _normed(rng, 64, 15), _normed(rng, 64, 15)
+    with pytest.raises(ValueError, match="even"):
+        build_ivf_index(img, txt, nlist=4, quantize="int4")
+
+
 def test_train_rows_subsample_still_exact_at_full_probe():
     rng = np.random.default_rng(9)
     img, txt = _normed(rng, 300, 16), _normed(rng, 300, 16)
@@ -302,7 +341,7 @@ def test_pq_index_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-6)
 
 
-@pytest.mark.parametrize("quantize", [None, "int8"])
+@pytest.mark.parametrize("quantize", [None, "int8", "int4"])
 def test_sharded_ivf_full_probe_exact(devices8, quantize):
     """Cluster-sharded IVF over the 8-device mesh: probing every cluster
     (nprobe == nlist) equals brute force, winners merge across shards."""
@@ -321,6 +360,8 @@ def test_sharded_ivf_full_probe_exact(devices8, quantize):
     )
     if quantize == "int8":
         bv, bi = _brute_q8(q, img, txt, 0.4, 10)
+    elif quantize == "int4":
+        bv, bi = _brute_q4(q, img, txt, 0.4, 10)
     else:
         bv, bi = _brute(q, img, txt, 0.4, 10)
     np.testing.assert_allclose(np.asarray(vals), bv, rtol=1e-4, atol=1e-5)
@@ -362,7 +403,7 @@ def test_build_rejects_undivisible_nlist(devices8):
     with pytest.raises(ValueError, match="divide"):
         build_ivf_index(img, img.copy(), nlist=6, mesh=rt.mesh)
     with pytest.raises(ValueError, match="quantize"):
-        build_ivf_index(img, img.copy(), nlist=8, quantize="int4")
+        build_ivf_index(img, img.copy(), nlist=8, quantize="fp8")
 
 
 # -- CLIPRetrieval integration -------------------------------------------------
@@ -567,6 +608,80 @@ def test_clip_retrieval_ivfpq_mode(devices8):
     assert ivfpq.retrieval("hello cat", alpha=0.5)[0]["uuid"] == "hot-doc"
 
 
+def test_clip_retrieval_ivf_int4_mode(devices8):
+    """ann='ivf' x quantize_corpus='int4' (the IVFSQ4 rung) through the
+    retriever: serves sorted valid results; full probe + host rerank is
+    EXACT; sharded full probe reproduces the unsharded ranking; live
+    updates rebuild the nibble-packed lists."""
+    import jax.numpy as jnp
+
+    from knowledge_enhanced_multimodal_retrieval_tpu.data.datasets import (
+        DataPipeline,
+        make_synthetic_source,
+    )
+    from knowledge_enhanced_multimodal_retrieval_tpu.data.tokenizer import CLIPTokenizer
+    from knowledge_enhanced_multimodal_retrieval_tpu.models import clip as M
+    from knowledge_enhanced_multimodal_retrieval_tpu.parallel import MeshRuntime
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval import (
+        CLIPRetrieval,
+        build_embedding_store,
+    )
+
+    tok = CLIPTokenizer([("c", "a"), ("ca", "t</w>"), ("h", "e"), ("he", "l")])
+    arch = M.CLIPArch(16, 32, 1, 32, 16, 16, tok.vocab_size, 32, 2, 1, vision_heads=2)
+    model = M.CLIP(arch, dtype=jnp.float32)
+    params = M.init_params(model, jax.random.PRNGKey(0))
+    src = make_synthetic_source(48, image_size=32)
+    pipe = DataPipeline(src, tok, image_size=32, context_length=16, num_workers=2)
+    rt = MeshRuntime.create()
+    store = build_embedding_store(model, params, pipe, rt, batch_size=16)
+
+    exact = CLIPRetrieval(model, params, tok, store, top_k=5)
+    want = exact.retrieval("hello cat", alpha=0.5)
+
+    ivf4 = CLIPRetrieval(
+        model, params, tok, store, top_k=5,
+        ann="ivf", ann_nlist=8, ann_nprobe=4, quantize_corpus="int4",
+    )
+    got = ivf4.retrieval("hello cat", alpha=0.5)
+    scores = [r["score"] for r in got]
+    assert scores == sorted(scores, reverse=True) and len(got) > 0
+
+    # full probe + rerank: candidates cover the whole corpus, host f32
+    # rescoring restores the exact ordering
+    reranked = CLIPRetrieval(
+        model, params, tok, store, top_k=5,
+        ann="ivf", ann_nlist=8, ann_nprobe=8, quantize_corpus="int4",
+        rerank=True, rerank_factor=10,
+    )
+    got = reranked.retrieval("hello cat", alpha=0.5)
+    assert [r["uuid"] for r in got] == [r["uuid"] for r in want]
+    np.testing.assert_allclose(
+        [r["score"] for r in got], [r["score"] for r in want], rtol=1e-5, atol=1e-6
+    )
+
+    # sharded int4 IVF: deterministic build, so the sharded full probe must
+    # reproduce the unsharded full-probe ranking exactly
+    full = CLIPRetrieval(
+        model, params, tok, store, top_k=5,
+        ann="ivf", ann_nlist=8, ann_nprobe=8, quantize_corpus="int4",
+    )
+    sharded = CLIPRetrieval(
+        model, params, tok, store, top_k=5,
+        ann="ivf", ann_nlist=8, ann_nprobe=8, quantize_corpus="int4",
+        rt=rt, shard_corpus=True,
+    )
+    want_s = full.retrieval("hello cat", alpha=0.5)
+    got_s = sharded.retrieval("hello cat", alpha=0.5)
+    assert [r["uuid"] for r in got_s] == [r["uuid"] for r in want_s]
+
+    # live update: re-clusters and repacks nibbles; the new doc (the
+    # query's own embedding) wins top-1
+    emb = np.asarray(exact.encode_queries(["hello cat"]), np.float32)
+    ivf4.add_documents(emb, emb.copy(), ["hot-doc"])
+    assert ivf4.retrieval("hello cat", alpha=0.5)[0]["uuid"] == "hot-doc"
+
+
 def test_clip_retrieval_ivf_shard_too_small(devices8):
     import jax.numpy as jnp
 
@@ -630,12 +745,13 @@ def test_index_save_load_roundtrip(tmp_path, devices8):
     rng = np.random.default_rng(0)
     img, txt = _normed(rng, 96, 16), _normed(rng, 96, 16)
     q = _normed(rng, 5, 16)
-    for quant in (None, "int8"):
+    for quant in (None, "int8", "int4"):
         index = ann.build_ivf_index(img, txt, 8, quantize=quant)
         path = os.path.join(tmp_path, f"ivf_{quant}.npz")
         ann.save_ivf_index(path, index)
         loaded = ann.load_ivf_index(path)
         assert loaded.quantized == (quant == "int8")
+        assert loaded.mode == (quant or "exact")  # int4 detected from shape
         v1, i1 = ann.ivf_search(jnp.asarray(q), index, k=5, nprobe=3)
         v2, i2 = ann.ivf_search(jnp.asarray(q), loaded, k=5, nprobe=3)
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))

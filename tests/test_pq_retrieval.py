@@ -213,11 +213,12 @@ def test_pq_survives_live_updates(world):
 
 def test_pq_refusals(world):
     model, params, tok, store, _ = world
-    # pq + ann='ivf' is now a supported composition (IVF-PQ, tests/test_ann.py);
-    # int4 stays refused
-    with pytest.raises(ValueError, match="int8 or pq corpus packing only"):
+    # pq + ann='ivf' (IVF-PQ) and int4 + ann='ivf' (IVFSQ4) are supported
+    # compositions (tests/test_ann.py); binary stays refused (Hamming proxy)
+    with pytest.raises(ValueError, match="does not compose with ann"):
         CLIPRetrieval(
-            model, params, tok, store, quantize_corpus="int4", ann="ivf", ann_nlist=4
+            model, params, tok, store, quantize_corpus="binary", ann="ivf",
+            ann_nlist=4, rerank=True,
         )
     with pytest.raises(ValueError, match="divide"):
         CLIPRetrieval(model, params, tok, store, quantize_corpus="pq", pq_m=7)
