@@ -1,0 +1,163 @@
+"""Multi-host sharded serving: one corpus spread over several hosts' chips.
+
+The reference serves from a single process (``src/retrieval.py:79``); past
+one host's HBM the framework shards the packed corpus over a GLOBAL mesh
+spanning processes — each process stages its addressable shard of the same
+host-side :class:`EmbeddingStore` (``jax.device_put`` with a cross-process
+``NamedSharding``; verified on this JAX) and every search runs as ONE
+lockstep collective program (the per-shard scan + winner ``all_gather``
+merge of ``ops.similarity.sharded_similarity_topk`` — only ``[Q, k]``
+winners cross DCN/ICI).
+
+The operational constraint of multi-process JAX is that EVERY process must
+enter the same program with the same operands in the same order. This
+module provides the minimal frontend/follower protocol that guarantees it:
+
+- the **coordinator** (process 0) owns the request stream: each call to
+  :meth:`MultiHostSearch.search_embeddings` broadcasts one fixed-shape work
+  item (flag, padded query block, alpha, count) over
+  ``jax.experimental.multihost_utils`` and then every process — itself
+  included — executes the sharded search; results are replicated, so the
+  coordinator can return them to its caller immediately.
+- **followers** run :meth:`MultiHostSearch.serve` — block on the next
+  broadcast, execute, repeat — until the coordinator's :meth:`stop`
+  sentinel (flag 0) arrives.
+
+Single-process meshes work too (the broadcast degenerates to a copy), so
+the same deployment script scales from one host to many. Durable contract:
+the payload shape is fixed at construction (``batch_size`` x store dim), so
+every process compiles exactly one search program; the coordinator pads
+short batches and slices the padding back off.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+__all__ = ["MultiHostSearch"]
+
+
+class MultiHostSearch:
+    """Lockstep frontend/follower wrapper around a sharded retriever.
+
+    ``retrieval`` is a :class:`CLIPRetrieval` built identically on every
+    process over the same global-mesh :class:`MeshRuntime` (typically with
+    ``shard_corpus=True`` and a packed ``quantize_corpus`` mode). ``batch``
+    fixes the broadcast block's query count; searches larger than ``batch``
+    split into multiple lockstep steps.
+    """
+
+    _FLAG_STOP = 0
+    _FLAG_WORK = 1
+
+    def __init__(self, retrieval, batch: int = 32):
+        import jax
+
+        if batch < 1:
+            raise ValueError(f"batch must be >= 1, got {batch}")
+        self.r = retrieval
+        self.batch = int(batch)
+        self.dim = int(np.asarray(retrieval.store.image).shape[1])
+        self._proc = jax.process_index()
+        self._stopped = False
+
+    # -- protocol plumbing ----------------------------------------------------
+
+    def _zeros(self) -> Dict[str, np.ndarray]:
+        return {
+            "flag": np.zeros((), np.int32),
+            "q": np.zeros((self.batch, self.dim), np.float32),
+            "alpha": np.zeros((), np.float32),
+            "count": np.zeros((), np.int32),
+        }
+
+    def _broadcast(self, payload: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        from jax.experimental import multihost_utils
+
+        out = multihost_utils.broadcast_one_to_all(payload)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def _run(self, payload: Dict[str, np.ndarray]) -> List[List[Dict]]:
+        count = int(payload["count"])
+        results = self.r.retrieval_embeddings_batch(
+            payload["q"], alpha=float(payload["alpha"])
+        )
+        return results[:count]
+
+    # -- coordinator API --------------------------------------------------------
+
+    @property
+    def is_coordinator(self) -> bool:
+        return self._proc == 0
+
+    def search_embeddings(
+        self, q_emb, alpha: float = 0.5
+    ) -> List[List[Dict]]:
+        """Broadcast + execute one search over the sharded corpus.
+
+        Coordinator-only; ``q_emb`` [Q, D] L2-normalized query embeddings
+        (any Q — blocks of ``batch`` run in sequence). Returns one ranked
+        ``[{"uuid", "score"}]`` list per query, exactly like
+        ``CLIPRetrieval.retrieval_embeddings_batch``.
+        """
+        self._require_coordinator("search_embeddings")
+        q = np.asarray(q_emb, np.float32)
+        if q.ndim != 2 or q.shape[1] != self.dim:
+            raise ValueError(f"queries must be [Q, {self.dim}], got {q.shape}")
+        out: List[List[Dict]] = []
+        for lo in range(0, q.shape[0], self.batch):
+            block = q[lo : lo + self.batch]
+            payload = self._zeros()
+            payload["flag"] = np.int32(self._FLAG_WORK)
+            payload["q"][: block.shape[0]] = block
+            payload["alpha"] = np.float32(alpha)
+            payload["count"] = np.int32(block.shape[0])
+            out.extend(self._run(self._broadcast(payload)))
+        return out
+
+    def search_texts(self, queries, alpha: float = 0.5) -> List[List[Dict]]:
+        """Tokenize + encode on the coordinator, then broadcast embeddings
+        (followers never need the query text)."""
+        self._require_coordinator("search_texts")
+        q = np.asarray(self.r.encode_queries(list(queries)), np.float32)
+        return self.search_embeddings(q, alpha=alpha)
+
+    def stop(self) -> None:
+        """Release every follower's :meth:`serve` loop (idempotent)."""
+        self._require_coordinator("stop")
+        if self._stopped:
+            return
+        payload = self._zeros()
+        payload["flag"] = np.int32(self._FLAG_STOP)
+        self._broadcast(payload)
+        self._stopped = True
+
+    def _require_coordinator(self, what: str) -> None:
+        if not self.is_coordinator:
+            raise RuntimeError(
+                f"{what} is coordinator-only (process 0); this is process "
+                f"{self._proc} — run serve() here instead"
+            )
+
+    # -- follower API -----------------------------------------------------------
+
+    def serve(self, max_steps: Optional[int] = None) -> int:
+        """Follower loop: execute broadcast work items until the stop
+        sentinel (or ``max_steps``). Returns the number of searches served.
+
+        Every process other than the coordinator must sit in this loop
+        whenever the coordinator may search — a missing follower deadlocks
+        the collective (the standard SPMD contract).
+        """
+        if self.is_coordinator:
+            raise RuntimeError("the coordinator drives searches; serve() is for followers")
+        served = 0
+        while max_steps is None or served < max_steps:
+            payload = self._broadcast(self._zeros())
+            if int(payload["flag"]) == self._FLAG_STOP:
+                break
+            self._run(payload)
+            served += 1
+        return served

@@ -109,3 +109,57 @@ def test_two_process_training_converges_identically(tmp_path):
     # coordinator gating: only process 0's run dir carries the metrics file
     assert os.path.exists(os.path.join(str(tmp_path), "run_p0", "train_metrics.jsonl"))
     assert not os.path.exists(os.path.join(str(tmp_path), "run_p1", "train_metrics.jsonl"))
+
+
+_SERVE_WORKER = os.path.join(_ROOT, "tests", "mp_serve_worker.py")
+
+
+@pytest.mark.slow
+def test_two_process_sharded_serving_matches_single_host(tmp_path):
+    """TRUE multi-host serving: the int8 corpus shards ACROSS the process
+    boundary, the MultiHostSearch lockstep protocol broadcasts work items,
+    and the coordinator's rankings equal a plain single-host retriever's."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = _ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    logs = [open(os.path.join(str(tmp_path), f"sp{pid}.log"), "w+") for pid in range(2)]
+    procs = []
+    try:
+        procs = [
+            subprocess.Popen(
+                [sys.executable, _SERVE_WORKER, str(pid), "2", str(port), str(tmp_path)],
+                env=env,
+                stdout=log,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+            for pid, log in enumerate(logs)
+        ]
+        for p in procs:
+            p.wait(timeout=900)
+    finally:
+        for p in procs:  # never leave collective-blocked orphans behind
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+        outs = []
+        for log in logs:
+            log.seek(0)
+            outs.append(log.read())
+            log.close()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"serve worker failed:\n{out[-4000:]}"
+
+    with open(os.path.join(str(tmp_path), "serve_p0.json")) as f:
+        r0 = json.load(f)
+    with open(os.path.join(str(tmp_path), "serve_p1.json")) as f:
+        r1 = json.load(f)
+    assert r0["process_count"] == r1["process_count"] == 2
+    # the follower executed both lockstep blocks (5 queries / batch 4)
+    assert r1["served"] == 2
+    # multi-host rankings == the single-host reference, scores included
+    assert r0["got"] == r0["want"]
+    for g, w in zip(r0["got_scores"], r0["want_scores"]):
+        assert g == pytest.approx(w, rel=1e-4, abs=1e-5)
