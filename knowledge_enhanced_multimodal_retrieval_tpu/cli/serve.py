@@ -142,12 +142,60 @@ def main(argv=None) -> None:
     bucket_queries = "--bucket-queries" in args
     if bucket_queries:
         args.remove("--bucket-queries")
+    # multi-host lockstep serving: every process of a jax.distributed job
+    # runs this same command; the corpus shards across their devices
+    # (requires --eval.shard_corpus=true), followers join the broadcast
+    # loop, the coordinator serves queries/HTTP as usual
+    multihost = "--multihost" in args
+    if multihost:
+        args.remove("--multihost")
+    mh_batch = int(pop_flag(args, "--multihost-batch", "32"))
     cfg = config_from_argv(args)
     maybe_enable_compile_cache(cfg)
     logger = setup_logger("kemr_tpu.cli.serve")
+    if multihost and warmup:
+        # warmup launches search collectives directly — followers are not
+        # in the broadcast loop yet, so the mesh would deadlock
+        raise ValueError("--warmup does not compose with --multihost")
+    if multihost and cfg.fusion.head_params:
+        raise ValueError(
+            "--fusion.head_params does not compose with --multihost "
+            "(fused rescoring uses candidate routes outside the broadcast)"
+        )
+    if multihost:
+        # no-op when the launcher already initialized jax.distributed;
+        # KEMR_NUM_PROCESSES-driven init otherwise (parallel/mesh.py)
+        from ..parallel.mesh import runtime_init
+
+        runtime_init()
     engine = build_engine(cfg, store_path, kg_path=kg_path)
     mode = "knowledge-enhanced" if engine.t2s_retriever else "CLIP-only (no KG endpoints configured)"
     logger.info("engine ready: %s", mode)
+    mh = None
+    if multihost:
+        import jax
+
+        from ..retrieval.multihost import MultiHostRetrieval, MultiHostSearch
+
+        mh = MultiHostSearch(engine.clip_retriever, batch=mh_batch)
+        if not mh.is_coordinator:
+            logger.info(
+                "multihost follower (process %d/%d): joining lockstep serving",
+                jax.process_index(), jax.process_count(),
+            )
+            served = mh.serve()
+            logger.info("multihost follower done after %d searches", served)
+            return
+        logger.info(
+            "multihost coordinator: corpus sharded over %d processes",
+            jax.process_count(),
+        )
+        engine.clip_retriever = MultiHostRetrieval(mh)
+        # release the followers however the coordinator exits (stop() is
+        # idempotent; the clean exit paths below also call it explicitly)
+        import atexit
+
+        atexit.register(mh.stop)
     if warmup:
         import time as _time
 
@@ -261,6 +309,8 @@ def main(argv=None) -> None:
             pass
         finally:
             server.close()
+            if mh is not None:
+                mh.stop()
         return
 
     def answer(q: str) -> None:
@@ -284,20 +334,24 @@ def main(argv=None) -> None:
         for q, results in zip(qs, batches):
             print(json.dumps({"query": q, "results": results[:20]}, indent=2))
 
-    if query is not None:
-        answer(query)
-        return
-    if batch_mode:
-        # drain stdin and answer everything in one device program
-        queries = [line.strip() for line in sys.stdin if line.strip()]
-        if queries:
-            answer_batch(queries)
-        return
-    for line in sys.stdin:
-        q = line.strip()
-        if not q:
-            continue
-        answer(q)
+    try:
+        if query is not None:
+            answer(query)
+            return
+        if batch_mode:
+            # drain stdin and answer everything in one device program
+            queries = [line.strip() for line in sys.stdin if line.strip()]
+            if queries:
+                answer_batch(queries)
+            return
+        for line in sys.stdin:
+            q = line.strip()
+            if not q:
+                continue
+            answer(q)
+    finally:
+        if mh is not None:
+            mh.stop()
 
 
 if __name__ == "__main__":

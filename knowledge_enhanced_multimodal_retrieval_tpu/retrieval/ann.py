@@ -428,9 +428,13 @@ def ivf_search(
         # LUTs are bf16 with f32 accumulation in subspace order — one LUT
         # value gathered per code is exactly one one-hot MXU product, the
         # same rounding as ops.pq.blended_scores_pq_adc (the test oracle).
-        # The walk is a [B, P] vectorized gather per subspace — tiny by
-        # construction (P = nprobe*cap << corpus), which is the point of
-        # IVF.
+        # The walk is a [B, P] vectorized gather per subspace. REGIME NOTE:
+        # XLA scalarizes varying-index gathers on TPU (~1e8 lookups/s), so
+        # the walk costs ~B*P*m lookups per batch — fast for the designed
+        # regime (narrow probes / low-batch latency; P = nprobe*cap <<
+        # corpus), but at batch 256 with wide probes it dominates (measured
+        # ~1 s at B=256, P=1920, m=96). For wide-probe batch serving use
+        # int8/int4 lists (dense einsums over the gathered rows).
         from ..ops.pq import pq_luts
 
         b = queries.shape[0]

@@ -36,7 +36,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-__all__ = ["MultiHostSearch"]
+__all__ = ["MultiHostSearch", "MultiHostRetrieval"]
 
 
 class MultiHostSearch:
@@ -69,7 +69,7 @@ class MultiHostSearch:
         return {
             "flag": np.zeros((), np.int32),
             "q": np.zeros((self.batch, self.dim), np.float32),
-            "alpha": np.zeros((), np.float32),
+            "alpha": np.full((self.batch,), 0.5, np.float32),  # per-query blend
             "count": np.zeros((), np.int32),
         }
 
@@ -81,8 +81,10 @@ class MultiHostSearch:
 
     def _run(self, payload: Dict[str, np.ndarray]) -> List[List[Dict]]:
         count = int(payload["count"])
+        # alpha rides as a per-query vector (a runtime operand of the one
+        # compiled program — scalar and mixed blends share it)
         results = self.r.retrieval_embeddings_batch(
-            payload["q"], alpha=float(payload["alpha"])
+            payload["q"], alpha=payload["alpha"]
         )
         return results[:count]
 
@@ -93,31 +95,33 @@ class MultiHostSearch:
         return self._proc == 0
 
     def search_embeddings(
-        self, q_emb, alpha: float = 0.5
+        self, q_emb, alpha=0.5
     ) -> List[List[Dict]]:
         """Broadcast + execute one search over the sharded corpus.
 
         Coordinator-only; ``q_emb`` [Q, D] L2-normalized query embeddings
-        (any Q — blocks of ``batch`` run in sequence). Returns one ranked
-        ``[{"uuid", "score"}]`` list per query, exactly like
+        (any Q — blocks of ``batch`` run in sequence); ``alpha`` a scalar
+        or per-query sequence. Returns one ranked ``[{"uuid", "score"}]``
+        list per query, exactly like
         ``CLIPRetrieval.retrieval_embeddings_batch``.
         """
         self._require_coordinator("search_embeddings")
         q = np.asarray(q_emb, np.float32)
         if q.ndim != 2 or q.shape[1] != self.dim:
             raise ValueError(f"queries must be [Q, {self.dim}], got {q.shape}")
+        a = np.broadcast_to(np.asarray(alpha, np.float32), (q.shape[0],))
         out: List[List[Dict]] = []
         for lo in range(0, q.shape[0], self.batch):
             block = q[lo : lo + self.batch]
             payload = self._zeros()
             payload["flag"] = np.int32(self._FLAG_WORK)
             payload["q"][: block.shape[0]] = block
-            payload["alpha"] = np.float32(alpha)
+            payload["alpha"][: block.shape[0]] = a[lo : lo + block.shape[0]]
             payload["count"] = np.int32(block.shape[0])
             out.extend(self._run(self._broadcast(payload)))
         return out
 
-    def search_texts(self, queries, alpha: float = 0.5) -> List[List[Dict]]:
+    def search_texts(self, queries, alpha=0.5) -> List[List[Dict]]:
         """Tokenize + encode on the coordinator, then broadcast embeddings
         (followers never need the query text)."""
         self._require_coordinator("search_texts")
@@ -161,3 +165,68 @@ class MultiHostSearch:
             self._run(payload)
             served += 1
         return served
+
+
+class MultiHostRetrieval:
+    """Drop-in ``CLIPRetrieval`` facade for the COORDINATOR that routes
+    every device search through the lockstep protocol.
+
+    ``RetrievalEngine`` (and the HTTP daemon's callables) only ever see
+    this object, so the whole single-host serving surface — text, batch,
+    per-query alphas, visual search — works over a multi-host corpus
+    unchanged. Routes that would launch a collective the followers don't
+    know to join (filtered search, warmup) and corpus mutation (followers
+    would not restage) raise instead of deadlocking the mesh. Host-only
+    helpers (tokenizer, preprocess, candidate rescoring on the host store)
+    delegate to the wrapped retriever.
+    """
+
+    _BLOCKED = (
+        "add_documents", "remove_documents", "set_store", "encode_documents",
+        "retrieval_filtered", "retrieval_filtered_batch",
+        "retrieval_filtered_embeddings_batch", "warmup",
+        "search_batch", "search_batches_pipelined", "calibrate_nprobe",
+    )
+
+    def __init__(self, mh: MultiHostSearch):
+        self._mh = mh
+        self._inner = mh.r
+
+    def retrieval(self, query: str, alpha=0.5, top_k=None) -> List[Dict]:
+        return self.retrieval_batch([query], alpha=alpha, top_k=top_k)[0]
+
+    def retrieval_batch(self, queries, alpha=0.5, top_k=None) -> List[List[Dict]]:
+        self._check_top_k(top_k)
+        return self._mh.search_texts(list(queries), alpha=alpha)
+
+    def retrieval_embeddings_batch(self, q_emb, alpha=0.5, top_k=None) -> List[List[Dict]]:
+        self._check_top_k(top_k)
+        return self._mh.search_embeddings(q_emb, alpha=alpha)
+
+    def retrieval_image_batch(self, images, alpha=0.5, top_k=None) -> List[List[Dict]]:
+        # decode/preprocess + image encode are process-local; only the
+        # corpus scan is a collective
+        q = self._inner.encode_images(self._inner.preprocess_images(images))
+        return self.retrieval_embeddings_batch(q, alpha=alpha, top_k=top_k)
+
+    def retrieval_image(self, image, alpha=0.5, top_k=None) -> List[Dict]:
+        return self.retrieval_image_batch([image], alpha=alpha, top_k=top_k)[0]
+
+    def stop(self) -> None:
+        self._mh.stop()
+
+    def _check_top_k(self, top_k) -> None:
+        if top_k is not None and int(top_k) != self._inner.top_k:
+            raise ValueError(
+                "multi-host serving compiles one fixed-k program; construct "
+                f"the retriever with top_k={top_k} instead of overriding per call"
+            )
+
+    def __getattr__(self, name: str):
+        if name in self._BLOCKED:
+            raise RuntimeError(
+                f"CLIPRetrieval.{name} is not available under multi-host "
+                "serving: it would mutate per-process corpus state or launch "
+                "a collective the follower processes don't know to join"
+            )
+        return getattr(self._inner, name)

@@ -8,8 +8,9 @@ bench.py's serially-dependent scan timing (honest on the relay chip) and
 reports recall@10 of each tier against the exact f32 blend computed on
 host.
 
-Run: python scripts/scale_bench.py [--rows 1000000] [--ivf-rows 250000]
+Run: python scripts/scale_bench.py [--rows 1000000]
       [--exact] (adds the bf16 exact tier: 2x the upload+HBM of int8)
+      [--ivf-rows 250000] (opt-in IVF tiers on a clustered corpus)
 
 Synthetic corpus: unit rows with a planted low-rank structure; queries are
 noisy copies of corpus rows (so recall@10 has signal to find and ties are
@@ -68,9 +69,13 @@ def _recall_at(ids, exact_ids, k=10):
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--rows", type=int, default=1_000_000)
-    p.add_argument("--ivf-rows", type=int, default=250_000,
-                   help="IVF tier row count (host packing argsort is "
-                   "O(N·nlist log nlist); 0 disables the IVF tiers)")
+    p.add_argument("--ivf-rows", type=int, default=0,
+                   help="opt-in IVF tier row count (0 = off). IVF tiers "
+                   "run on a separate CLUSTERED synthetic corpus — "
+                   "recall-per-probe is a property of corpus cluster "
+                   "structure, and the flat tiers' low-rank corpus has "
+                   "none, which would make the IVF rows look bad for the "
+                   "wrong reason")
     p.add_argument("--dim", type=int, default=768)
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--k", type=int, default=20)
@@ -167,22 +172,43 @@ def main() -> None:
             probed_fraction,
         )
 
+        # clustered corpus (blobs tight enough that noise*sqrt(D) << 1 —
+        # the regime where IVF recall-per-probe means something); queries
+        # perturb corpus rows
         ni = min(args.ivf_rows, n)
+        nc = max(64, ni // 256)
+        centers = _normed(rng, nc, d, rank=min(d, 128))
+        own = rng.integers(0, nc, ni)
+        img_i = centers[own] + 0.02 * rng.standard_normal((ni, d)).astype(np.float32)
+        img_i /= np.maximum(np.linalg.norm(img_i, axis=1, keepdims=True), 1e-9)
+        txt_i = centers[own] + 0.02 * rng.standard_normal((ni, d)).astype(np.float32)
+        txt_i /= np.maximum(np.linalg.norm(txt_i, axis=1, keepdims=True), 1e-9)
+        qi = img_i[rng.choice(ni, size=b, replace=False)]
+        qi += 0.05 * rng.standard_normal((b, d)).astype(np.float32)
+        qi /= np.maximum(np.linalg.norm(qi, axis=1, keepdims=True), 1e-9)
+        qd = jnp.asarray(qi, jnp.bfloat16)  # tier() encodes from qd
+
         nlist = max(64, int(2 * np.sqrt(ni)) // 64 * 64)
-        nprobe = max(8, nlist // 16)
-        img_i, txt_i = img[:ni], txt[:ni]
-        s_i = args.alpha * (q @ img_i.T) + (1 - args.alpha) * (q @ txt_i.T)
+        nprobe = max(4, nlist // 32)
+        s_i = args.alpha * (qi @ img_i.T) + (1 - args.alpha) * (qi @ txt_i.T)
         exact_i = np.argsort(-s_i, axis=1)[:, : max(10, k)]
-        for quant in ("int8", "pq"):
-            print(f"building ivf-{quant} at {ni} rows (nlist={nlist}) ...", flush=True)
+        for quant in ("int8", "int4", "pq"):
+            # the pq probe's LUT walk is a PER-ELEMENT gather (B * nprobe *
+            # cap * m lookups — XLA scalarizes varying-index gathers on
+            # TPU), so it is only fast at narrow probes; int8/int4 probes
+            # are dense einsums over the gathered rows and take full-width
+            # probes in stride
+            npq = min(nprobe, 8) if quant == "pq" else nprobe
+            print(f"building ivf-{quant} at {ni} rows (nlist={nlist}, "
+                  f"nprobe={npq}) ...", flush=True)
             t0 = time.time()
             index = build_ivf_index(img_i, txt_i, nlist, quantize=quant,
                                     train_rows=min(ni, 131072))
             print(f"  build {time.time() - t0:.1f}s  "
-                  f"probed fraction {probed_fraction(index, nprobe):.3f}", flush=True)
+                  f"probed fraction {probed_fraction(index, npq):.3f}", flush=True)
 
             def ivf_fn(qq, ci, ct, pi, pt, pr, si, st, cbi, cbt, k, alpha,
-                       _np=nprobe, _ispq=(quant == "pq")):
+                       _np=npq, _ispq=(quant == "pq")):
                 from knowledge_enhanced_multimodal_retrieval_tpu.retrieval.ann import (
                     IVFIndex,
                 )

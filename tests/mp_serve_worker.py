@@ -88,6 +88,40 @@ def main() -> None:
     else:
         report["served"] = mh.serve()
 
+    # --- phase 2: the serve CLI end-to-end under --multihost -----------------
+    import contextlib
+    import io
+
+    from jax.experimental import multihost_utils
+
+    store_path = os.path.join(out, "mh_store.npz")
+    if pid == 0:
+        store.save(store_path)
+    multihost_utils.sync_global_devices("mh_store_saved")
+
+    import knowledge_enhanced_multimodal_retrieval_tpu.cli.serve as serve_mod
+
+    M.ARCHS["tiny"] = arch
+    serve_mod.build_tokenizer = lambda cfg: tok  # synthetic vocab
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        serve_mod.main([
+            "--store", store_path,
+            "--model.name=tiny", "--model.dtype=float32",
+            "--eval.shard_corpus=true", "--eval.quantize_corpus=int8",
+            "--multihost", "--multihost-batch=4",
+            "--query", "hello cat",
+        ])
+    if pid == 0:
+        out_text = buf.getvalue()
+        payload = json.loads(out_text[out_text.index("{"):])
+        cli_uuids = [r["uuid"] for r in payload["results"]]
+        ref2 = CLIPRetrieval(model, params, tok, store, quantize_corpus=True)
+        want2 = [r["uuid"] for r in ref2.retrieval("hello cat", alpha=0.5)]
+        report["cli_got"] = cli_uuids
+        report["cli_want"] = want2[: len(cli_uuids)]
+
     with open(os.path.join(out, f"serve_p{pid}.json"), "w") as f:
         json.dump(report, f)
 

@@ -163,3 +163,7 @@ def test_two_process_sharded_serving_matches_single_host(tmp_path):
     assert r0["got"] == r0["want"]
     for g, w in zip(r0["got_scores"], r0["want_scores"]):
         assert g == pytest.approx(w, rel=1e-4, abs=1e-5)
+    # and the serve CLI end-to-end (--multihost): the coordinator's printed
+    # answer matches the single-host reference ranking
+    assert r0["cli_got"], "CLI returned no results"
+    assert r0["cli_got"] == r0["cli_want"]
