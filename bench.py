@@ -105,6 +105,28 @@ def _build(corpus_n: int, batch: int, model_name: str):
     return model, params, ids_variants, corpus_img, corpus_txt, encode
 
 
+def _retry(fn, what: str, attempts: int = 3, backoff_s: float = 30.0):
+    """Run fn() with retries; returns (result, None) or (None, error_str).
+
+    Relay compile drops ("response body closed", "Broken pipe") are transient
+    (CLAUDE.md: "just re-run") and killed the round-3 bench at a single
+    candidate's warmup compile. With the persistent compile cache enabled,
+    retries are near-free for everything already compiled.
+    """
+    err = None
+    for attempt in range(attempts):
+        try:
+            return fn(), None
+        except Exception as e:  # noqa: BLE001 — any failure must degrade, not crash
+            err = f"{type(e).__name__}: {e}"
+            short = err.splitlines()[0][:200]
+            print(f"bench: {what} attempt {attempt + 1}/{attempts} failed: {short}",
+                  file=sys.stderr)
+            if attempt + 1 < attempts:
+                time.sleep(backoff_s * (attempt + 1))
+    return None, err
+
+
 def _scan_timer(pipeline, params, ids0, cimg, ctxt, k_iters: int) -> float:
     """Wall time of k_iters serially-dependent pipeline executions (one jit)."""
     import functools
@@ -379,10 +401,28 @@ def main() -> None:
             )
     else:
         candidates = [("xla", native_xla, params, corpus_img, corpus_txt)]
-    slopes, absolutes = {}, {}
+    slopes, absolutes, failed_candidates = {}, {}, {}
     for name, fn, p, ci, ct in candidates:
         ids_op = [extra_ids.get(name, ids_variants[0])]
-        slopes[name], absolutes[name] = _time_both(fn, p, ids_op, ci, ct, iters=args.iters)
+        pair, err = _retry(
+            lambda: _time_both(fn, p, ids_op, ci, ct, iters=args.iters),
+            what=f"candidate {name}",
+        )
+        if pair is None:
+            failed_candidates[name] = err
+            continue
+        slopes[name], absolutes[name] = pair
+    if not slopes:
+        print(json.dumps({
+            "metric": "fused T2I+T2T queries/sec/chip",
+            "value": 0.0,
+            "unit": "queries/sec/chip",
+            "vs_baseline": 0.0,
+            "detail": {"error": "every candidate failed after retries",
+                       "failed_candidates": failed_candidates,
+                       "backend": jax.default_backend()},
+        }))
+        return
     # one metric for ALL candidates: slopes normally; if any slope sank
     # into timing noise (tiny --quick programs), absolute times throughout —
     # mixing metrics would crown the wrong winner
@@ -391,9 +431,10 @@ def main() -> None:
     native_time = times[best_name]
     qps = args.batch / native_time
     # fastest EXACT-math pipeline, reported alongside so precision changes
-    # are never conflated with speedups across runs
+    # are never conflated with speedups across runs (None if every exact
+    # candidate degraded this run)
     exact_times = {k: v for k, v in times.items() if k not in QUANTIZED}
-    exact_name = min(exact_times, key=exact_times.get)
+    exact_name = min(exact_times, key=exact_times.get) if exact_times else None
 
     # --- reference-design baseline on the same chip: unfused encode, full ---
     # score matrix to host, NumPy full argsort ranking (metrics.py:30-34).
@@ -407,27 +448,42 @@ def main() -> None:
         top = np.argsort(-scores, axis=1)[:, : args.k]  # full argsort, reference path
         return top
 
-    ref_iters = max(2, args.iters // 6)
-    reference_design(params, ids_variants[0])  # warmup encode compile
-    t0 = time.perf_counter()
-    for i in range(ref_iters):
-        reference_design(params, ids_variants[i % len(ids_variants)])
-    ref_time = (time.perf_counter() - t0) / ref_iters
-    ref_qps = args.batch / ref_time
+    def _measure_reference():
+        ref_iters = max(2, args.iters // 6)
+        reference_design(params, ids_variants[0])  # warmup encode compile
+        t0 = time.perf_counter()
+        for i in range(ref_iters):
+            reference_design(params, ids_variants[i % len(ids_variants)])
+        return args.batch / ((time.perf_counter() - t0) / ref_iters)
+
+    ref_qps, ref_err = _retry(_measure_reference, what="reference-design baseline")
+    if ref_qps is None:
+        # last chip-measured value (BENCH_r02.json) so vs_baseline stays a
+        # number; flagged in detail so the run is auditable
+        failed_candidates["reference-design"] = ref_err
+        ref_qps = 215.3
 
     # --- engine-level throughput: the public batch API end to end ------------
     # (RetrievalEngine.retrieve_text_noknowledge_batch: host tokenize ->
     # device encode + fused blend/top-k -> host result dicts). Every call
     # fetches [Q, k] to host, so wall timing is honest here.
-    engine_sync_qps, engine_pipe_qps = _engine_throughput(model, params, corpus_img, corpus_txt, args)
+    engine_pair, engine_err = _retry(
+        lambda: _engine_throughput(model, params, corpus_img, corpus_txt, args),
+        what="engine throughput",
+    )
+    if engine_pair is None:
+        failed_candidates["engine-api"] = engine_err
+        engine_sync_qps = engine_pipe_qps = None
+    else:
+        engine_sync_qps, engine_pipe_qps = engine_pair
 
     # --- vision-tower encode throughput (corpus precompute rate) -------------
     vision_img_s = None
     if not args.quick:
-        try:
-            vision_img_s = _vision_throughput(model, params, args)
-        except Exception:
-            pass  # vision rate is auxiliary; never fail the headline bench
+        vision_img_s, _ = _retry(
+            lambda: _vision_throughput(model, params, args),
+            what="vision throughput", attempts=2,
+        )  # auxiliary; never fail the headline bench
 
     result = {
         "metric": f"fused T2I+T2T queries/sec/chip ({args.model}, corpus={args.corpus}, batch={args.batch}, k={args.k})",
@@ -443,11 +499,13 @@ def main() -> None:
             # the bf16 path; see tests/test_retrieval_engine.py)
             "quantized_impls": sorted(QUANTIZED & times.keys()),
             "exact_impl": exact_name,
-            "exact_qps": round(args.batch / exact_times[exact_name], 1),
-            "exact_batch_latency_ms": round(exact_times[exact_name] * 1e3, 3),
+            "exact_qps": round(args.batch / exact_times[exact_name], 1) if exact_name else None,
+            "exact_batch_latency_ms": round(exact_times[exact_name] * 1e3, 3) if exact_name else None,
             "reference_design_qps": round(ref_qps, 1),
-            "engine_api_qps": round(engine_sync_qps, 1),
-            "engine_pipelined_qps": round(engine_pipe_qps, 1),
+            "engine_api_qps": round(engine_sync_qps, 1) if engine_sync_qps else None,
+            "engine_pipelined_qps": round(engine_pipe_qps, 1) if engine_pipe_qps else None,
+            # candidates/stages that failed all retries this run (empty = clean)
+            "failed_candidates": failed_candidates,
             # image encode rate (int8 fast path, batch 64) — the corpus
             # precompute throughput; None under --quick or on failure
             "vision_img_per_s_int8": vision_img_s,
@@ -461,4 +519,18 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # noqa: BLE001 — the one-JSON-line contract
+        # holds even on terminal failure: the driver must record a
+        # number-shaped artifact, never a bare traceback (VERDICT r3 §weak 7)
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({
+            "metric": "fused T2I+T2T queries/sec/chip",
+            "value": 0.0,
+            "unit": "queries/sec/chip",
+            "vs_baseline": 0.0,
+            "detail": {"error": f"{type(exc).__name__}: {exc}"[:500]},
+        }))

@@ -231,11 +231,15 @@ def main(argv=None) -> None:
             return [default_alpha if a is None else float(a) for a in alphas]
 
         # hard filters (allow/deny uuid lists) — exact-scan corpora only;
-        # under ann='ivf' the hook raises ValueError -> HTTP 400
-        def filtered_batch_fn(queries, alphas, allow, deny):
-            return engine.retrieve_text_filtered_batch(
-                queries, allow, deny, alpha_clip=_resolve_alphas(alphas)
-            )
+        # under ann='ivf' the hook raises ValueError -> HTTP 400. Multi-host
+        # serving blocks filtered search (a collective the followers don't
+        # know to join) — None makes the daemon answer 501, not 500
+        filtered_batch_fn = None
+        if mh is None:
+            def filtered_batch_fn(queries, alphas, allow, deny):
+                return engine.retrieve_text_filtered_batch(
+                    queries, allow, deny, alpha_clip=_resolve_alphas(alphas)
+                )
 
         # caller-supplied per-query candidate sets, scored exactly on the
         # host store (works in every corpus mode incl. ivf)
@@ -258,18 +262,26 @@ def main(argv=None) -> None:
             result_cache_size=cache_results,
             alphas_batch_fn=alphas_batch_fn,
             # live corpus ingest/retire (POST/DELETE /documents); searches
-            # keep serving the old corpus until the update swaps in
-            add_documents_fn=engine.clip_retriever.add_documents,
-            remove_documents_fn=engine.clip_retriever.remove_documents,
+            # keep serving the old corpus until the update swaps in.
+            # Corpus mutation is single-host only (multi-host followers
+            # would not restage their shards) — None -> HTTP 501
+            add_documents_fn=(
+                None if mh is not None else engine.clip_retriever.add_documents
+            ),
+            remove_documents_fn=(
+                None if mh is not None else engine.clip_retriever.remove_documents
+            ),
             # raw-artifact ingest: POST /documents with base64 images +
             # target texts encodes server-side (no offline precompute)
-            encode_documents_fn=engine.clip_retriever.encode_documents,
+            encode_documents_fn=(
+                None if mh is not None else engine.clip_retriever.encode_documents
+            ),
             # POST /snapshot persists the live corpus back to the store file
             # (atomic replace) so ingested documents survive restarts
-            snapshot_fn=lambda: {
+            snapshot_fn=None if mh is not None else (lambda: {
                 "path": store_path,
                 "rows": engine.clip_retriever.save_store(store_path),
-            },
+            }),
             # visual search (POST /search_image): decode/preprocess on the
             # request thread, batch the encode+search device program
             image_batch_fn=engine.retrieve_image_batch,

@@ -53,6 +53,8 @@ class MultiHostSearch:
     _FLAG_WORK = 1
 
     def __init__(self, retrieval, batch: int = 32):
+        import threading
+
         import jax
 
         if batch < 1:
@@ -62,6 +64,12 @@ class MultiHostSearch:
         self.dim = int(np.asarray(retrieval.store.image).shape[1])
         self._proc = jax.process_index()
         self._stopped = False
+        # the HTTP daemon runs separate text/image MicroBatcher worker
+        # threads; their concurrent broadcasts would interleave against the
+        # followers' single sequential serve() loop and mismatch/deadlock
+        # the collective — every broadcast+execute critical section is
+        # strictly serialized on the coordinator
+        self._lock = threading.Lock()
 
     # -- protocol plumbing ----------------------------------------------------
 
@@ -118,7 +126,10 @@ class MultiHostSearch:
             payload["q"][: block.shape[0]] = block
             payload["alpha"][: block.shape[0]] = a[lo : lo + block.shape[0]]
             payload["count"] = np.int32(block.shape[0])
-            out.extend(self._run(self._broadcast(payload)))
+            with self._lock:  # one lockstep work item at a time
+                if self._stopped:
+                    raise RuntimeError("multi-host serving already stopped")
+                out.extend(self._run(self._broadcast(payload)))
         return out
 
     def search_texts(self, queries, alpha=0.5) -> List[List[Dict]]:
@@ -131,12 +142,13 @@ class MultiHostSearch:
     def stop(self) -> None:
         """Release every follower's :meth:`serve` loop (idempotent)."""
         self._require_coordinator("stop")
-        if self._stopped:
-            return
-        payload = self._zeros()
-        payload["flag"] = np.int32(self._FLAG_STOP)
-        self._broadcast(payload)
-        self._stopped = True
+        with self._lock:
+            if self._stopped:
+                return
+            payload = self._zeros()
+            payload["flag"] = np.int32(self._FLAG_STOP)
+            self._broadcast(payload)
+            self._stopped = True
 
     def _require_coordinator(self, what: str) -> None:
         if not self.is_coordinator:
@@ -186,6 +198,9 @@ class MultiHostRetrieval:
         "retrieval_filtered", "retrieval_filtered_batch",
         "retrieval_filtered_embeddings_batch", "warmup",
         "search_batch", "search_batches_pipelined", "calibrate_nprobe",
+        # collective-launching batch routes that would bypass the lockstep
+        # protocol and hang the mesh if delegated to the inner retriever
+        "retrieval_batches", "retrieval_fused_batch",
     )
 
     def __init__(self, mh: MultiHostSearch):
@@ -224,9 +239,18 @@ class MultiHostRetrieval:
 
     def __getattr__(self, name: str):
         if name in self._BLOCKED:
-            raise RuntimeError(
-                f"CLIPRetrieval.{name} is not available under multi-host "
-                "serving: it would mutate per-process corpus state or launch "
-                "a collective the follower processes don't know to join"
-            )
+            # return a stub that raises on INVOCATION, not on attribute
+            # access: eager wiring (e.g. the HTTP daemon collecting
+            # callables at startup) must not crash the whole server, and
+            # ValueError maps to a graceful HTTP 400 in the request hooks
+            def _blocked(*_a, **_k):
+                raise ValueError(
+                    f"CLIPRetrieval.{name} is not available under multi-host "
+                    "serving: it would mutate per-process corpus state or "
+                    "launch a collective the follower processes don't know "
+                    "to join"
+                )
+
+            _blocked.__name__ = f"blocked_{name}"
+            return _blocked
         return getattr(self._inner, name)

@@ -231,6 +231,65 @@ def test_cli_serve_encoder_modes(tmp_path, devices8, capsys, monkeypatch):
         assert res and all("uuid" in x for x in res)
 
 
+def test_cli_serve_multihost_http_starts(tmp_path, devices8, monkeypatch):
+    """--multihost --http must start and serve (r3 advisor high): daemon
+    wiring may not touch blocked facade routes eagerly, mutation/filtered
+    callables must be None (-> graceful 501, never a 500), and the search
+    path must route through the lockstep protocol."""
+    from knowledge_enhanced_multimodal_retrieval_tpu.cli import serve as serve_mod
+    from knowledge_enhanced_multimodal_retrieval_tpu.cli.precompute import main as precompute
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval import http_server as hs
+
+    store_path = os.path.join(tmp_path, "store.npz")
+    precompute([
+        "--data.dataset=synthetic:16",
+        "--data.image_size=32",
+        "--data.context_length=16",
+        "--model.name=tiny",
+        "--eval.batch_size=8",
+        "--out", store_path,
+    ])
+    monkeypatch.setattr(
+        "knowledge_enhanced_multimodal_retrieval_tpu.cli.serve.build_tokenizer",
+        lambda cfg: CC._tiny_tokenizer(),
+    )
+
+    captured = {}
+
+    class FakeServer:
+        def __init__(self, batch_fn, **kw):
+            captured["batch_fn"] = batch_fn
+            captured.update(kw)
+            self.address = (kw.get("host", "127.0.0.1"), kw.get("port", 0))
+
+        def serve_forever(self):
+            # exercise the wired search path while the lockstep loop is live
+            captured["results"] = captured["alphas_batch_fn"](
+                ["hello cat", "hel he"], [None, 0.3]
+            )
+
+        def close(self):
+            captured["closed"] = True
+
+        def request_shutdown(self):  # pragma: no cover - signal path
+            pass
+
+    monkeypatch.setattr(hs, "RetrievalHTTPServer", FakeServer)
+    serve_mod.main([
+        "--model.name=tiny",
+        "--store", store_path,
+        "--multihost",
+        "--http", "0",
+    ])
+    # corpus mutation + filtered search are single-host only -> wired as None
+    for name in ("add_documents_fn", "remove_documents_fn",
+                 "encode_documents_fn", "snapshot_fn", "filtered_batch_fn"):
+        assert captured[name] is None, name
+    assert captured["closed"]
+    results = captured["results"]
+    assert len(results) == 2 and all(r and "uuid" in r[0] for r in results)
+
+
 def test_cli_export_roundtrip(tmp_path, devices8):
     """export CLI: npz -> OpenAI .pt relayout, and Orbax train checkpoint ->
     publishable HF directory (loadable offline via from_pretrained)."""

@@ -178,10 +178,32 @@ def test_clip_retrieval_int4_sharded(world):
     )
 
 
-def test_clip_retrieval_int4_rejects_ann(world):
+def test_clip_retrieval_int4_ivf(world):
+    """IVFSQ4 (ann='ivf' + int4 nibble-packed lists) serves; full-probe
+    rankings track the exact path at int4 resolution."""
     model, params, tok, store, rt = world
-    with pytest.raises(ValueError, match="int8"):
-        CLIPRetrieval(model, params, tok, store, ann="ivf", quantize_corpus="int4")
+    exact = CLIPRetrieval(model, params, tok, store, top_k=8)
+    r = CLIPRetrieval(
+        model, params, tok, store, top_k=8,
+        ann="ivf", ann_nlist=4, ann_nprobe=4, quantize_corpus="int4",
+    )
+    want = exact.retrieval("hello cat", alpha=0.5)
+    got = r.retrieval("hello cat", alpha=0.5)
+    # int4 rounding can reorder near-ties; demand strong overlap in the top-8
+    # and score agreement at int4 resolution for the common uuids
+    overlap = set(x["uuid"] for x in got) & set(x["uuid"] for x in want)
+    assert len(overlap) >= 6
+    want_scores = {x["uuid"]: x["score"] for x in want}
+    for x in got:
+        if x["uuid"] in want_scores:
+            assert abs(x["score"] - want_scores[x["uuid"]]) < 0.15
+
+
+def test_clip_retrieval_binary_rejects_ann(world):
+    """binary remains the one packing that refuses ann='ivf'."""
+    model, params, tok, store, rt = world
+    with pytest.raises(ValueError):
+        CLIPRetrieval(model, params, tok, store, ann="ivf", quantize_corpus="binary")
 
 
 def test_clip_retrieval_rejects_unknown_quantize_corpus(world):
