@@ -88,13 +88,22 @@ def prefix_normalize_host(x, dim: int):
 # ---------------------------------------------------------------------------
 
 
-def blended_scores(queries: jax.Array, img_emb: jax.Array, txt_emb: jax.Array, alpha) -> jax.Array:
+def blended_scores(
+    queries: jax.Array,
+    img_emb: jax.Array,
+    txt_emb: jax.Array,
+    alpha,
+    queries_txt: Optional[jax.Array] = None,
+) -> jax.Array:
     """[Q, N] blended similarity: alpha * T2I + (1 - alpha) * T2T.
 
-    ``alpha``: scalar or per-query (see :func:`alpha_column`)."""
+    ``alpha``: scalar or per-query (see :func:`alpha_column`);
+    ``queries_txt`` optionally scores the text tower with a DISTINCT query
+    embedding (fusion-head style serving) — defaults to ``queries``."""
     a = alpha_column(alpha, queries.shape[0])
+    q_txt = queries if queries_txt is None else queries_txt
     t2i = jnp.dot(queries, img_emb.T, preferred_element_type=jnp.float32)
-    t2t = jnp.dot(queries, txt_emb.T, preferred_element_type=jnp.float32)
+    t2t = jnp.dot(q_txt, txt_emb.T, preferred_element_type=jnp.float32)
     return a * t2i + (1.0 - a) * t2t
 
 
@@ -105,8 +114,9 @@ def similarity_topk_xla(
     txt_emb: jax.Array,
     k: int,
     alpha: float = 0.5,
+    queries_txt: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    scores = blended_scores(queries, img_emb, txt_emb, alpha)
+    scores = blended_scores(queries, img_emb, txt_emb, alpha, queries_txt)
     return jax.lax.top_k(scores, k)
 
 
@@ -118,6 +128,7 @@ def similarity_topk_segmented(
     k: int,
     alpha: float = 0.5,
     segment: int = 4096,
+    queries_txt: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact two-stage top-k: per-segment top-k, then a merge top-k.
 
@@ -127,7 +138,7 @@ def similarity_topk_segmented(
     ``n_seg * min(k, seg)``. Exact for every k: a segment holds only ``seg``
     elements, so keeping min(k, seg) of them loses nothing.
     """
-    scores = blended_scores(queries, img_emb, txt_emb, alpha)  # [Q, N]
+    scores = blended_scores(queries, img_emb, txt_emb, alpha, queries_txt)  # [Q, N]
     return _segmented_topk_from_scores(scores, k, segment)
 
 
@@ -221,15 +232,19 @@ def blended_scores_q8(
     txt_q: jax.Array,
     txt_scale: jax.Array,
     alpha,
+    queries_txt: Optional[jax.Array] = None,
 ) -> jax.Array:
     """[Q, N] blended scores over an int8 corpus, op-order-matched to the
     Pallas q8 kernel: raw dot at the query dtype (int8 -> bf16 conversion is
-    exact), then per-corpus-row scales applied to the f32 score columns."""
+    exact), then per-corpus-row scales applied to the f32 score columns.
+    ``queries_txt`` optionally scores the text tower with a distinct query
+    embedding."""
     a = alpha_column(alpha, queries.shape[0])
+    q_txt = queries if queries_txt is None else queries_txt
     img = img_q.astype(queries.dtype)
-    txt = txt_q.astype(queries.dtype)
+    txt = txt_q.astype(q_txt.dtype)
     t2i = jnp.dot(queries, img.T, preferred_element_type=jnp.float32)
-    t2t = jnp.dot(queries, txt.T, preferred_element_type=jnp.float32)
+    t2t = jnp.dot(q_txt, txt.T, preferred_element_type=jnp.float32)
     img_s = jnp.asarray(img_scale, jnp.float32).reshape(1, -1)
     txt_s = jnp.asarray(txt_scale, jnp.float32).reshape(1, -1)
     return a * (t2i * img_s) + (1.0 - a) * (t2t * txt_s)
@@ -244,9 +259,12 @@ def similarity_topk_xla_q8(
     txt_scale: jax.Array,
     k: int,
     alpha: float = 0.5,
+    queries_txt: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """XLA path over an int8 corpus (CPU serving / use_pallas=False)."""
-    scores = blended_scores_q8(queries, img_q, img_scale, txt_q, txt_scale, alpha)
+    scores = blended_scores_q8(
+        queries, img_q, img_scale, txt_q, txt_scale, alpha, queries_txt
+    )
     return jax.lax.top_k(scores, k)
 
 
@@ -362,22 +380,25 @@ def blended_scores_q4(
     txt_p: jax.Array,
     txt_scale: jax.Array,
     alpha,
+    queries_txt: Optional[jax.Array] = None,
 ) -> jax.Array:
     """[Q, N] blended scores over a nibble-packed int4 corpus, op-order-
     matched to the Pallas q4 kernel: unpack planes to the query dtype, one
-    half-width dot per plane, per-row scales on the f32 score columns."""
+    half-width dot per plane, per-row scales on the f32 score columns.
+    ``queries_txt`` optionally scores the text tower with a distinct query
+    embedding."""
     a = alpha_column(alpha, queries.shape[0])
+    q_txt = queries if queries_txt is None else queries_txt
     d2 = img_p.shape[1]
-    q_lo, q_hi = queries[:, :d2], queries[:, d2:]
 
-    def plane_scores(q_lo, q_hi, packed):
-        lo, hi = _unpack_q4(packed, queries.dtype)
-        return jnp.dot(q_lo, lo.T, preferred_element_type=jnp.float32) + jnp.dot(
-            q_hi, hi.T, preferred_element_type=jnp.float32
+    def plane_scores(q, packed):
+        lo, hi = _unpack_q4(packed, q.dtype)
+        return jnp.dot(q[:, :d2], lo.T, preferred_element_type=jnp.float32) + jnp.dot(
+            q[:, d2:], hi.T, preferred_element_type=jnp.float32
         )
 
-    t2i = plane_scores(q_lo, q_hi, img_p)
-    t2t = plane_scores(q_lo, q_hi, txt_p)
+    t2i = plane_scores(queries, img_p)
+    t2t = plane_scores(q_txt, txt_p)
     img_s = jnp.asarray(img_scale, jnp.float32).reshape(1, -1)
     txt_s = jnp.asarray(txt_scale, jnp.float32).reshape(1, -1)
     return a * (t2i * img_s) + (1.0 - a) * (t2t * txt_s)
@@ -392,9 +413,12 @@ def similarity_topk_xla_q4(
     txt_scale: jax.Array,
     k: int,
     alpha: float = 0.5,
+    queries_txt: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """XLA path over an int4 corpus (CPU serving / use_pallas=False)."""
-    scores = blended_scores_q4(queries, img_p, img_scale, txt_p, txt_scale, alpha)
+    scores = blended_scores_q4(
+        queries, img_p, img_scale, txt_p, txt_scale, alpha, queries_txt
+    )
     return jax.lax.top_k(scores, k)
 
 
@@ -794,9 +818,10 @@ def fused_similarity_topk_q8(
     n = img_q.shape[0]
     k = min(k, n)
     if k > 128:
-        if queries_txt is not queries_img:
-            raise NotImplementedError("k > 128 with distinct query towers")
-        scores = blended_scores_q8(queries_img, img_q, img_scale, txt_q, txt_scale, alpha)
+        q_txt = None if queries_txt is queries_img else queries_txt
+        scores = blended_scores_q8(
+            queries_img, img_q, img_scale, txt_q, txt_scale, alpha, q_txt
+        )
         return _segmented_topk_from_scores(scores, k, segment=4096)
     return _fused_topk_call(
         queries_img, queries_txt, img_q, txt_q, (img_scale, txt_scale),
@@ -835,9 +860,10 @@ def fused_similarity_topk_q4(
     n = img_p.shape[0]
     k = min(k, n)
     if k > 128:
-        if queries_txt is not queries_img:
-            raise NotImplementedError("k > 128 with distinct query towers")
-        scores = blended_scores_q4(queries_img, img_p, img_scale, txt_p, txt_scale, alpha)
+        q_txt = None if queries_txt is queries_img else queries_txt
+        scores = blended_scores_q4(
+            queries_img, img_p, img_scale, txt_p, txt_scale, alpha, q_txt
+        )
         return _segmented_topk_from_scores(scores, k, segment=4096)
     return _fused_topk_call(
         queries_img, queries_txt, img_p, txt_p, (img_scale, txt_scale),
@@ -874,9 +900,10 @@ def fused_similarity_topk(
     if k > 128:
         # The argmax-round merge degrades past ~128 rounds; the segmented
         # two-stage selection is the fast exact path for big k.
-        if queries_txt is not queries_img:
-            raise NotImplementedError("k > 128 with distinct query towers")
-        return similarity_topk_segmented(queries_img, img_emb, txt_emb, k, alpha)
+        q_txt = None if queries_txt is queries_img else queries_txt
+        return similarity_topk_segmented(
+            queries_img, img_emb, txt_emb, k, alpha, queries_txt=q_txt
+        )
     return _fused_topk_call(
         queries_img, queries_txt, img_emb, txt_emb, None,
         k=k, alpha=alpha, tile_n=tile_n, interpret=interpret,

@@ -70,6 +70,39 @@ def world(devices8):
     return model, params, tok, store, rt
 
 
+@pytest.mark.parametrize("quantize_corpus", [False, True, "int4"],
+                         ids=["bf16", "int8", "int4"])
+def test_fused_serving_big_k_fetch(rng, devices8, quantize_corpus):
+    """Stage-1 candidate fetch past the fused kernel's 128 cap (factor*k >
+    128) must route through the segmented selection in every packing —
+    the r3 NotImplementedError is lifted. Full fetch => the head's exact
+    full-corpus ranking."""
+    from knowledge_enhanced_multimodal_retrieval_tpu.data.tokenizer import CLIPTokenizer
+    from knowledge_enhanced_multimodal_retrieval_tpu.models import clip as M
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval.embedding_store import (
+        EmbeddingStore,
+    )
+    from tests.test_retrieval_engine import MERGES
+
+    tok = CLIPTokenizer(MERGES)
+    arch = M.CLIPArch(16, 32, 1, 32, 16, 16, tok.vocab_size, 32, 2, 1, vision_heads=2)
+    model = M.CLIP(arch, dtype=jnp.float32)
+    params = M.init_params(model, jax.random.PRNGKey(0))
+    n = 300
+    store = EmbeddingStore(
+        _normed(rng, n, 16), _normed(rng, n, 16), [f"u{i}" for i in range(n)]
+    )
+    fm = FusionModel("linear", embed_dim=16)
+    fparams = fm.init(jax.random.PRNGKey(1))
+    r = CLIPRetrieval(
+        model, params, tok, store, top_k=64, quantize_corpus=quantize_corpus
+    )
+    got = r.retrieval_fused_batch(["hello cat"], fm, fparams, top_k=64, factor=8)[0]
+    assert len(got) == 64  # fetch = min(8 * 64, 300) = 300 > 128
+    want = _head_oracle(r, fm, fparams, ["hello cat"], store, n)[0][:64]
+    assert [x["uuid"] for x in got] == [f"u{i}" for i in want]
+
+
 def _head_oracle(r, fm, fparams, queries, store, n):
     """Full-corpus head ranking computed densely (the serving ground truth)."""
     q = np.asarray(r.encode_queries(queries), np.float32)

@@ -90,6 +90,39 @@ def test_fused_routes_big_k_to_segmented(rng):
     np.testing.assert_array_equal(np.asarray(fi), ref_idx)
 
 
+@pytest.mark.parametrize("mode", ["bf16", "q8", "q4"])
+def test_big_k_distinct_query_towers_oracle(mode, rng):
+    """k=512 with queries_txt != queries_img routes through the segmented
+    path in every corpus packing (the r3 NotImplementedError is lifted).
+    Oracle = direct lax.top_k on the op-order-matched blended scores."""
+    q1, img, txt = _corpus(rng, n=1500, q=5)
+    q2 = q1[::-1].copy()
+    k = 512
+    j1, j2 = jnp.asarray(q1), jnp.asarray(q2)
+    if mode == "bf16":
+        fv, fi = S.fused_similarity_topk(
+            j1, jnp.asarray(img), jnp.asarray(txt), k=k, alpha=0.6, queries_txt=j2
+        )
+        scores = S.blended_scores(j1, jnp.asarray(img), jnp.asarray(txt), 0.6, j2)
+    elif mode == "q8":
+        img_q, img_s = S.quantize_corpus(jnp.asarray(img))
+        txt_q, txt_s = S.quantize_corpus(jnp.asarray(txt))
+        fv, fi = S.fused_similarity_topk_q8(
+            j1, img_q, img_s, txt_q, txt_s, k=k, alpha=0.6, queries_txt=j2
+        )
+        scores = S.blended_scores_q8(j1, img_q, img_s, txt_q, txt_s, 0.6, j2)
+    else:
+        img_p, img_s = S.quantize_corpus_host_q4(img)
+        txt_p, txt_s = S.quantize_corpus_host_q4(txt)
+        fv, fi = S.fused_similarity_topk_q4(
+            j1, img_p, img_s, txt_p, txt_s, k=k, alpha=0.6, queries_txt=j2
+        )
+        scores = S.blended_scores_q4(j1, img_p, img_s, txt_p, txt_s, 0.6, j2)
+    xv, xi = jax.lax.top_k(scores, k)
+    np.testing.assert_allclose(np.asarray(fv), np.asarray(xv), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(fi), np.asarray(xi))
+
+
 def test_sharded_big_k_matches_dense(rng, devices8):
     rt = MeshRuntime.create()
     q, img, txt = _corpus(rng, n=2048, q=4)
