@@ -57,6 +57,7 @@ def build_engine(cfg, store_path: str, kg_path: str = "") -> RetrievalEngine:
         ann_nlist=cfg.eval.ann_nlist or None,
         ann_nprobe=cfg.eval.ann_nprobe,
         ann_index_path=cfg.eval.ann_index or None,
+        ann_max_batch_lookups=cfg.eval.ann_max_batch_lookups,
         capacity_multiple=cfg.eval.capacity_multiple,
         rerank=cfg.eval.rerank,
         rerank_factor=cfg.eval.rerank_factor,

@@ -115,6 +115,7 @@ class CLIPRetrieval:
         ann_nprobe: int = 8,
         ann_capacity_factor: float = 1.5,
         ann_index_path: Optional[str] = None,
+        ann_max_batch_lookups: float = 1e7,
         capacity_multiple: int = 1,
         rerank: bool = False,
         rerank_factor: int = 4,
@@ -326,6 +327,15 @@ class CLIPRetrieval:
         self.ann_nprobe = ann_nprobe
         self._ann_nlist = ann_nlist
         self._ann_capacity_factor = ann_capacity_factor
+        # IVF-PQ wide-probe guardrail: the per-query ADC LUT walk is a
+        # varying-index gather XLA SCALARIZES on TPU (~1e8 lookups/s
+        # measured), so a batch costs ~B*nprobe*cap*m / 1e8 seconds —
+        # batch-256 at wide probes measured ~1 s/batch. Searches whose
+        # estimated lookup count exceeds this budget raise instead of
+        # silently serving at that latency (ivf+int8/int4 is the wide-probe
+        # batch answer: dense einsums over the gathered rows, ~3.8 ms at
+        # the same shape). 1e7 lookups ~= 100 ms/batch. <= 0 disables.
+        self.ann_max_batch_lookups = float(ann_max_batch_lookups or 0)
         # disk cache for the built IVF index (clustering + packing are the
         # expensive steps at scale): consulted ONCE at construction — loaded
         # when fresh (corpus fingerprint + config checks), rebuilt and
@@ -924,12 +934,50 @@ class CLIPRetrieval:
         """
         return self._search_state(self._corpus, queries, alpha, top_k)
 
+    _ADC_LOOKUPS_PER_S = 1e8  # measured TPU rate of the scalarized LUT walk
+
+    def _check_pq_probe_cost(self, c: _CorpusState, batch: int) -> None:
+        """Refuse IVF-PQ searches whose ADC lookup count blows the budget.
+
+        Applies only to ``ann='ivf'`` + ``quantize_corpus='pq'``: per-query
+        ADC tables make the probe a ``B * nprobe * cap * m`` varying-index
+        gather that XLA scalarizes on TPU (~1e8 lookups/s) — wide-probe
+        batches degrade to ~1 s/batch with no error. Narrow probes and
+        single-query latency stay under any sane budget; batch serving at
+        wide probes must either shrink ``ann_nprobe``, switch the lists to
+        int8/int4 packing (dense einsums — the measured wide-probe answer),
+        or explicitly raise ``ann_max_batch_lookups``.
+        """
+        if (
+            self.ann != "ivf"
+            or self.quantize_corpus != "pq"
+            or self.ann_max_batch_lookups <= 0
+        ):
+            return
+        codes = c.ivf_arrays[2]  # packed_img: [nlist, cap, M] uint8 PQ codes
+        cap, m = int(codes.shape[1]), int(codes.shape[2])
+        est = float(batch) * c.nprobe * cap * m
+        if est > self.ann_max_batch_lookups:
+            est_ms = est / self._ADC_LOOKUPS_PER_S * 1e3
+            raise ValueError(
+                f"IVF-PQ wide-probe batch refused: ~{est:.2g} ADC lookups "
+                f"(batch={batch} x nprobe={c.nprobe} x cap={cap} x m={m}) "
+                f"~= {est_ms:.0f} ms/batch on TPU (scalarized gather) vs the "
+                f"ann_max_batch_lookups budget of {self.ann_max_batch_lookups:.2g} "
+                f"(~{self.ann_max_batch_lookups / self._ADC_LOOKUPS_PER_S * 1e3:.0f} ms). "
+                "Options: lower ann_nprobe or the batch size, use "
+                "quantize_corpus='int8'/'int4' with ann='ivf' (dense-einsum "
+                "probes — the fast wide-probe tier), or raise "
+                "ann_max_batch_lookups to accept the latency."
+            )
+
     def _search_state(
         self, c: _CorpusState, queries: Sequence[str], alpha: float, top_k: Optional[int]
     ):
         k = min(top_k or c.top_k, c.n_real)
         k_fetch = self._k_fetch(c, k)
         ids = self._tokenize(queries)
+        self._check_pq_probe_cost(c, len(queries))
         cimg = c.ivf_arrays if self.ann == "ivf" else c.corpus_img
         return self._search_program(
             self._enc_params, jnp.asarray(ids), cimg, c.corpus_txt,
@@ -1217,6 +1265,7 @@ class CLIPRetrieval:
         k = min(top_k or c.top_k, c.n_real)
         cimg = c.ivf_arrays if self.ann == "ivf" else c.corpus_img
         q_emb = jnp.asarray(q_emb)
+        self._check_pq_probe_cost(c, int(q_emb.shape[0]))
         if self.shard_queries:
             # externally supplied embeddings may be committed to one device;
             # replicate so the mesh-wide program accepts them

@@ -392,6 +392,10 @@ class EvalConfig:
     # disk cache for the built IVF index: loaded when fresh (corpus
     # fingerprint checked), rebuilt + re-saved otherwise
     ann_index: str = ""
+    # IVF-PQ wide-probe budget: searches whose estimated ADC lookup count
+    # (batch * nprobe * cap * m) exceeds this raise instead of silently
+    # serving at ~1e8 lookups/s (scalarized gather). 0 disables the guard.
+    ann_max_batch_lookups: float = 1e7
     # round serving-corpus device rows up to this multiple so live corpus
     # updates within a bucket reuse the compiled search program (1 = exact
     # current-size arrays)

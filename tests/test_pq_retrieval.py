@@ -211,6 +211,42 @@ def test_pq_survives_live_updates(world):
     assert _uuid_lists(a) == _uuid_lists(b)
 
 
+def test_ivf_pq_wide_probe_guardrail(world):
+    """IVF-PQ batch searches past the ADC lookup budget raise with the
+    estimated cost instead of silently serving ~1 s/batch (the scalarized
+    per-query LUT walk); narrow probes / single queries stay under budget,
+    and the guard is tunable/disable-able (ann_max_batch_lookups)."""
+    model, params, tok, store, q = world
+    r = CLIPRetrieval(
+        model, params, tok, store, top_k=5,
+        ann="ivf", ann_nlist=8, ann_nprobe=8,
+        quantize_corpus="pq", pq_m=8,
+        ann_max_batch_lookups=20_000,
+    )
+    # single query: 1 * 8 * cap * 8 lookups — under the budget, serves fine
+    assert r.retrieval_embeddings_batch(q[:1], alpha=0.5)[0]
+    # a 24-query batch at full probe blows the budget -> explicit refusal
+    with pytest.raises(ValueError, match="wide-probe"):
+        r.retrieval_embeddings_batch(q, alpha=0.5)
+    with pytest.raises(ValueError, match="wide-probe"):
+        r.retrieval_batch(["hello cat"] * 24)
+    # same config with the guard disabled serves the batch (slowly)
+    r_off = CLIPRetrieval(
+        model, params, tok, store, top_k=5,
+        ann="ivf", ann_nlist=8, ann_nprobe=8,
+        quantize_corpus="pq", pq_m=8,
+        ann_max_batch_lookups=0,
+    )
+    assert len(r_off.retrieval_embeddings_batch(q, alpha=0.5)) == 24
+    # non-pq ivf tiers never consult the budget (dense-einsum probes)
+    r_i8 = CLIPRetrieval(
+        model, params, tok, store, top_k=5,
+        ann="ivf", ann_nlist=8, ann_nprobe=8,
+        quantize_corpus="int8", ann_max_batch_lookups=1,
+    )
+    assert len(r_i8.retrieval_embeddings_batch(q, alpha=0.5)) == 24
+
+
 def test_pq_refusals(world):
     model, params, tok, store, _ = world
     # pq + ann='ivf' (IVF-PQ) and int4 + ann='ivf' (IVFSQ4) are supported
