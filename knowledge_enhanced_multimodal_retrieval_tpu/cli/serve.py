@@ -296,6 +296,11 @@ def main(argv=None) -> None:
             length_bucket_fn=(
                 engine.clip_retriever.seq_bucket if bucket_queries else None
             ),
+            # multi-host lockstep stall detection: a dead follower blocks
+            # the coordinator inside a collective forever (not abortable
+            # from Python) — /healthz flips to 503 past the stall timeout
+            # so the orchestrator's liveness probe restarts the job
+            health_fn=mh.health if mh is not None else None,
         )
         logger.info(
             "serving HTTP on %s:%d (/search, /search_image, /documents, "

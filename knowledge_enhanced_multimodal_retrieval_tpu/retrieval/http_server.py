@@ -147,6 +147,7 @@ class RetrievalHTTPServer:
         candidates_batch_fn: Optional[Callable] = None,
         fused_batch_fn: Optional[Callable] = None,
         length_bucket_fn: Optional[Callable] = None,
+        health_fn: Optional[Callable[[], dict]] = None,
     ):
         # with an alphas hook, batch items are (query, alpha-or-None) pairs
         # and the hook resolves defaults — per-request blends ride the same
@@ -273,6 +274,19 @@ class RetrievalHTTPServer:
                     payload = {"ok": True, "stats": batcher.stats}
                     if image_batcher is not None:
                         payload["image_stats"] = image_batcher.stats
+                    if health_fn is not None:
+                        # extra liveness source (e.g. multi-host lockstep
+                        # stall detection): ok=False -> 503 so orchestrator
+                        # liveness probes restart the job
+                        try:
+                            extra = dict(health_fn())
+                        except Exception as e:  # noqa: BLE001
+                            extra = {"ok": False, "health_fn_error": str(e)}
+                        ok = bool(extra.pop("ok", True))
+                        payload.update(extra)
+                        payload["ok"] = ok
+                        self._send(200 if ok else 503, payload)
+                        return
                     self._send(200, payload)
                     return
                 if url.path == "/metrics":

@@ -52,7 +52,7 @@ class MultiHostSearch:
     _FLAG_STOP = 0
     _FLAG_WORK = 1
 
-    def __init__(self, retrieval, batch: int = 32):
+    def __init__(self, retrieval, batch: int = 32, stall_timeout_s: float = 120.0):
         import threading
 
         import jax
@@ -70,6 +70,18 @@ class MultiHostSearch:
         # the collective — every broadcast+execute critical section is
         # strictly serialized on the coordinator
         self._lock = threading.Lock()
+        # FAILURE MODE (inherent to lockstep SPMD): a dead/partitioned
+        # follower leaves the coordinator blocked INSIDE a collective with
+        # no way to time out or abort it from Python — the standard JAX
+        # multi-process contract. What the framework CAN do is detect the
+        # stall: every work item stamps _inflight_since, and health()
+        # reports ok=False once one has been in flight past
+        # ``stall_timeout_s`` (0 disables). The serving daemon wires this
+        # into /healthz so an orchestrator's liveness probe restarts the
+        # job — the recovery story, since collectives cannot be cancelled.
+        self.stall_timeout_s = float(stall_timeout_s)
+        self._inflight_since: Optional[float] = None
+        self._work_items = 0
 
     # -- protocol plumbing ----------------------------------------------------
 
@@ -129,8 +141,46 @@ class MultiHostSearch:
             with self._lock:  # one lockstep work item at a time
                 if self._stopped:
                     raise RuntimeError("multi-host serving already stopped")
-                out.extend(self._run(self._broadcast(payload)))
+                import time
+
+                self._inflight_since = time.monotonic()
+                try:
+                    out.extend(self._run(self._broadcast(payload)))
+                    self._work_items += 1
+                finally:
+                    self._inflight_since = None
         return out
+
+    # -- failure detection --------------------------------------------------------
+
+    @property
+    def stalled(self) -> bool:
+        """True when a lockstep work item has been in flight longer than
+        ``stall_timeout_s`` — the signature of a dead/partitioned follower
+        (the collective blocks forever; it cannot be aborted from Python)."""
+        since = self._inflight_since
+        if since is None or self.stall_timeout_s <= 0:
+            return False
+        import time
+
+        return (time.monotonic() - since) > self.stall_timeout_s
+
+    def health(self) -> Dict:
+        """Liveness report for the daemon's ``/healthz`` (ok=False past the
+        stall timeout -> HTTP 503 -> the orchestrator restarts the job)."""
+        since = self._inflight_since
+        import time
+
+        return {
+            "ok": not self.stalled,
+            "multihost": {
+                "stalled": self.stalled,
+                "inflight_s": None if since is None else round(time.monotonic() - since, 1),
+                "stall_timeout_s": self.stall_timeout_s,
+                "work_items": self._work_items,
+                "stopped": self._stopped,
+            },
+        }
 
     def search_texts(self, queries, alpha=0.5) -> List[List[Dict]]:
         """Tokenize + encode on the coordinator, then broadcast embeddings

@@ -101,6 +101,41 @@ def test_stop_idempotent_then_search_raises(facade_world):
         f.retrieval_embeddings_batch(store.image[:2])
 
 
+def test_stall_detection_health(facade_world):
+    """A work item stuck in the collective past stall_timeout_s flips
+    health() to ok=False (the dead-follower signature — collectives cannot
+    be aborted from Python, so detection + orchestrator restart IS the
+    failure story). Wired to /healthz as a 503 by the serving daemon."""
+    import time
+
+    _, inner, store = facade_world
+    mh = MultiHostSearch(inner, batch=4, stall_timeout_s=0.05)
+    assert mh.health()["ok"] and not mh.stalled
+
+    release = threading.Event()
+    orig_run = mh._run
+
+    def slow_run(payload):
+        release.wait(timeout=30)
+        return orig_run(payload)
+
+    mh._run = slow_run
+    t = threading.Thread(
+        target=lambda: mh.search_embeddings(store.image[:2]), daemon=True
+    )
+    t.start()
+    deadline = time.monotonic() + 10
+    while not mh.stalled and time.monotonic() < deadline:
+        time.sleep(0.01)
+    h = mh.health()
+    assert mh.stalled and h["ok"] is False
+    assert h["multihost"]["inflight_s"] is not None
+    release.set()
+    t.join(timeout=30)
+    assert not t.is_alive()
+    assert mh.health()["ok"] and mh._work_items == 1
+
+
 def test_top_k_override_rejected(facade_world):
     facade, _, store = facade_world
     with pytest.raises(ValueError, match="fixed-k"):

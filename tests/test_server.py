@@ -126,6 +126,36 @@ def test_http_server_endpoints():
         assert ei.value.code == 400
 
 
+def test_http_healthz_health_fn_503():
+    """An extra liveness source (multi-host stall detection) flips /healthz
+    to 503 when it reports ok=False — orchestrator restart hook."""
+    import json
+    import urllib.error
+    from urllib.request import urlopen
+
+    from knowledge_enhanced_multimodal_retrieval_tpu.retrieval import RetrievalHTTPServer
+
+    state = {"ok": True}
+
+    def batch_fn(queries):
+        return [[] for _ in queries]
+
+    def health_fn():
+        return {"ok": state["ok"], "multihost": {"stalled": not state["ok"]}}
+
+    with RetrievalHTTPServer(batch_fn, port=0, health_fn=health_fn) as srv:
+        host, port = srv.address
+        base = f"http://{host}:{port}"
+        payload = json.load(urlopen(f"{base}/healthz", timeout=10))
+        assert payload["ok"] is True and payload["multihost"]["stalled"] is False
+        state["ok"] = False
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urlopen(f"{base}/healthz", timeout=10)
+        assert ei.value.code == 503
+        body = json.loads(ei.value.read())
+        assert body["ok"] is False and body["multihost"]["stalled"] is True
+
+
 def test_threaded_callers_end_to_end(devices8):
     """Concurrent callers through a real engine: fewer device batches than
     queries, every caller gets its own correct top hit."""
