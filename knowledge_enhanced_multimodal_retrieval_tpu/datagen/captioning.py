@@ -24,6 +24,8 @@ from dataclasses import dataclass
 from pathlib import Path
 from typing import Any, Dict, List, Protocol, Sequence
 
+import numpy as np
+
 
 class Captioner(Protocol):
     def generate(self, images: Sequence[Any]) -> List[List[str]]:
@@ -70,6 +72,53 @@ class Blip2Captioner:
                 for i, text in enumerate(self.processor.batch_decode(sampled, skip_special_tokens=True)):
                     out[i].append(text.strip())
         return out
+
+
+class MeshShardedCaptioner:
+    """Data-parallel captioning over a device mesh — the TPU-native
+    counterpart of the reference's process-per-GPU farm
+    (``content_portion_generation.py:44-283``: one worker process per GPU,
+    shared task/result queues, poison pills). On TPU the farm collapses to
+    ONE jitted program whose batch shards over the mesh ``data`` axis: each
+    device captions its shard, XLA schedules the work, and there are no
+    queues to poison — stragglers, restarts, and result collection are the
+    runtime's problem, not the pipeline's.
+
+    ``caption_fn(params, images [B, S, S, 3] f32) -> int32 [B, C, L]``
+    token ids (C captions per image) and must be jit-compatible;
+    ``decode_fn(ids [L]) -> str`` decodes one caption on host. ``params``
+    replicate; batches pad up to a multiple of the data-axis size (repeating
+    the last image) so every shard stays dense, and padding is sliced off
+    before decode. Implements the :class:`Captioner` protocol, so
+    :class:`CaptioningPipeline` (resume, persistence) is unchanged.
+    """
+
+    def __init__(self, caption_fn, params, decode_fn, rt):
+        import jax
+
+        from ..parallel.sharding import batch_sharding, replicated
+
+        self.rt = rt
+        self.decode_fn = decode_fn
+        self._params = jax.device_put(params, replicated(rt.mesh))
+        axis = rt.data_axes if len(rt.data_axes) > 1 else rt.data_axes[0]
+        self._n_shards = int(np.prod([rt.mesh.shape[a] for a in rt.data_axes]))
+        self._fn = jax.jit(
+            caption_fn,
+            in_shardings=(
+                replicated(rt.mesh),
+                batch_sharding(rt.mesh, 4, axis),
+            ),
+        )
+
+    def generate(self, images: Sequence[Any]) -> List[List[str]]:
+        batch = np.stack([np.asarray(im, np.float32) for im in images])
+        n = batch.shape[0]
+        pad = (-n) % self._n_shards
+        if pad:
+            batch = np.concatenate([batch, np.repeat(batch[-1:], pad, axis=0)])
+        ids = np.asarray(self._fn(self._params, batch))[:n]  # [n, C, L]
+        return [[self.decode_fn(cap) for cap in row] for row in ids]
 
 
 class FakeCaptioner:

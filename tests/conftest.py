@@ -32,6 +32,56 @@ def devices8():
     return devs
 
 
+# ---------------------------------------------------------------------------
+# Fast lane: auto-mark the heavy tests slow (VERDICT r3 #2)
+# ---------------------------------------------------------------------------
+# `python -m pytest tests/ -m "not slow"` is the enforced core subset for
+# the 1-core build VM; the FULL suite stays the completeness gate. Heavy =
+# measured >= ~12 s per test here (mostly full train-loop drills that
+# compile multi-step programs). Centralized so a durations re-measure is a
+# one-list edit; each heavy area keeps at least one cheap sentinel in the
+# fast lane (e.g. test_train_step_reduces_loss for the trainer).
+
+_HEAVY_MODULES = {
+    "test_gradcache", "test_fsdp", "test_hard_negatives", "test_distill",
+    "test_multislice", "test_qat", "test_flip_masking", "test_preemption",
+}
+_HEAVY_TESTS = {
+    "test_dryrun_multichip_fresh_process_no_env_help",
+    "test_dryrun_multichip_in_process",
+    "test_sp_block_grads_flow",
+    "test_ring_grads_match_dense",
+    "test_clip_trainer_tensor_parallel",
+    "test_gspmd_step_matches_dp_global_negatives",
+    "test_grad_accum_matches_larger_batch_semantics",
+    "test_ema_rides_the_gspmd_step",
+    "test_ema_matches_manual_recurrence",
+    "test_ema_eval_and_checkpoint_serve_the_shadow",
+    "test_logit_scale_untouched_by_training",
+    "test_freeze_encoders_only_projections_move",
+    "test_resume_restores_epoch_and_params",
+    "test_trainer_step_descends_with_mrl",
+    "test_cli_train_smoke",
+    "test_cli_train_lora_saves_best_adapters",
+    "test_lora_trainer_reduces_loss_and_freezes_base",
+    "test_lora_trainer_epoch_checkpoint_resume",
+    "test_trainer_siglip_step_reduces_loss",
+    "test_heads_trainable",
+    "test_clip_retrieval_ivf_composes_with_int8_and_sharding",
+    "test_pipeline_grads_match_sequential",
+    "test_encode_text_fast_int8_plan",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    slow = pytest.mark.slow
+    for item in items:
+        base = item.nodeid.split("::")[0].rsplit("/", 1)[-1].removesuffix(".py")
+        name = item.name.split("[")[0]
+        if base in _HEAVY_MODULES or name in _HEAVY_TESTS:
+            item.add_marker(slow)
+
+
 @pytest.fixture()
 def rng():
     return np.random.default_rng(42)
