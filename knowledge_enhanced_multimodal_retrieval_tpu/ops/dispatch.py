@@ -40,6 +40,15 @@ def enable_compile_cache(path: str) -> str:
     import os
 
     os.makedirs(path, exist_ok=True)
+    if jax.config.jax_compilation_cache_dir not in (None, path):
+        # the cache object latches its dir at first use; a process switching
+        # dirs (serve CLI after a library default) must drop the live handle
+        try:
+            from jax.experimental.compilation_cache import compilation_cache
+
+            compilation_cache.reset_cache()
+        except Exception:
+            pass  # older JAX: config update below is sufficient pre-first-use
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
