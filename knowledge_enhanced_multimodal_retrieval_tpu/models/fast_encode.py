@@ -161,10 +161,18 @@ def _mlp_tile(n_rows: int, attn_tile: int) -> int:
     return _TILE_TARGET if n_rows % _TILE_TARGET == 0 else attn_tile
 
 
-# VMEM planning (v5e: ~16 MB/core). A kernel's resident weights must leave
-# room for the row tile's activations; these caps encode the measured limits.
-_LAYER_Q8_WEIGHT_CAP = 9 * 2**20  # whole-layer q8 kernel (text L/14: 7.1 MB ok)
-_BLOCK_WEIGHT_CAP = 10 * 2**20  # single attention/MLP block, any dtype
+# VMEM planning. XLA's default scoped-VMEM budget is ~16 MiB, but v5e has
+# 128 MiB physical VMEM and Mosaic honors ``vmem_limit_bytes``: layers whose
+# weights exceed the default-budget cap but fit a raised 48 MiB budget run the
+# whole-layer kernel with the limit raised (measured r4 at vision-L/14 shapes
+# [64x272, 1024/4096]: compiles at 32 MiB, bit-identical to the per-block
+# pair, wall-time neutral — the layer is compute-bound, so the fusion's value
+# is halved HBM traffic + ViT-H-class coverage, not latency).
+_LAYER_Q8_WEIGHT_CAP = 9 * 2**20  # whole-layer q8 kernel, default VMEM budget
+_LAYER_Q8_WIDE_CAP = 24 * 2**20  # whole-layer q8 kernel at _WIDE_VMEM_BYTES
+_BLOCK_WEIGHT_CAP = 10 * 2**20  # single attention/MLP block, default budget
+_BLOCK_WIDE_CAP = 24 * 2**20  # single block at _WIDE_VMEM_BYTES (ViT-g MLP)
+_WIDE_VMEM_BYTES = 48 * 2**20
 
 
 def _layer_weight_bytes(lp: Dict[str, Any]) -> int:
@@ -197,7 +205,8 @@ def _apply_layers(
         return x
     q8 = layers[0]["wqkv"].dtype == jnp.int8
     for lp in layers:
-        if q8 and use_fused and _layer_weight_bytes(lp) <= _LAYER_Q8_WEIGHT_CAP:
+        layer_wb = _layer_weight_bytes(lp)
+        if q8 and use_fused and layer_wb <= _LAYER_Q8_WIDE_CAP:
             x = fused_layer_q8(
                 x, lp["ln1_scale"], lp["ln1_bias"], lp["wqkv"], lp["wqkv_s"],
                 lp["bqkv"], lp["wo"], lp["wo_s"], lp["bo"],
@@ -205,17 +214,24 @@ def _apply_layers(
                 lp["b1"], lp["w2"], lp["w2_s"], lp["b2"],
                 seq_len=s_pad, heads=heads, mask_len=mask_len, tile=tile,
                 causal=causal, interpret=interpret,
+                vmem_limit_bytes=(
+                    None if layer_wb <= _LAYER_Q8_WEIGHT_CAP else _WIDE_VMEM_BYTES
+                ),
             )
         elif q8 and use_fused:
-            # per-block kernels, each still guarded by the block VMEM cap so
-            # oversized layers (e.g. a converted ViT-H/14) degrade to the
-            # XLA reference instead of failing Mosaic compilation at serve time
-            if _block_weight_bytes(lp, "attn") <= _BLOCK_WEIGHT_CAP:
+            # per-block kernels, each still guarded by the block VMEM caps so
+            # oversized layers degrade to the XLA reference instead of
+            # failing Mosaic compilation at serve time
+            attn_wb = _block_weight_bytes(lp, "attn")
+            if attn_wb <= _BLOCK_WIDE_CAP:
                 x = fused_attention_block_q8(
                     x, lp["ln1_scale"], lp["ln1_bias"], lp["wqkv"], lp["wqkv_s"],
                     lp["bqkv"], lp["wo"], lp["wo_s"], lp["bo"],
                     seq_len=s_pad, heads=heads, mask_len=mask_len, tile=tile,
                     causal=causal, interpret=interpret,
+                    vmem_limit_bytes=(
+                        None if attn_wb <= _BLOCK_WEIGHT_CAP else _WIDE_VMEM_BYTES
+                    ),
                 )
             else:
                 x = attention_block_q8_reference(
@@ -223,11 +239,15 @@ def _apply_layers(
                     lp["bqkv"], lp["wo"], lp["wo_s"], lp["bo"],
                     seq_len=s_pad, heads=heads, mask_len=mask_len, causal=causal,
                 )
-            if _block_weight_bytes(lp, "mlp") <= _BLOCK_WEIGHT_CAP:
+            mlp_wb = _block_weight_bytes(lp, "mlp")
+            if mlp_wb <= _BLOCK_WIDE_CAP:
                 x = fused_mlp_block_q8(
                     x, lp["ln2_scale"], lp["ln2_bias"], lp["w1"], lp["w1_s"],
                     lp["b1"], lp["w2"], lp["w2_s"], lp["b2"],
                     tile=mtile, interpret=interpret,
+                    vmem_limit_bytes=(
+                        None if mlp_wb <= _BLOCK_WEIGHT_CAP else _WIDE_VMEM_BYTES
+                    ),
                 )
             else:
                 x = mlp_block_q8_reference(
@@ -333,9 +353,11 @@ def encode_image_fast(
     Semantics match ``models.clip.VisionTransformer`` exactly: the strided
     conv is computed as an exact patch matmul, attention is bidirectional,
     pooling takes the class token, LayerNorms run in fp32. At vision-L/14
-    widths (1024/4096) the whole-layer q8 kernel exceeds VMEM, so the q8
-    path runs per-block kernels; the bf16 MLP falls back to XLA (16.8 MB of
-    weights cannot be VMEM-resident) — ``_apply_layers`` picks per layer.
+    widths (1024/4096) the whole-layer q8 kernel runs with the scoped-VMEM
+    limit raised (~12 MiB int8 weights vs the ~16 MiB default budget); the
+    bf16 MLP falls back to XLA (16.8 MB of bf16 weights cannot be
+    VMEM-resident even raised, with activations) — ``_apply_layers`` picks
+    per layer.
     """
     if use_fused is None:
         use_fused = on_tpu()

@@ -414,6 +414,7 @@ def fused_attention_block_q8(
     eps: float = 1e-5,
     causal: bool = True,
     interpret: bool = False,
+    vmem_limit_bytes: Optional[int] = None,
 ) -> jax.Array:
     """int8-projection variant of :func:`fused_attention_block`."""
     width = wqkv_q.shape[0]
@@ -450,6 +451,7 @@ def fused_attention_block_q8(
             bytes_accessed=2 * n * width * 2 + 4 * width * width,
             transcendentals=n * seq_len * heads,
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_bytes),
         interpret=interpret,
     )(x, row2(ln_scale), row2(ln_bias), wqkv_q, wqkv_s, row2(bqkv), wo_q, wo_s, row2(bo))
 
@@ -484,6 +486,7 @@ def fused_mlp_block_q8(
     n_chunks: Optional[int] = None,
     eps: float = 1e-5,
     interpret: bool = False,
+    vmem_limit_bytes: Optional[int] = None,
 ) -> jax.Array:
     """int8 variant of :func:`fused_mlp_block` (per-chunk activation requant)."""
     width, ff = w1_q.shape
@@ -518,6 +521,7 @@ def fused_mlp_block_q8(
             bytes_accessed=2 * n * width * 2 + 2 * width * ff,
             transcendentals=n * ff,
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_bytes),
         interpret=interpret,
     )(x, row2(ln_scale), row2(ln_bias), w1_q, w1_s, row2(b1), w2_q, w2_s, row2(b2))
 
@@ -572,13 +576,19 @@ def fused_layer_q8(
     eps: float = 1e-5,
     causal: bool = True,
     interpret: bool = False,
+    vmem_limit_bytes: Optional[int] = None,
 ) -> jax.Array:
     """A whole residual layer (attention block + MLP block) in ONE kernel.
 
     int8 weights make the full layer's weights ~7 MB at L/14 text scale, so
     both halves fit VMEM together and the residual stream crosses HBM once
     per layer instead of twice — the bf16 kernels cannot do this (14 MB of
-    weights plus activations exceeds the 16 MB VMEM budget).
+    weights plus activations exceeds the *default* 16 MB scoped-VMEM budget).
+
+    ``vmem_limit_bytes`` raises Mosaic's scoped-VMEM ceiling (v5e has 128 MiB
+    physical VMEM; XLA's default scoped limit is ~16 MiB). Vision-scale
+    layers (width 1024, ff 4096: ~12 MiB int8 weights) need ~2x the default
+    to keep all four projections resident — see ``fast_encode._apply_layers``.
     """
     width = wqkv_q.shape[0]
     _check_common(x, width)
@@ -620,6 +630,7 @@ def fused_layer_q8(
             bytes_accessed=2 * n * width * 2 + width * (4 * width + 2 * ff),
             transcendentals=n * (seq_len * heads + ff),
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_bytes),
         interpret=interpret,
     )(
         x, row2(ln1_scale), row2(ln1_bias), wqkv_q, wqkv_s, row2(bqkv),

@@ -1,21 +1,31 @@
 """Vision q8 kernel-interior experiments (VERDICT r3 #3).
 
-The vision tower's per-layer cost (2.22 ms at [64x272, 1024] int8) sits
-~1.8x over the int8 roofline and the gap is kernel-INTERIOR (tiling was
-measured exhausted). Suspects:
+The vision tower's per-layer cost (~2.2-2.4 ms at [64x272, 1024] int8) sits
+~1.55x over the pure-MATMUL roofline (1.50 ms: qkv 0.32 + out 0.11 + interior
+0.22 at half-MXU k=64 + mlp 0.85) and the gap is kernel-INTERIOR (tiling was
+measured exhausted; whole-layer fusion that removes the 71 MB/layer residual
+HBM round-trip measured wall-time NEUTRAL — the layer is compute-bound).
+Remaining suspects are the VPU chains:
 
-- attention: the per-head Python loop runs 16 half-width matmuls
-  (head_dim 64 = half the 128-lane MXU) plus 48 slice/reshape ops;
-- MLP: the f32 VPU elementwise chain (LN, scale/bias, QuickGELU sigmoid,
-  per-chunk dynamic requantization) may rival the matmul time.
+- attention: 272x272 f32 softmax per (seq, head) = 75.7M transcendentals;
+- MLP: QuickGELU sigmoid + per-chunk dynamic requantization over the
+  71M-element FF tensor.
 
 This script times ISOLATED interior variants at production vision shapes
 (batch 64, s_pad 272, width 1024, ff 4096, heads 16) with the repo's
 serially-dependent scan timing, printing medians of --reps runs:
 
-  attention: loop (production) vs batched-heads dot_general
+  attention: production loop vs no-max-subtract softmax diagnostic
   mlp:       production vs no-gelu/no-requant diagnostics (numerics differ —
              DIAGNOSTIC ONLY, quantifies the VPU share)
+  layer:     per-block pair vs whole-layer (vmem_limit_bytes raised)
+
+NOTE a batched-heads dot_general attention interior is NOT among the
+variants: Mosaic cannot lower the lane-dim-splitting reshape
+[tile, width] -> [nseq, s, heads, hd] ("infer-vector-layout: unsupported
+shape cast"), so the per-head loop over 64-lane slices is the only
+formulation that compiles; its matmuls run at half MXU utilization
+(contraction = head_dim 64) by construction.
 
 Run: python scripts/profile_vision_interior.py [--reps 7] [--iters 8]
 """
@@ -44,32 +54,36 @@ from knowledge_enhanced_multimodal_retrieval_tpu.ops import fused_block as FB
 # ---------------------------------------------------------------------------
 
 
-def _interior_batched(qkv, *, tile, seq_len, mask_len, heads, causal, out_dtype):
-    """All heads in ONE batched dot_general (vs the production per-head loop)."""
+def _interior_nomax(qkv, *, tile, seq_len, mask_len, heads, causal, out_dtype):
+    """Production per-head loop WITHOUT the max-subtract softmax pass.
+
+    DIAGNOSTIC ONLY (numerically unsafe for |logits| > ~80): quantifies the
+    cost of the row-max reduce + subtract over the 75.7M-score tensor."""
     width = qkv.shape[1] // 3
-    hd = width // heads
+    head_dim = width // heads
     nseq = tile // seq_len
-    b = nseq * heads
-
-    def split(lo):
-        part = qkv[:, lo : lo + width].reshape(nseq, seq_len, heads, hd)
-        return part.transpose(0, 2, 1, 3).reshape(b, seq_len, hd)
-
-    q, k, v = split(0), split(width), split(2 * width)
     row = jax.lax.broadcasted_iota(jnp.int32, (seq_len, seq_len), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (seq_len, seq_len), 1)
     ok = col < mask_len
     if causal:
         ok &= col <= row
-    scale = jnp.float32(1.0 / np.sqrt(hd))
-    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
-    s = jnp.where(ok, s * scale, jnp.float32(-1e9))
-    s = s - jnp.max(s, -1, keepdims=True)
-    e = jnp.exp(s)
-    p = (e / jnp.sum(e, -1, keepdims=True)).astype(qkv.dtype)
-    o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32)
-    o = o.reshape(nseq, heads, seq_len, hd).transpose(0, 2, 1, 3)
-    return o.reshape(tile, width).astype(out_dtype)
+    neg = jnp.float32(-1e9)
+    scale = jnp.float32(1.0 / np.sqrt(head_dim))
+    bdims = (((2,), (2,)), ((0,), (0,)))
+    outs = []
+    for hh in range(heads):
+        q_h = qkv[:, hh * head_dim:(hh + 1) * head_dim].reshape(nseq, seq_len, head_dim)
+        k_h = qkv[:, width + hh * head_dim:width + (hh + 1) * head_dim].reshape(nseq, seq_len, head_dim)
+        v_h = qkv[:, 2 * width + hh * head_dim:2 * width + (hh + 1) * head_dim].reshape(nseq, seq_len, head_dim)
+        s = jax.lax.dot_general(q_h, k_h, bdims, preferred_element_type=jnp.float32)
+        s = jnp.where(ok, s * scale, neg)
+        e = jnp.exp(s)  # no max-subtract
+        p = (e / jnp.sum(e, -1, keepdims=True)).astype(qkv.dtype)
+        o = jax.lax.dot_general(
+            p, v_h, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        outs.append(o.reshape(tile, head_dim).astype(out_dtype))
+    return jnp.concatenate(outs, axis=-1)
 
 
 def _attn_kernel_variant(
@@ -233,16 +247,8 @@ def main() -> None:
             return y[:, :20].astype(jnp.float32), (y[:, :20] * 100).astype(jnp.int32)
         return f
 
-    # numeric agreement first (same math, different scheduling)
-    a = attn_q8_variant(x0[0][: 2 * s_pad], lp, seq_len=s_pad, heads=heads,
-                        mask_len=s, tile=tile, interior=FB._attention_interior)
-    b = attn_q8_variant(x0[0][: 2 * s_pad], lp, seq_len=s_pad, heads=heads,
-                        mask_len=s, tile=tile, interior=_interior_batched)
-    d = float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
-    print(f"attn loop-vs-batched max |diff| = {d:.5f} (bf16 out)")
-
     run("attn_q8 per-head loop (prod)", mk_attn(FB._attention_interior))
-    run("attn_q8 batched heads", mk_attn(_interior_batched))
+    run("attn_q8 no-max-subtract softmax", mk_attn(_interior_nomax))
 
     def mk_mlp(gelu, requant):
         def f(lp, x, cimg, ctxt):
@@ -253,6 +259,29 @@ def main() -> None:
     run("mlp_q8 prod (gelu+requant)", mk_mlp(True, True))
     run("mlp_q8 no requant (w8a16 mm2)", mk_mlp(True, False))
     run("mlp_q8 no gelu no requant", mk_mlp(False, False))
+
+    # whole layer: per-block pair vs the single-kernel fusion (raised VMEM)
+    def per_block(lp, x, cimg, ctxt):
+        y = FB.fused_attention_block_q8(
+            x, lp["ln1_scale"], lp["ln1_bias"], lp["wqkv"], lp["wqkv_s"],
+            lp["bqkv"], lp["wo"], lp["wo_s"], lp["bo"], seq_len=s_pad,
+            heads=heads, mask_len=s, tile=tile, causal=False)
+        y = FB.fused_mlp_block_q8(
+            y, lp["ln2_scale"], lp["ln2_bias"], lp["w1"], lp["w1_s"], lp["b1"],
+            lp["w2"], lp["w2_s"], lp["b2"], tile=256)
+        return y[:, :20].astype(jnp.float32), (y[:, :20] * 100).astype(jnp.int32)
+
+    def whole_layer(lp, x, cimg, ctxt):
+        y = FB.fused_layer_q8(
+            x, lp["ln1_scale"], lp["ln1_bias"], lp["wqkv"], lp["wqkv_s"],
+            lp["bqkv"], lp["wo"], lp["wo_s"], lp["bo"], lp["ln2_scale"],
+            lp["ln2_bias"], lp["w1"], lp["w1_s"], lp["b1"], lp["w2"],
+            lp["w2_s"], lp["b2"], seq_len=s_pad, heads=heads, mask_len=s,
+            tile=tile, causal=False, vmem_limit_bytes=48 * 2**20)
+        return y[:, :20].astype(jnp.float32), (y[:, :20] * 100).astype(jnp.int32)
+
+    run("layer per-block pair (prod)", per_block)
+    run("layer whole-kernel (vmem 48MiB)", whole_layer)
 
 
 if __name__ == "__main__":

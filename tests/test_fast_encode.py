@@ -355,9 +355,43 @@ def test_apply_layers_q8_vmem_fallback(tiny_model, rng, monkeypatch):
     # so use_fused=True must route to reference blocks — if it tried a
     # kernel, interpret=False on CPU would raise
     monkeypatch.setattr(FE, "_LAYER_Q8_WEIGHT_CAP", 0)
+    monkeypatch.setattr(FE, "_LAYER_Q8_WIDE_CAP", 0)
     monkeypatch.setattr(FE, "_BLOCK_WEIGHT_CAP", 0)
+    monkeypatch.setattr(FE, "_BLOCK_WIDE_CAP", 0)
     got = np.asarray(encode_text_fast(TINY, plan, ids, use_fused=True, interpret=False))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_apply_layers_q8_wide_vmem_routing(tiny_model, rng, monkeypatch):
+    """Layers between the default-budget cap and the wide cap must run the
+    whole-layer kernel with ``vmem_limit_bytes`` raised (vision-L/14-class
+    layers: ~12 MiB int8 weights vs the ~16 MiB default scoped budget)."""
+    import knowledge_enhanced_multimodal_retrieval_tpu.models.fast_encode as FE
+
+    model, params = tiny_model
+    ids = _ids(rng, 4, TINY.context_length)
+    plan = make_text_plan(params, dtype=jnp.float32, quantize="int8")
+    want = np.asarray(encode_text_fast(TINY, plan, ids, use_fused=False))
+
+    seen = []
+    real = FE.fused_layer_q8
+
+    def recorder(*a, **kw):
+        seen.append(kw.get("vmem_limit_bytes"))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(FE, "fused_layer_q8", recorder)
+    # tiny layer <= default cap: no raised limit
+    got = np.asarray(encode_text_fast(TINY, plan, ids, use_fused=True, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+    assert seen and all(v is None for v in seen)
+
+    # force the tiny layer into the wide band: raised limit must be passed
+    seen.clear()
+    monkeypatch.setattr(FE, "_LAYER_Q8_WEIGHT_CAP", 0)
+    got = np.asarray(encode_text_fast(TINY, plan, ids, use_fused=True, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+    assert seen and all(v == FE._WIDE_VMEM_BYTES for v in seen)
 
 
 def test_encode_text_fast_jits(tiny_model, rng):
