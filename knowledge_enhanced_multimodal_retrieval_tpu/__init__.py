@@ -2,7 +2,8 @@
 
 A ground-up JAX/XLA/Pallas/pjit re-design of the capabilities of
 ``REEVALUATE/knowledge_enhanced_multimodal_retrieval`` (reference mounted at
-``/root/reference``): CLIP (ViT-B/32, ViT-B/16, ViT-L/14) image/text encoding,
+``/root/reference``): CLIP (ViT-B/32, ViT-B/16, ViT-L/14, ViT-L/14@336px)
+image/text encoding,
 batch-sharded corpus embedding over a TPU mesh, fused on-device similarity +
 top-k ranking, joint T2I+T2T contrastive fine-tuning, score-level and learned
 fusion, a Text2SPARQL knowledge module, and a knowledge-enhanced

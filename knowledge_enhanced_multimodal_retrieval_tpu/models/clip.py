@@ -60,6 +60,10 @@ ARCHS = {
     "ViT-B/32": CLIPArch(512, 224, 12, 768, 32, 77, 49408, 512, 8, 12),
     "ViT-B/16": CLIPArch(512, 224, 12, 768, 16, 77, 49408, 512, 8, 12),
     "ViT-L/14": CLIPArch(768, 224, 24, 1024, 14, 77, 49408, 768, 12, 12),
+    # OpenAI's high-resolution L/14 (``clip.load("ViT-L/14@336px")``): same
+    # towers, 336px input -> 24x24 patch grid (577 tokens). The reference
+    # accepts any name its ``clip.load`` knows (model/clip_model.py:15-44).
+    "ViT-L/14@336px": CLIPArch(768, 336, 24, 1024, 14, 77, 49408, 768, 12, 12),
 }
 
 

@@ -226,7 +226,7 @@ class MeshConfig:
 class ModelConfig:
     """CLIP variant selection (reference ``clip_model.py:15-44``)."""
 
-    name: str = "ViT-B/32"  # ViT-B/32 | ViT-B/16 | ViT-L/14
+    name: str = "ViT-B/32"  # ViT-B/32 | ViT-B/16 | ViT-L/14 | ViT-L/14@336px
     dtype: str = "bfloat16"  # compute dtype on TPU (params stay float32)
     checkpoint: Optional[str] = None  # path to converted params (orbax/npz)
     # LoRA adapters (train/lora.save_adapters .npz) merged into the params

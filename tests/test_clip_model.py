@@ -1,3 +1,5 @@
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -92,6 +94,24 @@ def test_param_count_vitl14():
 def test_unknown_variant():
     with pytest.raises(ValueError):
         M.build_model("ViT-H/14")
+
+
+def test_vitl14_336px_variant():
+    """The high-res OpenAI variant: same towers as ViT-L/14, 24x24 grid, and
+    the same parameter count except the larger vision positional embedding
+    (577 vs 257 tokens)."""
+    base = M.ARCHS["ViT-L/14"]
+    hi = M.build_model("ViT-L/14@336px").arch
+    assert hi.grid_size == 24 and hi.image_resolution == 336
+    assert dataclasses.replace(hi, image_resolution=224) == base
+    shapes = jax.eval_shape(
+        lambda k: M.build_model("ViT-L/14@336px").init(
+            k, jnp.zeros((1, 336, 336, 3)), jnp.zeros((1, 77), jnp.int32)
+        ),
+        jax.random.PRNGKey(0),
+    )["params"]
+    total = sum(int(np.prod(s.shape)) for s in jax.tree_util.tree_leaves(shapes))
+    assert abs(total - (427_616_513 + (577 - 257) * 1024)) < 2000, total
 
 
 def test_remat_forward_identical(tiny_model_params):
