@@ -265,12 +265,16 @@ def _apply_layers(
                 lp["b1"], lp["w2"], lp["w2_s"], lp["b2"],
             )
         else:
-            if use_fused and _block_weight_bytes(lp, "attn") <= _BLOCK_WEIGHT_CAP:
+            attn_wb = _block_weight_bytes(lp, "attn")
+            if use_fused and attn_wb <= _BLOCK_WIDE_CAP:
                 x = fused_attention_block(
                     x, lp["ln1_scale"], lp["ln1_bias"], lp["wqkv"], lp["bqkv"],
                     lp["wo"], lp["bo"], seq_len=s_pad, heads=heads,
                     mask_len=mask_len, tile=tile, causal=causal,
                     interpret=interpret,
+                    vmem_limit_bytes=(
+                        None if attn_wb <= _BLOCK_WEIGHT_CAP else _WIDE_VMEM_BYTES
+                    ),
                 )
             else:
                 x = attention_block_reference(
@@ -278,10 +282,17 @@ def _apply_layers(
                     lp["wo"], lp["bo"], seq_len=s_pad, heads=heads,
                     mask_len=mask_len, causal=causal,
                 )
-            if use_fused and _block_weight_bytes(lp, "mlp") <= _BLOCK_WEIGHT_CAP:
+            mlp_wb = _block_weight_bytes(lp, "mlp")
+            if use_fused and mlp_wb <= _BLOCK_WIDE_CAP:
+                # vision-L/14 bf16 MLP (16.8 MB of weights) lands here via the
+                # wide band: measured 1.60 vs 1.80 ms/layer against the XLA
+                # fallback at [64x272, 1024/4096] (r4, medians of 5)
                 x = fused_mlp_block(
                     x, lp["ln2_scale"], lp["ln2_bias"], lp["w1"], lp["b1"],
                     lp["w2"], lp["b2"], tile=mtile, interpret=interpret,
+                    vmem_limit_bytes=(
+                        None if mlp_wb <= _BLOCK_WEIGHT_CAP else _WIDE_VMEM_BYTES
+                    ),
                 )
             else:
                 x = mlp_block_reference(
@@ -353,11 +364,10 @@ def encode_image_fast(
     Semantics match ``models.clip.VisionTransformer`` exactly: the strided
     conv is computed as an exact patch matmul, attention is bidirectional,
     pooling takes the class token, LayerNorms run in fp32. At vision-L/14
-    widths (1024/4096) the whole-layer q8 kernel runs with the scoped-VMEM
-    limit raised (~12 MiB int8 weights vs the ~16 MiB default budget); the
-    bf16 MLP falls back to XLA (16.8 MB of bf16 weights cannot be
-    VMEM-resident even raised, with activations) — ``_apply_layers`` picks
-    per layer.
+    widths (1024/4096) the whole-layer q8 kernel and the bf16 MLP block both
+    run with the scoped-VMEM limit raised (12 MiB int8 / 16.8 MiB bf16
+    weights vs the ~16 MiB default budget) — ``_apply_layers`` picks per
+    layer; oversized layers degrade to the XLA reference blocks.
     """
     if use_fused is None:
         use_fused = on_tpu()

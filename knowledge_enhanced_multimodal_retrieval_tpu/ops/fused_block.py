@@ -152,6 +152,7 @@ def fused_attention_block(
     eps: float = 1e-5,
     causal: bool = True,
     interpret: bool = False,
+    vmem_limit_bytes: Optional[int] = None,
 ) -> jax.Array:
     """x + out_proj(attention(LN(x))) over row-contiguous sequences.
 
@@ -191,6 +192,7 @@ def fused_attention_block(
             bytes_accessed=2 * n * width * 2 + 4 * width * width * 2,
             transcendentals=n * seq_len * heads,
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_bytes),
         interpret=interpret,
     )(x, row2(ln_scale), row2(ln_bias), wqkv, row2(bqkv), wo, row2(bo))
 
@@ -234,6 +236,7 @@ def fused_mlp_block(
     n_chunks: Optional[int] = None,
     eps: float = 1e-5,
     interpret: bool = False,
+    vmem_limit_bytes: Optional[int] = None,
 ) -> jax.Array:
     """x + c_proj(quick_gelu(c_fc(LN(x)))); FF axis chunked for VMEM."""
     width, ff = w1.shape
@@ -266,6 +269,7 @@ def fused_mlp_block(
             bytes_accessed=2 * n * width * 2 + 2 * width * ff * 2,
             transcendentals=n * ff,
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_bytes),
         interpret=interpret,
     )(x, row2(ln_scale), row2(ln_bias), w1, row2(b1), w2, row2(b2))
 
