@@ -394,6 +394,38 @@ def test_apply_layers_q8_wide_vmem_routing(tiny_model, rng, monkeypatch):
     assert seen and all(v == FE._WIDE_VMEM_BYTES for v in seen)
 
 
+def test_apply_layers_bf16_wide_vmem_routing(tiny_model, rng, monkeypatch):
+    """bf16 blocks between the default block cap and the wide cap must run
+    the fused kernels with ``vmem_limit_bytes`` raised (vision-L/14's
+    16.8 MiB bf16 MLP) instead of falling back to the XLA reference."""
+    import knowledge_enhanced_multimodal_retrieval_tpu.models.fast_encode as FE
+
+    model, params = tiny_model
+    ids = _ids(rng, 4, TINY.context_length)
+    plan = make_text_plan(params, dtype=jnp.float32)
+    want = np.asarray(encode_text_fast(TINY, plan, ids, use_fused=False))
+
+    seen = {"attn": [], "mlp": []}
+    real_attn, real_mlp = FE.fused_attention_block, FE.fused_mlp_block
+
+    def rec_attn(*a, **kw):
+        seen["attn"].append(kw.get("vmem_limit_bytes"))
+        return real_attn(*a, **kw)
+
+    def rec_mlp(*a, **kw):
+        seen["mlp"].append(kw.get("vmem_limit_bytes"))
+        return real_mlp(*a, **kw)
+
+    monkeypatch.setattr(FE, "fused_attention_block", rec_attn)
+    monkeypatch.setattr(FE, "fused_mlp_block", rec_mlp)
+    # force the tiny blocks into the wide band
+    monkeypatch.setattr(FE, "_BLOCK_WEIGHT_CAP", 0)
+    got = np.asarray(encode_text_fast(TINY, plan, ids, use_fused=True, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+    assert seen["attn"] and all(v == FE._WIDE_VMEM_BYTES for v in seen["attn"])
+    assert seen["mlp"] and all(v == FE._WIDE_VMEM_BYTES for v in seen["mlp"])
+
+
 def test_encode_text_fast_jits(tiny_model, rng):
     model, params = tiny_model
     ids = _ids(rng, 4, TINY.context_length)
