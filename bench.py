@@ -308,7 +308,7 @@ def main() -> None:
     # candidate is exact math
     QUANTIZED = {
         "int8-encoder+topk", "int8-enc+int8-corpus", "int8-enc+int4-corpus",
-        "int8+length-bucketed",
+        "int8+length-bucketed", "int4+length-bucketed",
     }
     on_tpu = jax.default_backend() == "tpu"
     extra_ids = {}  # per-candidate ids operand overrides (bucketed groups)
@@ -377,27 +377,40 @@ def main() -> None:
 
         ids_grouped = _split_groups(ids_variants[0])
         if len(ids_grouped) == 2:
-            def native_bucketed(plan, ids_pair, cimg, ctxt):
-                outs = []
-                for ids_g in ids_pair:
-                    q = l2_normalize(encode_text_fast(model.arch, plan, ids_g)).astype(jnp.bfloat16)
-                    outs.append(
-                        fused_similarity_topk_q8(
-                            q, cimg, cimg_s, ctxt, ctxt_s, k=args.k, alpha=args.alpha
-                        )
-                    )
-                # couple EVERY group into the fetched [0, 0] elements: a
-                # plain concatenation lets XLA dead-code-eliminate whole
-                # groups the timer's single fetched element never reads
-                # (measured: an impossible 2.5 ms/batch)
-                vals = sum(o[0][:1, :1] for o in outs)
-                idx = sum(o[1][:1, :1] for o in outs)
-                return vals, idx
+            def _bucketed(topk_fn):
+                def f(plan, ids_pair, cimg_pack, ctxt_pack):
+                    outs = []
+                    for ids_g in ids_pair:
+                        q = l2_normalize(encode_text_fast(model.arch, plan, ids_g)).astype(jnp.bfloat16)
+                        outs.append(topk_fn(q, cimg_pack, ctxt_pack))
+                    # couple EVERY group into the fetched [0, 0] elements: a
+                    # plain concatenation lets XLA dead-code-eliminate whole
+                    # groups the timer's single fetched element never reads
+                    # (measured: an impossible 2.5 ms/batch)
+                    vals = sum(o[0][:1, :1] for o in outs)
+                    idx = sum(o[1][:1, :1] for o in outs)
+                    return vals, idx
+                return f
 
+            native_bucketed = _bucketed(
+                lambda q, ci, ct: fused_similarity_topk_q8(
+                    q, ci, cimg_s, ct, ctxt_s, k=args.k, alpha=args.alpha
+                )
+            )
+            native_bucketed_q4 = _bucketed(
+                lambda q, ci, ct: fused_similarity_topk_q4(
+                    q, ci, cimg_s4, ct, ctxt_s4, k=args.k, alpha=args.alpha
+                )
+            )
             extra_ids["int8+length-bucketed"] = ids_grouped
+            extra_ids["int4+length-bucketed"] = ids_grouped
             candidates.append(
                 ("int8+length-bucketed", native_bucketed, plan_q8,
                  cimg_q, ctxt_q)
+            )
+            candidates.append(
+                ("int4+length-bucketed", native_bucketed_q4, plan_q8,
+                 cimg_q4, ctxt_q4)
             )
     else:
         candidates = [("xla", native_xla, params, corpus_img, corpus_txt)]
