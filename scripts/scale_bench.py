@@ -22,16 +22,21 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
 
 import jax
+
+if os.environ.get("KEMR_FORCE_CPU"):  # smoke-test lane (axon is latched pre-import)
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
-from bench import _time
+from bench import _retry, _time
 from knowledge_enhanced_multimodal_retrieval_tpu.ops.pq import (
     fused_pq_topk,
     pack_pq_host,
@@ -84,9 +89,21 @@ def main() -> None:
     p.add_argument("--pq-m", type=int, default=0, help="default dim/8")
     p.add_argument("--exact", action="store_true", help="add the bf16 tier")
     p.add_argument("--json", action="store_true", help="one JSON line out")
+    p.add_argument("--out", default="SCALE_BENCH.json",
+                   help="artifact path (empty string disables the write)")
     args = p.parse_args()
     n, d, b, k = args.rows, args.dim, args.batch, args.k
     m = args.pq_m or d // 8
+
+    # Persistent compile cache: retries after a transient relay compile drop
+    # are then near-free (same plumbing as bench.py — the r3 bench died on
+    # exactly one such drop).
+    from knowledge_enhanced_multimodal_retrieval_tpu.ops.dispatch import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
 
     rng = np.random.default_rng(0)
     print(f"generating corpus [{n}, {d}] x2 towers + {b} queries ...", flush=True)
@@ -104,6 +121,7 @@ def main() -> None:
 
     qd = jnp.asarray(q, jnp.bfloat16)
     results = {}
+    failed = {}
 
     def tier(name, fn, *operands, hbm_bytes, truth=None):
         # operands ride as ARGUMENTS, never jit closure constants (the relay
@@ -115,12 +133,20 @@ def main() -> None:
         def pipeline(ops, qq, c0, c1):
             return fn(qq, *ops, k=k, alpha=args.alpha)
 
-        # recall first (one run), then honest timing
-        _, ids = jax.jit(pipeline)(ops, qd, DUMMY, DUMMY)
-        rec = _recall_at(np.asarray(ids), exact_ids if truth is None else truth)
-        ts = sorted(_time(pipeline, ops, [qd], DUMMY, DUMMY, iters=args.iters)
-                    for _ in range(3))
-        lat = ts[1]
+        def run():
+            # recall first (one run), then honest timing
+            _, ids = jax.jit(pipeline)(ops, qd, DUMMY, DUMMY)
+            rec = _recall_at(np.asarray(ids), exact_ids if truth is None else truth)
+            ts = sorted(_time(pipeline, ops, [qd], DUMMY, DUMMY, iters=args.iters)
+                        for _ in range(3))
+            return ts[1], rec
+
+        pair, err = _retry(run, what=f"tier {name}")
+        if pair is None:
+            failed[name] = err
+            print(f"{name:>12}: FAILED ({err.splitlines()[0][:160]})", flush=True)
+            return
+        lat, rec = pair
         results[name] = {
             "latency_ms": round(lat * 1e3, 3),
             "qps": round(b / lat, 1),
@@ -229,8 +255,14 @@ def main() -> None:
             tier(name, ivf_fn, *opera, truth=exact_i,
                  hbm_bytes=int(index.packed_img.size * index.packed_img.dtype.itemsize * 2))
 
-    print(json.dumps({"rows": n, "dim": d, "batch": b, "k": k,
-                      "tiers": results}))
+    payload = {"rows": n, "dim": d, "batch": b, "k": k,
+               "backend": jax.default_backend(),
+               "tiers": results, "failed_tiers": failed}
+    print(json.dumps(payload))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"wrote {args.out}", flush=True)
 
 
 if __name__ == "__main__":
