@@ -82,16 +82,58 @@ def infer_datatype(value: Union[int, float, str, bool]) -> str:
     return "xsd:string"
 
 
+def _escape_string(value: Any) -> str:
+    """Make a literal safe inside a double-quoted SPARQL string.
+
+    The values come straight from an LLM in production (the reference pipes
+    its JSON output here unsanitized — ``text2sparql_retrieval.py:30-43`` —
+    so a value containing ``"`` breaks out of the string and injects query
+    text). Backslashes and quotes are escaped; raw newlines (invalid in
+    single-quoted SPARQL strings) become spaces.
+    """
+    s = str(value)
+    s = s.replace("\\", "\\\\").replace('"', '\\"')
+    return s.replace("\r", " ").replace("\n", " ")
+
+
+def _escape_uri(uri: Any) -> str:
+    """Make a URI safe inside ``<...>``: percent-encode the delimiters and
+    whitespace an adversarial value could use to escape the IRI ref."""
+    s = str(uri)
+    for ch, enc in (("<", "%3C"), (">", "%3E"), ('"', "%22"), ("{", "%7B"),
+                    ("}", "%7D"), ("|", "%7C"), ("^", "%5E"), ("`", "%60"),
+                    ("\\", "%5C"), ("\r", "%0D"), ("\n", "%0A"), (" ", "%20"),
+                    ("\t", "%09")):
+        s = s.replace(ch, enc)
+    return s
+
+
+def _comment(label: Any) -> str:
+    """A label is only ever emitted inside a ``# ...`` comment; strip the
+    newlines that would let it inject tokens past the comment's EOL."""
+    return str(label).replace("\r", " ").replace("\n", " ")
+
+
+_VAR_BAD = re.compile(r"\W")
+
+
+def _safe_var(name: Any) -> str:
+    """Variable names must be word characters; deterministic sanitization so
+    every mention of the same raw name maps to the same variable."""
+    cleaned = _VAR_BAD.sub("_", str(name))
+    return cleaned or "v"
+
+
 def _format_literal(value: Any, datatype: str) -> str:
     if datatype == "xsd:string":
-        return f'"{value}"@en'
-    return f'"{value}"^^{datatype}'
+        return f'"{_escape_string(value)}"@en'
+    return f'"{_escape_string(value)}"^^{datatype}'
 
 
 def _format_bound(value: Any, datatype: str) -> str:
     if datatype == "xsd:string":
-        return f'"{value}"'
-    return f'"{value}"^^{datatype}'
+        return f'"{_escape_string(value)}"'
+    return f'"{_escape_string(value)}"^^{datatype}'
 
 
 @dataclass
@@ -137,7 +179,7 @@ class SparnaturalToSparql:
             "\n".join(f"PREFIX {p}: <{u}>" for p, u in sorted(self.prefixes.items())),
             ("SELECT DISTINCT" if distinct else "SELECT")
             + " "
-            + " ".join(f"?{v}" for v in sorted(set(variables)))
+            + " ".join(f"?{v}" for v in sorted({_safe_var(v) for v in variables}))
             + " WHERE {",
             "\n".join(emit.lines),
             "}",
@@ -147,15 +189,16 @@ class SparnaturalToSparql:
     # -- branches -------------------------------------------------------------
 
     def _type_triples(self, var: str, types: Sequence[str], emit: _Emit, indent: int) -> None:
+        var = _safe_var(var)
         if not types or var in emit.declared_vars:
             return
         if len(types) == 1:
-            emit.add(indent, f"?{var} rdf:type <{types[0]}>.")
+            emit.add(indent, f"?{var} rdf:type <{_escape_uri(types[0])}>.")
         else:
-            emit.add(indent, f"{{ ?{var} rdf:type <{types[0]}>. }}")
+            emit.add(indent, f"{{ ?{var} rdf:type <{_escape_uri(types[0])}>. }}")
             for t in types[1:]:
                 emit.add(indent + 1, "UNION")
-                emit.add(indent, f"{{ ?{var} rdf:type <{t}>. }}")
+                emit.add(indent, f"{{ ?{var} rdf:type <{_escape_uri(t)}>. }}")
         emit.declared_vars.add(var)
 
     def _branch(self, branch: Mapping[str, Any], emit: _Emit, indent: int) -> None:
@@ -189,22 +232,24 @@ class SparnaturalToSparql:
             self._type_triples(subject, s_type, emit, indent)
 
         if subject and predicate and obj:
+            subj_v, obj_v = _safe_var(subject), _safe_var(obj)
+            pred_u = _escape_uri(predicate)
             resolved = [v for v in uri_values if v["rdfTerm"].get("value") != PLACEHOLDER]
             if resolved:
                 if len(resolved) > 1:
                     for i, v in enumerate(resolved):
                         if i > 0:
                             emit.add(indent + 1, "UNION")
-                        label = v.get("label", "")
-                        emit.add(indent + 1, f"{{ ?{subject} <{predicate}> <{v['rdfTerm']['value']}>. }} # {label}")
+                        label = _comment(v.get("label", ""))
+                        emit.add(indent + 1, f"{{ ?{subj_v} <{pred_u}> <{_escape_uri(v['rdfTerm']['value'])}>. }} # {label}")
                 else:
                     v = resolved[0]
-                    label = v.get("label", "")
+                    label = _comment(v.get("label", ""))
                     if label:
                         emit.add(indent, f"# {label}")
-                    emit.add(indent, f"?{subject} <{predicate}> <{v['rdfTerm']['value']}>.")
+                    emit.add(indent, f"?{subj_v} <{pred_u}> <{_escape_uri(v['rdfTerm']['value'])}>.")
             elif not uri_values:
-                emit.add(indent, f"?{subject} <{predicate}> ?{obj}.")
+                emit.add(indent, f"?{subj_v} <{pred_u}> ?{obj_v}.")
                 if o_type:
                     self._type_triples(obj, o_type, emit, indent)
             # note: when every URI value was an unresolved placeholder the
@@ -213,7 +258,7 @@ class SparnaturalToSparql:
 
             for v in literal_values:
                 value = v["rdfTerm"].get("value")
-                emit.add(indent + 1, f"FILTER(?{obj} = {_format_literal(value, infer_datatype(value))})")
+                emit.add(indent + 1, f"FILTER(?{obj_v} = {_format_literal(value, infer_datatype(value))})")
 
             for r in range_values:
                 f = self._range_filter(obj, r, indent=1)
@@ -231,6 +276,7 @@ class SparnaturalToSparql:
         min_val, max_val = restriction.get("min"), restriction.get("max")
         if min_val is None and max_val is None:
             return None
+        variable = _safe_var(variable)
         datatype = infer_datatype(max_val if max_val is not None else min_val)
         conditions = []
         if min_val is not None:
@@ -238,7 +284,7 @@ class SparnaturalToSparql:
         if max_val is not None:
             conditions.append(f"?{variable} <= {_format_bound(max_val, datatype)}")
         body = conditions[0] if len(conditions) == 1 else f"({conditions[0]}) && ({conditions[1]})"
-        label = restriction.get("label", "")
+        label = _comment(restriction.get("label", ""))
         prefix = f"# {label}\n  " if label else ""
         return f"{prefix}FILTER({body})"
 
