@@ -328,23 +328,27 @@ def main() -> None:
         cimg_q4, cimg_s4 = quantize_corpus_host_q4(np.asarray(corpus_img, np.float32))
         ctxt_q4, ctxt_s4 = quantize_corpus_host_q4(np.asarray(corpus_txt, np.float32))
 
-        # packed corpora ride via the cimg/ctxt args of the timing loop —
-        # never close over big arrays in jit on the relay (413 errors)
+        # packed corpora AND their per-row scales ride via the cimg/ctxt args
+        # of the timing loop as (packed, scales) pairs — never close over
+        # corpus-sized arrays in jit on the relay (413 errors; the scales
+        # grow linearly with corpus rows)
         def native_q8_corpus(plan, ids, cimg, ctxt):
             q = l2_normalize(encode_text_fast(model.arch, plan, ids)).astype(jnp.bfloat16)
             return fused_similarity_topk_q8(
-                q, cimg, cimg_s, ctxt, ctxt_s, k=args.k, alpha=args.alpha
+                q, cimg[0], cimg[1], ctxt[0], ctxt[1], k=args.k, alpha=args.alpha
             )
 
         def native_q4_corpus(plan, ids, cimg, ctxt):
             q = l2_normalize(encode_text_fast(model.arch, plan, ids)).astype(jnp.bfloat16)
             return fused_similarity_topk_q4(
-                q, cimg, cimg_s4, ctxt, ctxt_s4, k=args.k, alpha=args.alpha
+                q, cimg[0], cimg[1], ctxt[0], ctxt[1], k=args.k, alpha=args.alpha
             )
 
         candidates = [
-            ("int8-enc+int8-corpus", native_q8_corpus, plan_q8, cimg_q, ctxt_q),
-            ("int8-enc+int4-corpus", native_q4_corpus, plan_q8, cimg_q4, ctxt_q4),
+            ("int8-enc+int8-corpus", native_q8_corpus, plan_q8,
+             (cimg_q, cimg_s), (ctxt_q, ctxt_s)),
+            ("int8-enc+int4-corpus", native_q4_corpus, plan_q8,
+             (cimg_q4, cimg_s4), (ctxt_q4, ctxt_s4)),
             ("int8-encoder+topk", native_fused_enc, plan_q8, corpus_img, corpus_txt),
             ("fused-encoder+topk", native_fused_enc, plan, corpus_img, corpus_txt),
             ("fused-pallas", native, params, corpus_img, corpus_txt),
@@ -394,23 +398,23 @@ def main() -> None:
 
             native_bucketed = _bucketed(
                 lambda q, ci, ct: fused_similarity_topk_q8(
-                    q, ci, cimg_s, ct, ctxt_s, k=args.k, alpha=args.alpha
+                    q, ci[0], ci[1], ct[0], ct[1], k=args.k, alpha=args.alpha
                 )
             )
             native_bucketed_q4 = _bucketed(
                 lambda q, ci, ct: fused_similarity_topk_q4(
-                    q, ci, cimg_s4, ct, ctxt_s4, k=args.k, alpha=args.alpha
+                    q, ci[0], ci[1], ct[0], ct[1], k=args.k, alpha=args.alpha
                 )
             )
             extra_ids["int8+length-bucketed"] = ids_grouped
             extra_ids["int4+length-bucketed"] = ids_grouped
             candidates.append(
                 ("int8+length-bucketed", native_bucketed, plan_q8,
-                 cimg_q, ctxt_q)
+                 (cimg_q, cimg_s), (ctxt_q, ctxt_s))
             )
             candidates.append(
                 ("int4+length-bucketed", native_bucketed_q4, plan_q8,
-                 cimg_q4, ctxt_q4)
+                 (cimg_q4, cimg_s4), (ctxt_q4, ctxt_s4))
             )
     else:
         candidates = [("xla", native_xla, params, corpus_img, corpus_txt)]

@@ -161,17 +161,25 @@ def _mlp_tile(n_rows: int, attn_tile: int) -> int:
     return _TILE_TARGET if n_rows % _TILE_TARGET == 0 else attn_tile
 
 
-# VMEM planning. XLA's default scoped-VMEM budget is ~16 MiB, but v5e has
+# VMEM planning. Mosaic's default scoped-VMEM budget is ~16 MiB, but v5e has
 # 128 MiB physical VMEM and Mosaic honors ``vmem_limit_bytes``: layers whose
 # weights exceed the default-budget cap but fit a raised 48 MiB budget run the
 # whole-layer kernel with the limit raised (measured r4 at vision-L/14 shapes
 # [64x272, 1024/4096]: compiles at 32 MiB, bit-identical to the per-block
 # pair, wall-time neutral — the layer is compute-bound, so the fusion's value
 # is halved HBM traffic + ViT-H-class coverage, not latency).
+#
+# The wide band is only opened for shape classes VERIFIED on chip (r4/r5):
+# q8 whole-layer up to ViT-H-class 19.7 MiB, q8 per-block in the same band,
+# and the 16.8 MiB bf16 vision MLP. Un-verified bf16 shapes keep the default
+# budget caps and degrade to the XLA reference instead of risking a Mosaic
+# compile failure at serve time (advisor r4).
 _LAYER_Q8_WEIGHT_CAP = 9 * 2**20  # whole-layer q8 kernel, default VMEM budget
 _LAYER_Q8_WIDE_CAP = 24 * 2**20  # whole-layer q8 kernel at _WIDE_VMEM_BYTES
 _BLOCK_WEIGHT_CAP = 10 * 2**20  # single attention/MLP block, default budget
-_BLOCK_WIDE_CAP = 24 * 2**20  # single block at _WIDE_VMEM_BYTES (ViT-g MLP)
+_BLOCK_WIDE_CAP_Q8 = 24 * 2**20  # q8 block at _WIDE_VMEM_BYTES (ViT-g MLP)
+_BLOCK_WIDE_CAP_BF16_ATTN = _BLOCK_WEIGHT_CAP  # no >10 MiB bf16 attn verified
+_BLOCK_WIDE_CAP_BF16_MLP = 17 * 2**20  # verified: 16.8 MiB vision-L/14 MLP
 _WIDE_VMEM_BYTES = 48 * 2**20
 
 
@@ -223,7 +231,7 @@ def _apply_layers(
             # oversized layers degrade to the XLA reference instead of
             # failing Mosaic compilation at serve time
             attn_wb = _block_weight_bytes(lp, "attn")
-            if attn_wb <= _BLOCK_WIDE_CAP:
+            if attn_wb <= _BLOCK_WIDE_CAP_Q8:
                 x = fused_attention_block_q8(
                     x, lp["ln1_scale"], lp["ln1_bias"], lp["wqkv"], lp["wqkv_s"],
                     lp["bqkv"], lp["wo"], lp["wo_s"], lp["bo"],
@@ -240,7 +248,7 @@ def _apply_layers(
                     seq_len=s_pad, heads=heads, mask_len=mask_len, causal=causal,
                 )
             mlp_wb = _block_weight_bytes(lp, "mlp")
-            if mlp_wb <= _BLOCK_WIDE_CAP:
+            if mlp_wb <= _BLOCK_WIDE_CAP_Q8:
                 x = fused_mlp_block_q8(
                     x, lp["ln2_scale"], lp["ln2_bias"], lp["w1"], lp["w1_s"],
                     lp["b1"], lp["w2"], lp["w2_s"], lp["b2"],
@@ -266,7 +274,7 @@ def _apply_layers(
             )
         else:
             attn_wb = _block_weight_bytes(lp, "attn")
-            if use_fused and attn_wb <= _BLOCK_WIDE_CAP:
+            if use_fused and attn_wb <= _BLOCK_WIDE_CAP_BF16_ATTN:
                 x = fused_attention_block(
                     x, lp["ln1_scale"], lp["ln1_bias"], lp["wqkv"], lp["bqkv"],
                     lp["wo"], lp["bo"], seq_len=s_pad, heads=heads,
@@ -283,7 +291,7 @@ def _apply_layers(
                     mask_len=mask_len, causal=causal,
                 )
             mlp_wb = _block_weight_bytes(lp, "mlp")
-            if use_fused and mlp_wb <= _BLOCK_WIDE_CAP:
+            if use_fused and mlp_wb <= _BLOCK_WIDE_CAP_BF16_MLP:
                 # vision-L/14 bf16 MLP (16.8 MB of weights) lands here via the
                 # wide band: measured 1.60 vs 1.80 ms/layer against the XLA
                 # fallback at [64x272, 1024/4096] (r4, medians of 5)

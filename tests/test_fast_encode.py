@@ -357,7 +357,9 @@ def test_apply_layers_q8_vmem_fallback(tiny_model, rng, monkeypatch):
     monkeypatch.setattr(FE, "_LAYER_Q8_WEIGHT_CAP", 0)
     monkeypatch.setattr(FE, "_LAYER_Q8_WIDE_CAP", 0)
     monkeypatch.setattr(FE, "_BLOCK_WEIGHT_CAP", 0)
-    monkeypatch.setattr(FE, "_BLOCK_WIDE_CAP", 0)
+    monkeypatch.setattr(FE, "_BLOCK_WIDE_CAP_Q8", 0)
+    monkeypatch.setattr(FE, "_BLOCK_WIDE_CAP_BF16_ATTN", 0)
+    monkeypatch.setattr(FE, "_BLOCK_WIDE_CAP_BF16_MLP", 0)
     got = np.asarray(encode_text_fast(TINY, plan, ids, use_fused=True, interpret=False))
     np.testing.assert_allclose(got, want, atol=1e-5)
 
