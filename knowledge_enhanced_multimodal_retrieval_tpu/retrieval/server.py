@@ -23,7 +23,7 @@ import queue as queue_mod
 import threading
 import time
 from concurrent.futures import Future
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, Dict, List, Optional, Sequence
 
 
 class Overloaded(RuntimeError):
@@ -82,6 +82,9 @@ class MicroBatcher:
         self._batches = 0  # dispatched batches (observability/tests)
         self._served = 0  # total queries served
         self._rejected = 0  # load-shed submissions
+        # dispatched-batch size histogram: real (unpadded) size -> count;
+        # shows how well concurrent load aggregates into device batches
+        self._batch_size_hist: Dict[int, int] = {}
         # ring of recent end-to-end request latencies (submit -> resolve), s
         self._latencies: List[float] = []
         self._lat_cap = 2048
@@ -119,6 +122,7 @@ class MicroBatcher:
             "served": self._served,
             "rejected": self._rejected,
             "pending": self._pending,
+            "batch_size_hist": dict(sorted(self._batch_size_hist.items())),
         }
         with self._lock:
             lats = sorted(self._latencies)
@@ -247,6 +251,7 @@ class MicroBatcher:
             return
         self._batches += 1
         self._served += len(items)
+        self._batch_size_hist[n] = self._batch_size_hist.get(n, 0) + 1
         for (_, fut, t0), res in zip(items, results):
             fut.set_result(res)
             self._finish(t0)
