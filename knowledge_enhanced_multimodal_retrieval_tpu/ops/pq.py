@@ -517,8 +517,9 @@ def pq_similarity_topk(
 ) -> Tuple[jax.Array, jax.Array]:
     """Blended top-k over a PQ corpus, dispatched by backend and k.
 
-    TPU: the fused ADC Pallas kernel for k <= 128 (10.05 ms vs 25.1 decode
-    at product shapes), the XLA ADC formulation + segmented top-k for
+    TPU: the fused ADC Pallas kernel for k <= 64 (10.05 ms vs 25.1 decode
+    at product shapes; the merge's VMEM stack caps k, see _FUSED_PQ_K_CAP),
+    the XLA ADC formulation + segmented top-k for
     larger k (18.2 ms vs 28.4 decode at k=512 — still MXU-bound, no
     gathers). Elsewhere: the decode-and-matmul path (host BLAS handles the
     gathers fine, and it is the bit-exact oracle of the packed math).
@@ -527,7 +528,7 @@ def pq_similarity_topk(
         from .dispatch import on_tpu
 
         use_pallas = on_tpu()
-    if use_pallas and k <= 128:
+    if use_pallas and k <= _FUSED_PQ_K_CAP:
         return fused_pq_topk(
             queries, img_codes, img_scale, txt_codes, txt_scale,
             cb_img, cb_txt, k=k, alpha=alpha,
@@ -586,6 +587,16 @@ def pq_similarity_topk_adc(
 # similarity._fused_kernel.
 
 _PQ_TILE_N = 512
+
+# Fused-kernel k cap on real hardware (r5): the argmax-round merge's Mosaic
+# stack grows ~linearly in k and is nearly TILE-INDEPENDENT (chip-measured:
+# k=40/t=512 -> 20.69 MiB, k=128/t=256 -> 52.73 MiB, k=128/t=128 ->
+# 52.12 MiB — halving the tile bought almost nothing). k<=20 fits Mosaic's
+# ~16 MiB default budget (the verified product shape); 20<k<=64 compiles
+# under the raised 48 MiB limit (~0.5 MiB/k extrapolates to ~33 MiB at 64);
+# k>64 exceeds the wide budget at any tile and routes to the XLA ADC +
+# segmented top-k path (18.2 ms at k=512/43k rows — still MXU-bound).
+_FUSED_PQ_K_CAP = 64
 
 
 def _pq_adc_kernel(
@@ -707,7 +718,8 @@ def fused_pq_topk(
     tile_n: int = _PQ_TILE_N,
     interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Fused ADC scan + running top-k over a PQ corpus (k <= 128).
+    """Fused ADC scan + running top-k over a PQ corpus (k <= 64 on TPU;
+    interpret mode allows up to 128).
 
     Selection semantics match the other fused kernels (running VMEM top-k,
     argmax-round merge); scores match :func:`blended_scores_pq_adc` exactly.
@@ -722,6 +734,15 @@ def fused_pq_topk(
         raise ValueError(f"codebooks [{mk}] do not match codes [{m}] subspaces")
     if k > 128:
         raise ValueError("fused_pq_topk caps k at 128 (argmax-round merge)")
+    if not interpret and k > _FUSED_PQ_K_CAP:
+        # the merge's Mosaic stack exceeds even the raised 48 MiB budget
+        # past this k (chip-measured, see _FUSED_PQ_K_CAP) — refuse clearly
+        # instead of a compile-time VMEM OOM; pq_similarity_topk routes
+        # big k to the XLA ADC + segmented top-k path
+        raise ValueError(
+            f"fused_pq_topk supports k <= {_FUSED_PQ_K_CAP} on TPU "
+            f"(got k={k}); use pq_similarity_topk (routes to the ADC path)"
+        )
     k = min(k, n)
 
     lut_i = pq_luts(queries, cb_img)  # [M, Q, K] bf16
@@ -744,6 +765,11 @@ def fused_pq_topk(
     n_k_p = n_k + pad_k
 
     tile_n = min(tile_n, max(128, 1 << (n - 1).bit_length()))
+    # VMEM plan (r5, see _FUSED_PQ_K_CAP): the merge's Mosaic stack is
+    # ~linear in k and tile-independent. k<=20 keeps the verified
+    # default-budget compile; beyond that raise the scoped-VMEM limit to
+    # 48 MiB (the band chip-verified for the fused-block kernels).
+    vmem_limit = None if k <= 20 else 48 * 2**20
     pad_n = (-n) % tile_n
     # codes transpose to [M, N] so each grid step loads one lane-contiguous
     # code row; int8 view (values > 127 wrap, recovered by & 0xFF in-kernel)
@@ -796,6 +822,7 @@ def fused_pq_topk(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=vmem_limit,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * qn_p * n_k_p * (n + pad_n) * m,

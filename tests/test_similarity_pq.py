@@ -259,3 +259,26 @@ def test_sharded_matches_unsharded(packed):
     vals, idx = pq_similarity_topk(q, ci, si, ct, st, cbi, cbt, k=7, alpha=0.5)
     np.testing.assert_allclose(np.asarray(svals), np.asarray(vals), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(sidx), np.asarray(idx))
+
+
+def test_fused_k_cap_refusal_and_routing(packed):
+    """On real hardware the fused kernel's merge stack caps k at 64
+    (chip-measured r5: k=40 needs the raised 48 MiB scoped-VMEM limit,
+    k=128 exceeds it at any tile). The kernel must refuse k > cap clearly
+    when not interpreting, and pq_similarity_topk must route such k to the
+    ADC + segmented top-k path instead."""
+    from knowledge_enhanced_multimodal_retrieval_tpu.ops.pq import _FUSED_PQ_K_CAP
+
+    img, txt, cb_img, cb_txt, ci, si, ct, st = packed
+    q = jnp.asarray(_rows(4, D, seed=9), jnp.float32)
+    with pytest.raises(ValueError, match="k <= 64"):
+        fused_pq_topk(
+            q, ci, si, ct, st, cb_img, cb_txt,
+            k=_FUSED_PQ_K_CAP + 1, interpret=False,
+        )
+    # the dispatcher serves the same k via the ADC path (any backend)
+    vals, idx = pq_similarity_topk(
+        q, ci, si, ct, st, cb_img, cb_txt, k=_FUSED_PQ_K_CAP + 1,
+    )
+    assert vals.shape == (4, _FUSED_PQ_K_CAP + 1)
+    assert bool((np.asarray(idx) >= 0).all())
