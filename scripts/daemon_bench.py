@@ -130,9 +130,12 @@ def main() -> None:
     while b <= args.max_batch:
         sizes.append(b)
         b *= 2
-    print(f"warming buckets {sizes} (+image) ...", flush=True)
+    img_sizes = [s for s in sizes if s <= 64]  # image batcher caps at 64
+    print(f"warming buckets {sizes} (+image {img_sizes}) ...", flush=True)
     t0 = time.time()
-    nprog = retriever.warmup(sizes, alpha=0.5, image=args.image_frac > 0)
+    nprog = retriever.warmup(sizes, alpha=0.5)
+    if args.image_frac > 0:
+        nprog += retriever.warmup(img_sizes, alpha=0.5, image=True)
     print(f"  {nprog} programs in {time.time() - t0:.1f}s", flush=True)
 
     server = RetrievalHTTPServer(

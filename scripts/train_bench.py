@@ -149,10 +149,12 @@ def _section_breakdown(model, params, batch, steps: int) -> dict:
     def chain_grad(p, x, q, t, length):
         def body(c, _):
             loss, _g = grad_fn(p, x + c * 1e-6, q, t)
-            # fold a real gradient leaf into the carry so neither the loss
-            # nor the backward pass can be dead-code-eliminated
-            leaf = jax.tree_util.tree_leaves(_g)[0]
-            return (loss + leaf.reshape(-1)[0] * 1e-9).astype(jnp.float32), ()
+            # fold EVERY gradient leaf into the carry — feeding only one
+            # leaf back lets XLA dead-code-eliminate the other gradient
+            # branches (first run measured an impossible 512 TFLOP/s)
+            gsum = sum(jnp.sum(l).astype(jnp.float32)
+                       for l in jax.tree_util.tree_leaves(_g))
+            return (loss + gsum * 1e-9).astype(jnp.float32), ()
         c, _ = jax.lax.scan(body, jnp.float32(0), None, length=length)
         return c
 
@@ -215,6 +217,35 @@ def run_entry(model_name: str, batch: int, remat: bool, steps: int,
     state, m = step_fn(state, batch_g)
     float(m["loss"])
 
+    step_chained = None
+    if breakdown:
+        # device-only step cost: N steps chained inside ONE program (state
+        # is the scan carry), one fetch at the end — separates the per-step
+        # relay round trip (~55-80 ms, CLAUDE.md) from the device step.
+        # Donation is inert under the scan trace, so the carry doubles the
+        # live state — fine at B/32, why this stays off the L/14 entry.
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("length",))
+        def chain_steps(state, batch, length):
+            def body(s, _):
+                s2, mm = step_fn(s, batch)
+                return s2, mm["loss"]
+            _, losses = jax.lax.scan(body, state, None, length=length)
+            return losses[-1]
+
+        try:
+            float(chain_steps(state, batch_g, length=2))
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(chain_steps(state, batch_g, length=8))
+                ts.append((time.perf_counter() - t0) / 8)
+            step_chained = round(statistics.median(ts) * 1e3, 2)
+        except Exception as e:  # noqa: BLE001 — breakdown extras must degrade
+            print(f"chained-step timing failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     times = []
     for _ in range(steps):
         t0 = time.perf_counter()
@@ -242,6 +273,8 @@ def run_entry(model_name: str, batch: int, remat: bool, steps: int,
         "loss_final": loss,
     }
     if extra:
+        if step_chained is not None:
+            extra["step_chained_ms"] = step_chained
         entry["breakdown"] = extra
     return entry
 
