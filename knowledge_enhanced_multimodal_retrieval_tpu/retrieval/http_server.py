@@ -634,7 +634,15 @@ class RetrievalHTTPServer:
                 else:
                     self._send(200, {"query": payload["query"], "results": out[0]})
 
-        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        # stdlib default accept backlog is 5 — concurrent clients without
+        # keep-alive reconnect per request and overflow it into connection
+        # resets (measured: 32 callers -> 1-2% ECONNRESET). 128 covers any
+        # sane caller count; the MicroBatcher provides the real backpressure
+        # (max_pending -> 503), not the accept queue.
+        class _Server(ThreadingHTTPServer):
+            request_queue_size = 128
+
+        self._httpd = _Server((host, port), Handler)
         self._thread: Optional[threading.Thread] = None
         self._serving = False
         self._closed = False
