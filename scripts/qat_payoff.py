@@ -134,9 +134,9 @@ def main() -> None:
         """Serving-quality metrics for one trained checkpoint."""
         # full corpus batch (pairs is a power-of-two-friendly size)
         batch = pipe.make_batch(list(range(args.pairs)))
-        images = jnp.asarray(batch["images"])
-        q_ids = jnp.asarray(batch["query_ids"])
-        t_ids = jnp.asarray(batch["target_ids"])
+        images = jnp.asarray(batch.images)
+        q_ids = jnp.asarray(batch.query_ids)
+        t_ids = jnp.asarray(batch.target_ids)
 
         # f32 oracle towers (the run's own model, flax path)
         enc_t = jax.jit(lambda p, ids: l2_normalize(
